@@ -1,0 +1,183 @@
+"""Deterministic sequencers: how a row index becomes a draw number.
+
+The reference engine walks a Galois LFSR sequentially (a stateful
+generator; semantics at /root/reference .../generator/utils.go:92-167).
+A sequential walk cannot be distributed, so this engine exposes the same
+contract — a seeded bijective "shuffle" of ``[0, n)`` that cycles — as a
+*pure function* of the row index, in two tiers:
+
+* **lfsr** (parity tier): the LFSR period is precomputed once on the
+  driver with the same primitive polynomials, then indexed. Bit-exact
+  with the reference walk, bounded by driver memory (default cap 1<<22).
+* **feistel** (scale tier): a 4-round Feistel network over
+  ``ceil(log2 n)`` bits with cycle-walking, keyed by the same seed. A
+  jump-free bijection with identical guarantees (uniqueness up to n,
+  seedability, O(1) random access) that works at any n — this is the
+  100 TB path. Values differ from the Go walk; properties do not.
+
+Both are exposed through ``perm_np(idx, n, seed, mode)``; the *ordered*
+sequencer (a monotone step function) is pure arithmetic and has a native
+Spark expression form.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sdvg_spark.core.rng import MASK64, splitmix64_np
+
+# Primitive polynomials (Galois LFSR taps) for register sizes 1..64.
+# These are standard published maximal-length LFSR polynomials (the same
+# public table the reference uses; see e.g. Xilinx XAPP052).
+PRIMITIVE_POLYNOMIALS: dict[int, int] = {
+    1: 0x1, 2: 0x3, 3: 0x6, 4: 0xC, 5: 0x14, 6: 0x30, 7: 0x60, 8: 0xB8,
+    9: 0x110, 10: 0x240, 11: 0x500, 12: 0x829, 13: 0x100D, 14: 0x2015,
+    15: 0x6000, 16: 0xD008, 17: 0x12000, 18: 0x20400, 19: 0x40023,
+    20: 0x90000, 21: 0x140000, 22: 0x300000, 23: 0x420000, 24: 0xE10000,
+    25: 0x1200000, 26: 0x2000023, 27: 0x4000013, 28: 0x9000000,
+    29: 0x14000000, 30: 0x20000029, 31: 0x48000000, 32: 0x80200003,
+    33: 0x100080000, 34: 0x204000003, 35: 0x500000000, 36: 0x801000000,
+    37: 0x100000001F, 38: 0x2000000031, 39: 0x4400000000,
+    40: 0xA000140000, 41: 0x12000000000, 42: 0x300000C0000,
+    43: 0x63000000000, 44: 0xC0000030000, 45: 0x1B0000000000,
+    46: 0x300003000000, 47: 0x420000000000, 48: 0xC00000180000,
+    49: 0x1008000000000, 50: 0x3000000C00000, 51: 0x6000C00000000,
+    52: 0x9000000000000, 53: 0x18003000000000, 54: 0x30000000030000,
+    55: 0x40000040000000, 56: 0xC0000600000000, 57: 0x102000000000000,
+    58: 0x200004000000000, 59: 0x600003000000000, 60: 0xC00000000000000,
+    61: 0x1800300000000000, 62: 0x3000000000000030,
+    63: 0x6000000000000000, 64: 0xD800000000000000,
+}
+
+# Above this domain size the parity-tier table is refused and the Feistel
+# permutation is used instead ('auto' mode).
+LFSR_TABLE_CAP = 1 << 22
+
+
+@lru_cache(maxsize=256)
+def lfsr_walk(distinct: int, seed: int) -> np.ndarray:
+    """The full filtered LFSR period: ``distinct`` values, each of
+    ``[0, distinct)`` exactly once, in walk order.
+
+    Walk semantics mirror the reference sequencer: states > distinct are
+    skipped; emitted value is ``state - 1``. The k-th sequencer pull is
+    ``walk[k % distinct]`` (the reference's explicit cycle reset is a
+    no-op given the period — see tests).
+    """
+    if distinct <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    if distinct == 1:
+        return np.zeros(1, dtype=np.uint64)
+    if distinct > LFSR_TABLE_CAP:
+        raise ValueError(
+            f"LFSR parity table for n={distinct} exceeds cap {LFSR_TABLE_CAP}; "
+            "use feistel mode"
+        )
+    bits = distinct.bit_length()
+    mask = (1 << bits) - 1
+    poly = PRIMITIVE_POLYNOMIALS[bits]
+    state = seed & mask
+    if state == 0:
+        state = (1 << (bits - 1)) | 1
+    out = np.empty(distinct, dtype=np.uint64)
+    for i in range(distinct):
+        while True:
+            bit = state & 1
+            state >>= 1
+            if bit:
+                state ^= poly
+            if state <= distinct:
+                break
+        out[i] = state - 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Feistel permutation (scale tier)
+
+
+def _feistel_round(r: np.ndarray, rnd: int, seed: int, half_bits: int) -> np.ndarray:
+    x = r ^ np.uint64((seed + 0x9E3779B97F4A7C15 * (rnd + 1)) & MASK64)
+    return splitmix64_np(x) & np.uint64((1 << half_bits) - 1)
+
+
+def feistel_np(idx: np.ndarray, n: int, seed: int, rounds: int = 4) -> np.ndarray:
+    """Seeded bijection of [0, n) evaluated at ``idx`` (uint64 array).
+
+    Balanced Feistel over 2*h bits with h = ceil(ceil(log2 n)/2),
+    cycle-walking out-of-domain outputs back through the network.
+    """
+    if n <= 1:
+        return np.zeros(len(idx), dtype=np.uint64)
+    total_bits = max((n - 1).bit_length(), 2)
+    half = (total_bits + 1) // 2
+    half_mask = np.uint64((1 << half) - 1)
+    un = np.uint64(n)
+
+    def apply_net(x: np.ndarray) -> np.ndarray:
+        left = (x >> np.uint64(half)) & half_mask
+        right = x & half_mask
+        for rnd in range(rounds):
+            left, right = right, left ^ _feistel_round(right, rnd, seed, half)
+        return (left << np.uint64(half)) | right
+
+    y = apply_net(np.asarray(idx, dtype=np.uint64))
+    out_of_domain = y >= un
+    # Cycle-walking: the network permutes [0, 2^{2h}) with 2^{2h} < 4n,
+    # so each walk step keeps < 1/4 of the stragglers; expected depth ~2.
+    while out_of_domain.any():
+        y[out_of_domain] = apply_net(y[out_of_domain])
+        out_of_domain = y >= un
+    return y
+
+
+def perm_np(idx: np.ndarray, n: int, seed: int, mode: str) -> np.ndarray:
+    """num = permutation(idx mod n); the distributed LFSR-sequencer
+    equivalent. ``mode`` in {'lfsr', 'feistel', 'auto'}."""
+    if n <= 0:
+        return np.zeros(len(idx), dtype=np.uint64)
+    k = np.asarray(idx, dtype=np.uint64) % np.uint64(n)
+    if mode == "auto":
+        mode = "lfsr" if n <= LFSR_TABLE_CAP else "feistel"
+    if mode == "lfsr":
+        return lfsr_walk(n, seed)[k]
+    if mode == "feistel":
+        return feistel_np(k, n, seed)
+    raise ValueError(f"unknown permutation mode: {mode}")
+
+
+def resolve_mode(n: int, mode: str) -> str:
+    if mode == "auto":
+        return "lfsr" if n <= LFSR_TABLE_CAP else "feistel"
+    return mode
+
+
+# ---------------------------------------------------------------------------
+# Ordered sequencer
+
+
+def ordered_np(k: np.ndarray, distinct: int, cycle: int) -> np.ndarray:
+    """Monotone step sequencer: floor(k * distinct / cycle), k mod cycle."""
+    kk = np.asarray(k, dtype=np.uint64) % np.uint64(max(cycle, 1))
+    res = kk.astype(np.float64) * np.float64(distinct) / np.float64(max(cycle, 1))
+    return res.astype(np.uint64)
+
+
+def ordered_col(k: Column, distinct: int, cycle: int) -> Column:
+    """Native Spark form of the ordered sequencer (positive k)."""
+    cyc = max(cycle, 1)
+    kk = k % F.lit(cyc)
+    return (kk.cast("double") * F.lit(float(distinct)) / F.lit(float(cyc))).cast("long")
+
+
+def ordered_sql(k_expr: str, distinct: int, cycle: int) -> str:
+    """DuckDB mirror of the ordered sequencer."""
+    cyc = max(cycle, 1)
+    return (
+        f"CAST(trunc((({k_expr}) % {cyc})::DOUBLE * {float(distinct)!r} "
+        f"/ {float(cyc)!r}) AS BIGINT)"
+    )

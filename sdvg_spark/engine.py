@@ -1,0 +1,345 @@
+"""The engine: a validated config becomes one DataFrame per model.
+
+Execution model (Spark-first; see SURVEY.md §7): each model is
+``spark.range(generate_from, generate_to)`` and every column is a
+deterministic expression of the row id. Nothing here shuffles — the
+sequencer pipeline (permute -> range dispatch -> draw number -> jitter ->
+null gate -> value) is a pure function of (seed, column key, id), so
+generation is embarrassingly parallel and idempotent under any
+partitioning. At 100 TB this means: no stage boundaries, no skew, output
+parallelism == input splits of ``range``.
+
+The one non-native step is the seeded permutation (a pandas UDF over
+Arrow batches — numpy uint64 kernels). Columns whose sequencers are all
+*ordered* skip it entirely and stay in whole-stage codegen. Value
+functions are native Column expressions for integer/float/datetime/enum/
+name/phone; uuid/template/plain-string/text use vectorized numpy UDFs.
+
+Foreign keys re-evaluate the *parent's* pure expression on the child's
+row-ids (the reference's zero-shuffle trick, task.go:86-114): referential
+integrity without materializing or joining the parent.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sdvg_spark.config.model import ColumnSpec, ConfigError, GenerationConfig, ModelSpec
+from sdvg_spark.core import rng
+from sdvg_spark.core.rng import derive_seed, frf_col
+from sdvg_spark.core.sequence import ordered_col, ordered_np, perm_np, resolve_mode
+from sdvg_spark.generators.values import EnumGen, make_value_gen
+from sdvg_spark.session import configure_session
+
+
+@dataclass
+class RangePlan:
+    """Physical plan for one generation range of a column."""
+
+    index: int
+    off: int  # first generator-number of this range's block
+    cnt: int  # block size == sequencer cycle length
+    distinct: int
+    ordered: bool
+    order_seed: int
+    factor: float  # jitter scale: 1 - distinct/|value space|
+    null_pct: float
+    vgen: object
+
+
+@dataclass
+class ColumnPlan:
+    """Physical plan for one column: sequencer tier + range plans."""
+
+    name: str
+    column_type: str
+    rows: int  # column-sequencer domain/cycle (child rows for FK)
+    data_seed: int  # seed of the column whose value space we draw from
+    perm_mode: str
+    ranges: list[RangePlan]
+    dtype: str  # final Spark type (widest across ranges)
+
+    @property
+    def all_ordered_single(self) -> bool:
+        return len(self.ranges) == 1 and self.ranges[0].ordered
+
+
+def plan_column(cfg: GenerationConfig, model: ModelSpec, column: ColumnSpec) -> ColumnPlan:
+    """Resolve a column (following FK indirection) into a physical plan.
+
+    Mirrors the reference's generator wiring (generator/generator.go:
+    30-151): FK columns reuse the parent's seed and value space; distinct
+    counts derive from the *data* model's row count; ranges get
+    contiguous blocks of ceil(rows * pct) generator numbers.
+    """
+    data_model, data_column = cfg.data_source(model, column)
+    base_seed = cfg.random_seed
+    col_seed = derive_seed(base_seed, f"{model.name}.{column.name}")
+    data_seed = derive_seed(base_seed, f"{data_model.name}.{data_column.name}")
+
+    is_fk = bool(column.foreign_key)
+    rows = data_model.rows_count
+    if is_fk and not column.foreign_key_order:
+        rows = model.rows_count
+
+    plans: list[RangePlan] = []
+    off = 0
+    for i, r in enumerate(data_column.ranges):
+        cnt = math.ceil(rows * r.range_percentage)
+        vgen = make_value_gen(data_column.type, r)
+        distinct = math.ceil(data_model.rows_count * r.range_percentage)
+        if r.distinct_percentage:
+            distinct = math.ceil(distinct * r.distinct_percentage)
+        if r.distinct_count:
+            if r.distinct_count > distinct:
+                raise ConfigError(
+                    f"{model.name}.{column.name}: impossible to generate "
+                    f"{r.distinct_count} distinct values in {distinct} rows"
+                )
+            distinct = r.distinct_count
+        space = vgen.values_count()
+        if float(distinct) > space:
+            if r.distinct_percentage or r.distinct_count:
+                raise ConfigError(
+                    f"{model.name}.{column.name}: impossible to generate "
+                    f"{distinct} distinct values"
+                )
+            distinct = int(space)
+        distinct = max(distinct, 1)
+
+        ordered = r.ordered
+        order_seed = data_seed
+        if is_fk and not column.foreign_key_order:
+            ordered = column.ranges[0].ordered if column.ranges else False
+            order_seed = col_seed
+
+        vgen.set_total(distinct)
+        factor = 1.0 - (float(distinct) / space if math.isfinite(space) else 0.0)
+        plans.append(
+            RangePlan(
+                index=i,
+                off=off,
+                cnt=cnt,
+                distinct=distinct,
+                ordered=ordered,
+                order_seed=order_seed,
+                factor=factor,
+                null_pct=r.null_percentage,
+                vgen=vgen,
+            )
+        )
+        off += cnt
+
+    dtype = _column_dtype(data_column, plans)
+    return ColumnPlan(
+        name=column.name,
+        column_type=data_column.type,
+        rows=rows,
+        data_seed=data_seed,
+        perm_mode=resolve_mode(rows, cfg.permutation),
+        ranges=plans,
+        dtype=dtype,
+    )
+
+
+def _column_dtype(data_column: ColumnSpec, plans: list[RangePlan]) -> str:
+    """Widest Spark type across ranges (the reference writer uses the max
+    bit width, parquet.go:120-250)."""
+    t = data_column.type
+    if t == "integer":
+        width = 8
+        for r in data_column.ranges:
+            if r.type_params is not None:
+                width = max(width, r.type_params.bit_width)
+            else:
+                width = max(width, 32)  # enum range in an integer column
+        return {8: "tinyint", 16: "smallint", 32: "int", 64: "bigint"}[width]
+    if t == "float":
+        width = 32
+        for r in data_column.ranges:
+            if r.type_params is not None:
+                width = max(width, r.type_params.bit_width)
+        return "float" if width == 32 else "double"
+    if t == "datetime":
+        return "timestamp"
+    return "string"  # string / uuid
+
+
+# ---------------------------------------------------------------------------
+# sequencer kernel (the only pandas-UDF stage of the pipeline)
+
+
+def _make_sequence_kernel(plan: ColumnPlan, spark: SparkSession):
+    """pandas UDF: id -> struct(ridx, num).
+
+    One Arrow pass computes the column-level permutation, the range
+    dispatch, and the per-range draw number for the whole batch. LFSR
+    parity tables ride a Spark broadcast so executors get them once.
+    """
+    rows = plan.rows
+    data_seed = plan.data_seed
+    mode = plan.perm_mode
+    offs = np.array([r.off for r in plan.ranges], dtype=np.uint64)
+    cnts = np.array([r.cnt for r in plan.ranges], dtype=np.uint64)
+    distincts = np.array([r.distinct for r in plan.ranges], dtype=np.uint64)
+    ordereds = np.array([r.ordered for r in plan.ranges], dtype=bool)
+    order_seeds = np.array([r.order_seed for r in plan.ranges], dtype=np.uint64)
+    bounds = np.cumsum(cnts)  # dispatch boundaries (exclusive)
+
+    # Ship parity tables via broadcast (they can be MBs); feistel needs none.
+    tables_bc = None
+    if mode == "lfsr":
+        from sdvg_spark.core.sequence import lfsr_walk
+
+        tables = {"col": np.asarray(lfsr_walk(rows, data_seed))}
+        for r in plan.ranges:
+            if not r.ordered:
+                tables[r.index] = np.asarray(lfsr_walk(r.distinct, int(r.order_seed)))
+        tables_bc = spark.sparkContext.broadcast(tables)
+
+    @pandas_udf("ridx int, num long")
+    def kernel(ids: pd.Series) -> pd.DataFrame:
+        idx = ids.to_numpy(dtype=np.int64).astype(np.uint64)
+        if tables_bc is not None:
+            tables = tables_bc.value
+            gnum = tables["col"][(idx % np.uint64(rows)).astype(np.int64)]
+        else:
+            gnum = perm_np(idx, rows, data_seed, mode)
+        ridx = np.searchsorted(bounds, gnum, side="right").astype(np.int64)
+        np.minimum(ridx, len(bounds) - 1, out=ridx)
+        k = gnum - offs[ridx]
+        num = np.zeros(len(idx), dtype=np.uint64)
+        for j in range(len(offs)):
+            m = ridx == j
+            if not m.any():
+                continue
+            if ordereds[j]:
+                num[m] = ordered_np(k[m], int(distincts[j]), int(cnts[j]))
+            elif tables_bc is not None:
+                tab = tables_bc.value[j]
+                num[m] = tab[(k[m] % distincts[j]).astype(np.int64)]
+            else:
+                num[m] = perm_np(k[m], int(distincts[j]), int(order_seeds[j]), "feistel")
+        return pd.DataFrame(
+            {"ridx": ridx.astype(np.int32), "num": num.astype(np.int64)}
+        )
+
+    return kernel
+
+
+def _make_value_udf(vgen, dtype: str):
+    """Vectorized numpy value kernel for the non-native generators."""
+
+    @pandas_udf(dtype)
+    def value_udf(number: pd.Series) -> pd.Series:
+        out = vgen.np_value(number.to_numpy(dtype=np.float64))
+        return pd.Series(out)
+
+    return value_udf
+
+
+def value_expr(plan: ColumnPlan, num: Column, ridx: Column) -> Column:
+    """Jitter + null gate + value dispatch, given the draw numbers."""
+
+    # frf(data_seed + num) drives BOTH the jitter and the null gate
+    # (reference generator.go:220-237 uses the same hash draw for both).
+    r01 = frf_col(F.lit(rng._s64(plan.data_seed)) + num)
+
+    def range_value(r: RangePlan) -> Column:
+        number = num.cast("double") + r01 * F.lit(r.factor)
+        native = r.vgen.expr(number, num)
+        value = (
+            native
+            if native is not None
+            else _make_value_udf(r.vgen, r.vgen.spark_dtype)(number)
+        )
+        value = value.cast(plan.dtype)
+        if r.null_pct > 0:
+            value = F.when(
+                r01 < F.lit(r.null_pct), F.lit(None).cast(plan.dtype)
+            ).otherwise(value)
+        return value
+
+    if len(plan.ranges) == 1:
+        result = range_value(plan.ranges[0])
+    else:
+        result = None
+        for r in plan.ranges:
+            cond = ridx == F.lit(r.index)
+            v = range_value(r)
+            result = F.when(cond, v) if result is None else result.when(cond, v)
+    return result.alias(plan.name)
+
+
+class Engine:
+    """Config -> DataFrames -> sinks."""
+
+    def __init__(self, cfg: GenerationConfig):
+        self.cfg = cfg
+
+    def plans_for(self, model: ModelSpec) -> list[ColumnPlan]:
+        return [plan_column(self.cfg, model, c) for c in model.columns]
+
+    def model_df(
+        self,
+        spark: SparkSession,
+        model_name: str,
+        generate_from: int | None = None,
+        generate_to: int | None = None,
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        configure_session(spark)
+        model = self.cfg.models[model_name]
+        lo = model.generate_from if generate_from is None else generate_from
+        hi = model.generate_to if generate_to is None else generate_to
+        base = (
+            spark.range(lo, hi, 1, num_partitions)
+            if num_partitions
+            else spark.range(lo, hi)
+        )
+        plans = self.plans_for(model)
+
+        # Stage 1: one sequencer-kernel invocation per permuted column
+        # (projected to a named struct so the Arrow UDF runs exactly once
+        # per row, never duplicated by downstream field references).
+        seq_cols = []
+        for plan in plans:
+            if not plan.all_ordered_single:
+                kernel = _make_sequence_kernel(plan, spark)
+                seq_cols.append(kernel(F.col("id")).alias(f"__seq_{plan.name}"))
+        staged = base.select(F.col("id"), *seq_cols) if seq_cols else base
+
+        # Stage 2: jitter + null gate + value dispatch, all native except
+        # the uuid/string value kernels.
+        exprs = []
+        for plan in plans:
+            if plan.all_ordered_single:
+                r = plan.ranges[0]
+                num = ordered_col(F.col("id"), r.distinct, r.cnt)
+                ridx = F.lit(0)
+            else:
+                num = F.col(f"__seq_{plan.name}.num")
+                ridx = F.col(f"__seq_{plan.name}.ridx")
+            exprs.append(value_expr(plan, num, ridx))
+        return staged.select(*exprs)
+
+    def run(self, spark: SparkSession, models: list[str] | None = None) -> dict[str, str]:
+        """Generate + write every (non-ignored) model. Returns model->path."""
+        from sdvg_spark.sinks.writers import write_model
+
+        written: dict[str, str] = {}
+        for name, model in self.cfg.models.items():
+            if name in self.cfg.models_to_ignore:
+                continue
+            if models is not None and name not in models:
+                continue
+            df = self.model_df(spark, name)
+            written[name] = write_model(spark, df, model, self.cfg.output)
+        return written

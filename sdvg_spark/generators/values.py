@@ -1,0 +1,718 @@
+"""Value generators: the n-th element of each type's ordered value space.
+
+Contract (mirroring the reference Generator interface, /root/reference
+.../generator/value/interfaces.go:4-13): ``value(number)`` returns the
+number-th element of the type's totally ordered value space after
+``set_total(distinct_count)``; ``values_count`` is the size of that
+space (used to clamp distinct counts and derive the jitter factor).
+
+Each generator exposes up to three synchronized forms:
+
+* ``expr(number, num)``  — native Spark Column (JVM, codegen); preferred
+* ``np_value(number)``   — numpy kernel for the Arrow/pandas-UDF path
+* ``sql(number_expr)``   — DuckDB SQL mirror for exact oracle queries
+                           (None when not SQL-expressible)
+
+``number`` is the jittered draw (float64 = num + frf*factor, frf < 1 so
+``floor(number) == num`` always); ``num`` is the integer draw.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sdvg_spark.config.model import (
+    DateTimeParams,
+    FloatParams,
+    IntegerParams,
+    StringParams,
+)
+from sdvg_spark.generators import locales
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_TWO63 = float(1 << 63)
+
+
+def _unix_sec_nsec(dt: datetime) -> tuple[int, int]:
+    """Floor seconds since epoch + nanosecond remainder (Go Unix() semantics)."""
+    delta = dt - _EPOCH
+    sec = delta.days * 86400 + delta.seconds
+    nsec = delta.microseconds * 1000
+    return sec, nsec
+
+
+def _ordered_int64_py(from_: int, to: int, number: float, total: int) -> int:
+    step = (float(to) - float(from_) + 1.0) / float(total)
+    v = step * number
+    u = int(v) & ((1 << 64) - 1)
+    if u >= (1 << 63):
+        u -= 1 << 64
+    return from_ + u
+
+
+def _ordered_int64_np(from_: int, to: int, number: np.ndarray, total: int) -> np.ndarray:
+    step = (float(to) - float(from_) + 1.0) / float(total)
+    v = step * number
+    u = v.astype(np.uint64)  # trunc toward zero; v >= 0 always
+    with np.errstate(over="ignore"):
+        # from + int64(uint64(v)): two's-complement wrap addition
+        return u.view(np.int64) + np.int64(from_)
+
+
+def _ordered_int64_col(from_: int, to: int, number: Column, total: int) -> Column:
+    """Native Spark: from + int64(uint64(step * number)).
+
+    The uint64->int64 reinterpretation matters only when the value space
+    crosses 2^63 (e.g. full-range 64-bit integers); handled by an
+    explicit branch since a double->long cast saturates rather than
+    wraps. Requires ANSI off so the long addition wraps like Go.
+    """
+    step = (float(to) - float(from_) + 1.0) / float(total)
+    v = number * F.lit(step)
+    small = F.lit(from_) + v.cast("long")
+    big = F.lit(from_) + (v - F.lit(_TWO63)).cast("long") + F.lit(-(1 << 63))
+    return F.when(v < F.lit(_TWO63), small).otherwise(big)
+
+
+def _ordered_int64_sql(from_: int, to: int, number_expr: str, total: int) -> str | None:
+    step = (float(to) - float(from_) + 1.0) / float(total)
+    if float(to) - float(from_) + 1.0 >= _TWO63:
+        return None  # DuckDB BIGINT arithmetic would overflow-error
+    return f"({from_} + CAST(trunc(({number_expr}) * {step!r}) AS BIGINT))"
+
+
+# ---------------------------------------------------------------------------
+
+
+class IntegerGen:
+    """n-th integer of [from, to]; semantics per reference value/integer.go."""
+
+    def __init__(self, params: IntegerParams):
+        self.p = params
+        self.total = 1
+
+    @property
+    def spark_dtype(self) -> str:
+        return {8: "tinyint", 16: "smallint", 32: "int", 64: "bigint"}[self.p.bit_width]
+
+    def values_count(self) -> float:
+        return self.p.values_count
+
+    def set_total(self, total: int) -> None:
+        self.total = max(total, 1)
+
+    def expr(self, number: Column, num: Column) -> Column:
+        v = _ordered_int64_col(self.p.from_, self.p.to, number, self.total)
+        return v.cast(self.spark_dtype)
+
+    def np_value(self, number: np.ndarray) -> np.ndarray:
+        v = _ordered_int64_np(self.p.from_, self.p.to, number, self.total)
+        dt = {8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}[self.p.bit_width]
+        return v.astype(dt)
+
+    def sql(self, number_expr: str) -> str | None:
+        base = _ordered_int64_sql(self.p.from_, self.p.to, number_expr, self.total)
+        if base is None:
+            return None
+        cast = {8: "TINYINT", 16: "SMALLINT", 32: "INTEGER", 64: "BIGINT"}[self.p.bit_width]
+        return f"CAST({base} AS {cast})"
+
+
+class FloatGen:
+    """Linear interpolation from..to; float32 cast for bit_width 32."""
+
+    def __init__(self, params: FloatParams):
+        self.p = params
+        self.total = 1
+
+    @property
+    def spark_dtype(self) -> str:
+        return "float" if self.p.bit_width == 32 else "double"
+
+    def values_count(self) -> float:
+        return math.inf
+
+    def set_total(self, total: int) -> None:
+        self.total = max(total, 1)
+
+    def expr(self, number: Column, num: Column) -> Column:
+        if self.p.from_ == self.p.to:
+            v = F.lit(float(self.p.from_))
+        else:
+            s = number / F.lit(float(self.total))
+            v = F.lit(self.p.from_) * (F.lit(1.0) - s) + F.lit(self.p.to) * s
+        return v.cast(self.spark_dtype)
+
+    def np_value(self, number: np.ndarray) -> np.ndarray:
+        if self.p.from_ == self.p.to:
+            v = np.full(len(number), self.p.from_)
+        else:
+            s = number / float(self.total)
+            v = self.p.from_ * (1.0 - s) + self.p.to * s
+        return v.astype(np.float32) if self.p.bit_width == 32 else v
+
+    def sql(self, number_expr: str) -> str | None:
+        if self.p.from_ == self.p.to:
+            v = f"({self.p.from_!r})"
+        else:
+            s = f"(({number_expr}) / {float(self.total)!r})"
+            v = f"({self.p.from_!r} * (1.0 - {s}) + {self.p.to!r} * {s})"
+        return f"CAST({v} AS REAL)" if self.p.bit_width == 32 else f"CAST({v} AS DOUBLE)"
+
+
+class DateTimeGen:
+    """Seconds and nanoseconds interpolated independently (reference
+    value/datetime.go:29-67); emitted at microsecond precision — Spark
+    timestamps are µs, so the reference's nanosecond tail is truncated
+    (documented deviation, SURVEY.md §7)."""
+
+    def __init__(self, params: DateTimeParams):
+        self.p = params
+        self.total = 1
+        self.from_sec, self.from_nsec = _unix_sec_nsec(params.from_)
+        self.to_sec, to_nsec = _unix_sec_nsec(params.to)
+        self.to_nsec = to_nsec + (1_000_000_000 if to_nsec < self.from_nsec else 0)
+
+    spark_dtype = "timestamp"
+
+    def values_count(self) -> float:
+        sec_count = float(self.to_sec - self.from_sec) + 1
+        nsec_count = float(self.to_nsec - self.from_nsec) + 1
+        return sec_count * nsec_count
+
+    def set_total(self, total: int) -> None:
+        self.total = max(total, 1)
+
+    def _micros_col(self, number: Column) -> Column:
+        vsec = _ordered_int64_col(self.from_sec, self.to_sec, number, self.total)
+        vnsec = _ordered_int64_col(self.from_nsec, self.to_nsec, number, self.total)
+        vnsec = F.when(vnsec > F.lit(1_000_000_000), vnsec - F.lit(1_000_000_000)).otherwise(vnsec)
+        return vsec * F.lit(1_000_000) + (vnsec / F.lit(1000)).cast("long")
+
+    def expr(self, number: Column, num: Column) -> Column:
+        return F.timestamp_micros(self._micros_col(number))
+
+    def np_value(self, number: np.ndarray) -> np.ndarray:
+        vsec = _ordered_int64_np(self.from_sec, self.to_sec, number, self.total)
+        vnsec = _ordered_int64_np(self.from_nsec, self.to_nsec, number, self.total)
+        vnsec = np.where(vnsec > 1_000_000_000, vnsec - 1_000_000_000, vnsec)
+        return vsec * 1_000_000 + vnsec // 1000  # int64 micros
+
+    def sql(self, number_expr: str) -> str | None:
+        vsec = _ordered_int64_sql(self.from_sec, self.to_sec, number_expr, self.total)
+        vnsec_raw = _ordered_int64_sql(self.from_nsec, self.to_nsec, number_expr, self.total)
+        if vsec is None or vnsec_raw is None:
+            return None
+        vnsec = (
+            f"(CASE WHEN {vnsec_raw} > 1000000000 THEN {vnsec_raw} - 1000000000 "
+            f"ELSE {vnsec_raw} END)"
+        )
+        return f"make_timestamp({vsec} * 1000000 + {vnsec} // 1000)"
+
+
+class UUIDGen:
+    """16 bytes drawn by repeated base-255 digit extraction of
+    number/total, then RFC-4122 v4/variant bits forced; canonical
+    36-char string form (reference value/uuid.go:28-48)."""
+
+    def __init__(self):
+        self.total = 1
+
+    spark_dtype = "string"
+
+    def values_count(self) -> float:
+        return float((1 << 118) - 1)
+
+    def set_total(self, total: int) -> None:
+        self.total = max(total, 1)
+
+    def expr(self, number: Column, num: Column) -> None:
+        return None  # UDF path only
+
+    def np_value(self, number: np.ndarray) -> np.ndarray:
+        idx = number / float(self.total)
+        b = np.empty((len(number), 16), dtype=np.uint8)
+        for i in range(16):
+            pos = np.floor(255.0 * idx)
+            b[:, i] = pos.astype(np.uint8)
+            idx = 255.0 * idx - pos
+            np.maximum(idx, 0.0, out=idx)
+        b[:, 6] = (b[:, 6] & 0x0F) | 0x40
+        b[:, 8] = (b[:, 8] & 0x3F) | 0x80
+        hx = b.tobytes().hex()
+        out = np.empty(len(number), dtype=object)
+        for r in range(len(number)):
+            h = hx[r * 32 : (r + 1) * 32]
+            out[r] = f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+        return out
+
+    def sql(self, number_expr: str) -> str | None:
+        return None
+
+
+class EnumGen:
+    """values[floor(number) / rows_per_value] over the pre-sorted literal
+    list (nulls first). ``values`` must already be coerced/sorted by the
+    config layer."""
+
+    def __init__(self, values: list, column_type: str):
+        self.values = values
+        self.column_type = column_type
+        self.total = 1
+        self.rows_per_value = 1
+
+    @property
+    def spark_dtype(self) -> str:
+        return {
+            "integer": "int",
+            "float": "float",
+            "string": "string",
+            "datetime": "timestamp",
+            "uuid": "string",
+        }[self.column_type]
+
+    def dtype_for(self, bit_width: int | None = None) -> str:
+        if self.column_type == "integer" and bit_width:
+            return {8: "tinyint", 16: "smallint", 32: "int", 64: "bigint"}[bit_width]
+        if self.column_type == "float" and bit_width:
+            return "float" if bit_width == 32 else "double"
+        return self.spark_dtype
+
+    def values_count(self) -> float:
+        return float(len(self.values))
+
+    def set_total(self, total: int) -> None:
+        self.total = max(total, 1)
+        self.rows_per_value = math.ceil(self.total / len(self.values))
+
+    def _array_lit(self, dtype: str) -> Column:
+        return F.array(*[F.lit(v).cast(dtype) for v in self.values])
+
+    def expr(self, number: Column, num: Column, dtype: str | None = None) -> Column:
+        dt = dtype or self.spark_dtype
+        idx = F.floor(num / F.lit(self.rows_per_value)).cast("int")
+        return F.element_at(self._array_lit(dt), idx + F.lit(1))
+
+    def np_value(self, number: np.ndarray) -> np.ndarray:
+        idx = (number.astype(np.int64) // self.rows_per_value).astype(np.int64)
+        out = np.empty(len(number), dtype=object)
+        for r in range(len(number)):
+            out[r] = self.values[int(idx[r])]
+        return out
+
+    def sql(self, num_expr: str, duck_type: str | None = None) -> str:
+        def lit(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, str):
+                esc = v.replace("'", "''")
+                return f"'{esc}'"
+            if isinstance(v, datetime):
+                return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            return repr(v)
+
+        items = ", ".join(lit(v) for v in self.values)
+        cast = f"::{duck_type}" if duck_type else ""
+        return f"(([{items}])[(({num_expr}) // {self.rows_per_value})::BIGINT + 1]){cast}"
+
+
+# ---------------------------------------------------------------------------
+# string family
+
+
+class StringGen:
+    """Dispatches on logical_type/template like the reference
+    StringGenerator (value/string.go): plain lexicographic strings,
+    templates, names, phones, or word-unranked text."""
+
+    def __init__(self, params: StringParams):
+        self.p = params
+        self.total = 1
+        self.pack = locales.get_locale(params.locale)
+        self.charset = locales.charset_for(params)
+        self.count_by_prefix: list[float] = []
+        self.sum_by_prefix: list[float] = []
+        self.completions: list[int] = []
+        self._prepare()
+
+    spark_dtype = "string"
+
+    def _prepare(self) -> None:
+        p = self.p
+        if p.logical_type == "first_name" and not self.pack.first_names(p.min_length, p.max_length):
+            raise ValueError(
+                f"no first names with length in [{p.min_length}, {p.max_length}]"
+            )
+        if p.logical_type == "last_name" and not self.pack.last_names_filtered(
+            p.min_length, p.max_length
+        ):
+            raise ValueError(
+                f"no last names with length in [{p.min_length}, {p.max_length}]"
+            )
+        if p.logical_type == "phone" and not self.pack.phone_patterns_filtered(
+            p.min_length, p.max_length
+        ):
+            raise ValueError(
+                f"no phone patterns with length in [{p.min_length}, {p.max_length}]"
+            )
+        if p.logical_type == "text":
+            self.completions = self._calc_completions(p.max_length + 1)
+
+    # -- completions DP for text unranking (reference value/string.go:129-171)
+    def _calc_completions(self, length: int) -> list[int]:
+        words = self.pack.words
+        comp = [0] * (length + 2)
+        comp[0] = 1
+        comp[1] = sum(1 for w in words if len(w) == 1)
+        for l in range(2, length + 1):
+            for w in words:
+                wlen = len(w) + 1  # word + delimiter
+                if wlen <= l:
+                    comp[l] += comp[l - wlen]
+        out = []
+        for c in comp[: length + 1]:
+            if c > (1 << 63) - 1:
+                break
+            out.append(c)
+        return out
+
+    def values_count(self) -> float:
+        p = self.p
+        if p.template:
+            pack = self.pack
+            return (
+                float(len(pack.large_letters)) ** p.template.count("A")
+                + float(len(pack.small_letters)) ** p.template.count("a")
+                + float(len(locales.NUMBERS)) ** p.template.count("0")
+                + float(len(locales.SPECIAL_CHARS)) ** p.template.count("#")
+            )
+        if p.logical_type == "first_name":
+            return float(len(self.pack.first_names(p.min_length, p.max_length)))
+        if p.logical_type == "last_name":
+            return float(len(self.pack.last_names_filtered(p.min_length, p.max_length)))
+        if p.logical_type == "phone":
+            return float(
+                sum(
+                    10.0 ** pat.count("#")
+                    for pat in self.pack.phone_patterns_filtered(p.min_length, p.max_length)
+                )
+            )
+        if p.logical_type == "text":
+            if p.min_length > len(self.completions):
+                return math.inf
+            return float(
+                sum(
+                    self.completions[length + 1]
+                    for length in range(p.min_length, p.max_length + 1)
+                    if length + 1 < len(self.completions)
+                )
+            )
+        total = 0.0
+        for length in range(p.min_length, p.max_length + 1):
+            total += float(len(self.charset)) ** length
+        return total
+
+    def set_total(self, total: int) -> None:
+        self.total = max(total, 1)
+        p = self.p
+        if not p.logical_type and not p.template:
+            n_len = p.max_length - p.min_length + 1
+            count_by_length = [0.0] * (p.max_length + 1)
+            avg = math.ceil(self.total / n_len)
+            for length in range(p.min_length, p.max_length + 1):
+                range_count = float(len(self.charset)) ** length
+                if avg > range_count:
+                    cur = range_count
+                    if length < p.max_length:
+                        avg += (avg - range_count) / float(p.max_length - length)
+                else:
+                    cur = math.ceil(avg)
+                count_by_length[length] = cur
+            self.count_by_prefix = [0.0] * (p.max_length + 2)
+            self.sum_by_prefix = [0.0] * (p.max_length + 2)
+            for prefix in range(p.max_length + 1):
+                div = float(len(self.charset)) ** prefix
+                self.count_by_prefix[prefix] = count_by_length[prefix] / div
+                for length in range(p.max_length - prefix + 1):
+                    self.sum_by_prefix[prefix] += count_by_length[length + prefix] / div
+
+    # -- native paths -------------------------------------------------------
+
+    def expr(self, number: Column, num: Column) -> Column | None:
+        p = self.p
+        if p.template:
+            return None  # UDF
+        if p.logical_type == "first_name":
+            names = self.pack.first_names(p.min_length, p.max_length)
+            return self._list_pick_col(names, number)
+        if p.logical_type == "last_name":
+            names = self.pack.last_names_filtered(p.min_length, p.max_length)
+            return self._list_pick_col(names, number)
+        if p.logical_type == "phone":
+            return self._phone_col(number)
+        return None  # text / simple string -> UDF
+
+    def _list_pick_col(self, items: list[str], number: Column) -> Column:
+        pos = _ordered_int64_col(0, len(items) - 1, number, self.total)
+        return F.element_at(F.lit(items), pos.cast("int") + F.lit(1))
+
+    @staticmethod
+    def _splice_pattern(pattern: str, digits: Column) -> Column:
+        """Fill '#' slots of pattern left-to-right from a digit string.
+
+        Grouped by runs (one substring per '#' run) — a per-character
+        splice deep-copies the digits expression tree per slot and blows
+        up Catalyst analysis time.
+        """
+        import re as _re
+
+        parts: list[Column] = []
+        di = 1
+        for run in _re.findall(r"#+|[^#]+", pattern):
+            if run.startswith("#"):
+                parts.append(F.substring(digits, di, len(run)))
+                di += len(run)
+            else:
+                parts.append(F.lit(run))
+        return F.concat(*parts)
+
+    def _phone_col(self, number: Column) -> Column:
+        pats = self.pack.phone_patterns_filtered(self.p.min_length, self.p.max_length)
+        pos = _ordered_int64_col(0, len(pats) - 1, number, self.total).cast("int")
+        result = F.lit(None).cast("string")
+        for k, pat in enumerate(pats):
+            ndig = pat.count("#")
+            max_phone = 10**ndig - 1
+            phone_num = _ordered_int64_col(0, max_phone, number, self.total)
+            digits = F.lpad(phone_num.cast("string"), ndig, "0")
+            result = F.when(pos == F.lit(k), self._splice_pattern(pat, digits)).otherwise(
+                result
+            )
+        return result
+
+    # -- SQL mirrors --------------------------------------------------------
+
+    def sql(self, number_expr: str) -> str | None:
+        p = self.p
+        if p.template:
+            return None
+        if p.logical_type in ("first_name", "last_name"):
+            items = (
+                self.pack.first_names(p.min_length, p.max_length)
+                if p.logical_type == "first_name"
+                else self.pack.last_names_filtered(p.min_length, p.max_length)
+            )
+            pos = _ordered_int64_sql(0, len(items) - 1, number_expr, self.total)
+            lits = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+            return f"([{lits}])[{pos} + 1]"
+        if p.logical_type == "phone":
+            return self._phone_sql(number_expr)
+        return None
+
+    def _phone_sql(self, number_expr: str) -> str:
+        pats = self.pack.phone_patterns_filtered(self.p.min_length, self.p.max_length)
+        pos = _ordered_int64_sql(0, len(pats) - 1, number_expr, self.total)
+        cases = []
+        for k, pat in enumerate(pats):
+            ndig = pat.count("#")
+            max_phone = 10**ndig - 1
+            pn = _ordered_int64_sql(0, max_phone, number_expr, self.total)
+            digits = f"lpad(CAST({pn} AS VARCHAR), {ndig}, '0')"
+            import re as _re
+
+            parts = []
+            di = 1
+            for run in _re.findall(r"#+|[^#]+", pat):
+                if run.startswith("#"):
+                    parts.append(f"substring({digits}, {di}, {len(run)})")
+                    di += len(run)
+                else:
+                    parts.append("'" + run.replace("'", "''") + "'")
+            cases.append(f"WHEN {pos} = {k} THEN concat({', '.join(parts)})")
+        return "(CASE " + " ".join(cases) + " END)"
+
+    # -- numpy kernels ------------------------------------------------------
+
+    def np_value(self, number: np.ndarray) -> np.ndarray:
+        p = self.p
+        if p.template:
+            return self._template_np(number)
+        if p.logical_type == "first_name":
+            items = self.pack.first_names(p.min_length, p.max_length)
+            return self._list_pick_np(items, number)
+        if p.logical_type == "last_name":
+            items = self.pack.last_names_filtered(p.min_length, p.max_length)
+            return self._list_pick_np(items, number)
+        if p.logical_type == "phone":
+            return self._phone_np(number)
+        if p.logical_type == "text":
+            return self._text_np(number)
+        return self._simple_np(number)
+
+    def _list_pick_np(self, items: list[str], number: np.ndarray) -> np.ndarray:
+        pos = _ordered_int64_np(0, len(items) - 1, number, self.total)
+        arr = np.array(items, dtype=object)
+        return arr[pos.astype(np.int64)]
+
+    def _phone_np(self, number: np.ndarray) -> np.ndarray:
+        pats = self.pack.phone_patterns_filtered(self.p.min_length, self.p.max_length)
+        pos = _ordered_int64_np(0, len(pats) - 1, number, self.total)
+        out = np.empty(len(number), dtype=object)
+        for r in range(len(number)):
+            pat = pats[int(pos[r])]
+            ndig = pat.count("#")
+            pn = _ordered_int64_py(0, 10**ndig - 1, float(number[r]), self.total)
+            digits = str(pn).zfill(ndig)
+            buf = []
+            di = 0
+            for ch in pat:
+                if ch == "#":
+                    buf.append(digits[di])
+                    di += 1
+                else:
+                    buf.append(ch)
+            out[r] = "".join(buf)
+        return out
+
+    def _template_np(self, number: np.ndarray) -> np.ndarray:
+        pack = self.pack
+        tmpl = self.p.template
+        idx = number / float(self.total)
+        cols: list[np.ndarray | str] = []
+        for ch in tmpl:
+            letters = {
+                "A": pack.large_letters,
+                "a": pack.small_letters,
+                "0": locales.NUMBERS,
+                "#": locales.SPECIAL_CHARS,
+            }.get(ch)
+            if letters is None:
+                cols.append(ch)
+                continue
+            flo = len(letters) * idx
+            pos = np.floor(flo)
+            idx = np.maximum(flo - pos, 0.0)
+            arr = np.array(list(letters), dtype=object)
+            cols.append(arr[pos.astype(np.int64)])
+        out = np.empty(len(number), dtype=object)
+        for r in range(len(number)):
+            out[r] = "".join(c if isinstance(c, str) else c[r] for c in cols)
+        return out
+
+    def _simple_np(self, number: np.ndarray) -> np.ndarray:
+        """Vectorized lexicographic unranking using the prefix tables
+        (reference simpleString, value/string.go:382-410)."""
+        p = self.p
+        cbp = self.count_by_prefix
+        sbp = self.sum_by_prefix
+        cs = self.charset
+        cs_arr = np.array(list(cs), dtype=object)
+        n = len(number)
+        remain = number.astype(np.float64).copy()
+        chars = np.full((n, p.max_length), -1, dtype=np.int64)
+        plen = np.zeros(n, dtype=np.int64)
+        active = np.ones(n, dtype=bool)
+        for depth in range(p.max_length + 1):
+            if not active.any():
+                break
+            remain[active] -= cbp[depth]
+            nxt = sbp[depth + 1] if depth + 1 < len(sbp) else 0.0
+            stop = active & ((remain < 0) | (nxt == 0.0))
+            plen[stop] = depth
+            active &= ~stop
+            if not active.any() or depth >= p.max_length:
+                plen[active] = depth
+                active[:] = False
+                break
+            i = np.floor(remain[active] / nxt)
+            remain[active] -= nxt * i
+            chars[active, depth] = np.minimum(i, len(cs) - 1).astype(np.int64)
+        out = np.empty(n, dtype=object)
+        n_len = p.max_length - p.min_length + 1
+        numi = number.astype(np.int64)
+        for r in range(n):
+            ln = int(plen[r])
+            s = "".join(cs_arr[c] for c in chars[r, :ln])
+            if ln < p.min_length:
+                dest = p.min_length + int(numi[r]) % n_len
+                extra = [cs[(int(numi[r]) + i * i) % len(cs)] for i in range(dest - ln)]
+                s += "".join(extra)
+            out[r] = s
+        return out
+
+    def _text_np(self, number: np.ndarray) -> np.ndarray:
+        """Combinatorial unranking of word sequences (reference text,
+        value/string.go:239-324). Per-row; words are few hundred."""
+        p = self.p
+        words = list(self.pack.words)
+        one_letter = self.pack.one_letter_words()
+        comp = self.completions
+        max_pre = len(comp) - 1
+        n_len = p.max_length - p.min_length + 1
+        out = np.empty(len(number), dtype=object)
+        for r in range(len(number)):
+            num = float(number[r])
+            wanted = p.min_length + 1 + int(num) % n_len
+            k = int(math.floor((comp[max_pre] - 1) * (num / float(self.total))))
+            parts: list[str] = []
+            text_len = 0
+            remaining = max_pre
+            ok = True
+            while remaining > 0:
+                if remaining == 1:
+                    if k > len(one_letter) - 1:
+                        ok = False
+                        break
+                    parts.append(one_letter[k])
+                    text_len += 1
+                    break
+                found = False
+                for w in words:
+                    wlen = len(w) + 1
+                    if wlen > remaining:
+                        continue
+                    cnt = comp[remaining - wlen]
+                    if k < cnt:
+                        parts.append(w)
+                        parts.append(locales.WORDS_DELIMITER)
+                        text_len += wlen
+                        remaining -= wlen
+                        found = True
+                        break
+                    k -= cnt
+                if not found:
+                    ok = False
+                    break
+            if not ok:
+                out[r] = ""
+                continue
+            while text_len < wanted:
+                w = words[k % (len(words) - 1)]
+                parts.append(w)
+                parts.append(locales.WORDS_DELIMITER)
+                text_len += len(w) + 1
+            text = "".join(parts)
+            out[r] = text[:wanted] if len(text) > wanted else text
+        return out
+
+
+def make_value_gen(column_type: str, params) -> IntegerGen | FloatGen | DateTimeGen | UUIDGen | EnumGen | StringGen:
+    """Build the value generator for one range (enum beats type params)."""
+    if params.values is not None:
+        return EnumGen(params.values, column_type)
+    if column_type == "integer":
+        return IntegerGen(params.type_params)
+    if column_type == "float":
+        return FloatGen(params.type_params)
+    if column_type == "string":
+        return StringGen(params.type_params)
+    if column_type == "datetime":
+        return DateTimeGen(params.type_params)
+    if column_type == "uuid":
+        return UUIDGen()
+    raise ValueError(f"unsupported type {column_type!r}")

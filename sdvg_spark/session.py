@@ -1,0 +1,58 @@
+"""SparkSession helpers.
+
+The engine relies on Java two's-complement wrap-around arithmetic for its
+deterministic hash kernels (SplitMix64/XorShift64 on signed longs), so it
+requires ``spark.sql.ansi.enabled=false`` at runtime. All timestamps are
+UTC. Both are runtime-settable SQL confs, so :func:`configure_session`
+can fix up an externally provided session (e.g. the verify driver's).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every engine entry point enforces on the session it is
+# handed. Safe to set mid-session (all are dynamic SQL confs).
+_RUNTIME_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow-batched pandas UDFs are the engine's slow-path escape hatch;
+    # make sure they actually go through Arrow.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked down
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "sdvg-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a session with engine defaults.
+
+    Designed for a real cluster: nothing here assumes local mode. On the
+    test container, ``SPARK_GRAFT_CPUS`` caps local parallelism.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    return configure_session(spark)
