@@ -1,0 +1,439 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine.
+
+Scale notes (the design constraint is ~100 TB of documents):
+
+* Exact dedup is one shuffle on the content hash — the minimum possible.
+* MinHash signatures are computed in a single shuffle-free pass per row
+  with ``aggregate``/``zip_with`` higher-order expressions (no explode,
+  no Python); only the tiny banded signature is shuffled for bucketing.
+* Candidate verification is confined to LSH buckets, so the quadratic
+  term is per-bucket, not global.
+* The brute-force n-gram Jaccard pair join exists as the small-scale /
+  oracle-checkable path; its candidate generation joins on a shared
+  shingle (inverted index), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE61 = (1 << 61) - 1
+_LONG_MAX = (1 << 63) - 1
+
+
+def char_shingles(text: Column, k: int = 5, lowercase: bool = True) -> Column:
+    """Distinct character k-shingles of ``text`` as an array<string>.
+
+    Whole-stage-codegen expression: sequence + transform + substring.
+    Short texts (< k chars) yield the single truncated shingle.
+    """
+    t = F.lower(text) if lowercase else text
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+
+def word_shingles(text: Column, k: int = 3, lowercase: bool = True) -> Column:
+    """Distinct word k-shingles (space-joined) as an array<string>."""
+    t = F.lower(text) if lowercase else text
+    words = F.split(F.trim(t), r"\s+")
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + F.lit(1), k), " "))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two pre-distinct arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct ``cols`` content — the survivor is the
+    row with the smallest ``id_col`` (deterministic under any partition
+    layout). One hash-shuffle on the content columns; rows never move
+    twice. At 100 TB: shuffle keyed on xxhash64(content) distributes
+    uniformly, no skew unless the data is one giant duplicate class —
+    AQE skew-join handles that.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_classes(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """All rows annotated with their duplicate-class representative
+    (min id over rows sharing ``cols``) and the class size."""
+    w = Window.partitionBy(*[F.col(c) for c in cols])
+    return df.withColumn("class_rep", F.min(id_col).over(w)).withColumn(
+        "class_size", F.count(F.lit(1)).over(w)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) parameter lists for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod 2^61-1, derived from a seed via
+    SplitMix64 (driver-side numpy; a != 0)."""
+    import numpy as np
+
+    from sdvg_spark.core.rng import splitmix64_np
+
+    ks = np.arange(n_hashes * 2, dtype=np.uint64) + np.uint64(seed)
+    h = splitmix64_np(ks) % np.uint64(MERSENNE61)
+    a = (h[:n_hashes] | np.uint64(1)).tolist()  # odd, nonzero
+    b = h[n_hashes:].tolist()
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def minhash_signature(
+    shingles: Column, n_hashes: int = 128, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint> of length ``n_hashes``) in one
+    shuffle-free pass: a running elementwise-min ``aggregate`` over the
+    shingle array, ``zip_with(acc, hashes(s), least)``.
+
+    The per-shingle 64-bit base hash is ``xxhash64`` (JVM native); the
+    family is (a*x+b) mod 2^61-1 on the non-negative base hash. All
+    arithmetic stays in signed-long range: a, b, x < 2^61 and products
+    are taken mod via double-split multiplication.
+    """
+    a_arr, b_arr = _hash_params(n_hashes, seed)
+    A = F.lit(a_arr)
+    B = F.lit(b_arr)
+    p = F.lit(MERSENNE61)
+
+    def hashes_of(s: Column) -> Column:
+        # x in [0, 2^61): fold the signed xxhash64 into the field.
+        x = F.pmod(F.xxhash64(s), p)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            # (a*x + b) mod p with a split multiply: a = ah*2^31 + al;
+            # each partial product stays under 2^62.
+            lambda i: _mulmod61(F.element_at(A, i + F.lit(1)), x, F.element_at(B, i + F.lit(1))),
+        )
+
+    init = F.array_repeat(F.lit(_LONG_MAX), n_hashes)
+    return F.aggregate(
+        shingles, init, lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b))
+    )
+
+
+def _mulmod61(a: Column, x: Column, b: Column) -> Column:
+    """(a*x + b) mod 2^61-1 without 64-bit overflow.
+
+    Split a = ah*2^31 + al (ah < 2^30, al < 2^31, x < 2^61 won't fit —
+    so reduce x first: all operands mod p, then school multiplication
+    on 31-bit limbs of a against x folded to < 2^31 pieces).
+    Simpler route used here: split x = xh*2^31 + xl; a mod p < 2^61.
+    a*xh mod p computed as ((a mod p) * xh) — xh < 2^30, a < 2^61
+    → product < 2^91: still overflows. Therefore split a instead:
+    ah < 2^30, al < 2^31, x < 2^61 → ah*x < 2^91: overflow again.
+
+    The robust trick: pre-reduce a to < 2^31 is impossible, so do the
+    standard Mersenne fold on partial products of 31-bit limbs:
+    a = ah*2^31+al, x = xh*2^31+xl, all limbs < 2^31 →
+    a*x = ah*xh*2^62 + (ah*xl + al*xh)*2^31 + al*xl, with each limb
+    product < 2^62 and 2^61 ≡ 2 (mod p) folds each term natively.
+    """
+    mask31 = F.lit((1 << 31) - 1)
+    p = F.lit(MERSENNE61)
+    ah = F.shiftrightunsigned(a, 31)  # a < 2^61 ⇒ ah < 2^30
+    al = a.bitwiseAND(mask31)
+    xh = F.shiftrightunsigned(x, 31)  # x < 2^61 ⇒ xh < 2^30
+    xl = x.bitwiseAND(mask31)
+    # a*x = ah*xh*2^62 + (ah*xl + al*xh)*2^31 + al*xl; every limb
+    # product < 2^62, and 2^62 ≡ 4 (mod p) folds natively.
+    hi = F.pmod(F.pmod(ah * xh, p) * F.lit(4), p)  # ah*xh*2^62 mod p
+    mid = F.pmod(ah * xl + al * xh, p)  # < p < 2^61
+    # mid*2^31 mod p: split mid = mh*2^30 + ml (mh < 2^31, ml < 2^30):
+    # mid*2^31 = mh*2^61 + ml*2^31 ≡ mh*2 + ml*2^31 (mod p)
+    mh = F.shiftrightunsigned(mid, 30)
+    ml = mid.bitwiseAND(F.lit((1 << 30) - 1))
+    mid_folded = F.pmod(mh * F.lit(2) + ml * F.lit(1 << 31), p)
+    lo = F.pmod(al * xl, p)
+    return F.pmod(hi + mid_folded + lo + b, p)
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of ``bands`` hashes, one per contiguous
+    ``rows_per_band`` slice (banding for LSH bucketing)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(F.slice(sig, b * F.lit(rows_per_band) + F.lit(1), rows_per_band), lambda v: v.cast("string"))),
+            b,
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    n_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    use_word_shingles: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact-verified Jaccard ≥
+    threshold) via MinHash-LSH.
+
+    Pipeline: per-row signature (no shuffle) → explode only the
+    ``bands`` band-hashes → self-join on (band, band_hash) → distinct
+    candidate pairs → exact Jaccard verification on the shingle
+    arrays. The only quadratic work is inside LSH buckets.
+    """
+    rows_per_band = n_hashes // bands
+    sh = (
+        word_shingles(F.col(text_col), 3)
+        if use_word_shingles
+        else char_shingles(F.col(text_col), shingle_k)
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        sh.alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes, seed))
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias(
+            "__band", "__bhash"
+        ),
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__band", "__bhash"
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__band", "__bhash"
+    )
+    cand = (
+        left.join(right, ["__band", "__bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ALL pairs with n-gram Jaccard ≥ threshold — exact, via an
+    inverted-index join (pairs must share ≥1 shingle; sound because
+    threshold > 0). The small-scale / oracle-checkable path; for
+    100 TB use :func:`minhash_lsh_pairs`.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), char_shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    inv = base.select("__id", F.explode("__sh").alias("__s"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "__s")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(text: Column, token_pattern: str = r"\s+") -> Column:
+    """64-bit SimHash of the token multiset — one shuffle-free pass.
+
+    Per token, xxhash64 contributes ±1 to each of 64 bit-position
+    counters (``aggregate`` + ``zip_with``); the sign vector reassembles
+    into a long. Hamming-near SimHashes ⇒ near-duplicate texts.
+    """
+    tokens = F.split(F.trim(F.lower(text)), token_pattern)
+    init = F.array_repeat(F.lit(0), 64)
+    # bit masks as Python literals (bit 63 via two's complement)
+    masks = [F.lit(1 << b if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+
+    def contrib(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)) for m in masks]
+        )
+
+    counters = F.aggregate(
+        tokens, init, lambda acc, t: F.zip_with(acc, contrib(t), lambda a, b: a + b)
+    )
+    # reassemble MSB-first with a doubling fold: acc = acc*2 + sign-bit
+    # (the *2 wraps at bit 63 — ANSI off, two's complement)
+    return F.aggregate(
+        F.reverse(counters),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * F.lit(2) + F.when(c > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_distance: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_distance.
+
+    Candidate generation blocks on 16-bit quarters of the signature
+    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 quarters equal), so
+    the join is an equi-join on (quarter_index, quarter_value) — no
+    cross join at any scale.
+    """
+    sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
+    quarters = sh.select(
+        "__id",
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sim"), 16 * q)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for q in range(4)
+                ]
+            )
+        ).alias("__q", "__qv"),
+    )
+    a = quarters.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"), "__q", "__qv")
+    b = quarters.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"), "__q", "__qv")
+    return (
+        a.join(b, ["__q", "__qv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .where(F.col("hamming") <= F.lit(max_distance))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — native zip_with/aggregate."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, v: s + v)
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 7,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    ``exact=True``: full O(n²) self-join (small n / oracle path).
+    Otherwise: random-hyperplane LSH — sign signature over ``n_planes``
+    seeded pseudo-random hyperplanes (deterministic, derived from the
+    vector itself via per-dimension hashed weights), block on the
+    signature, verify cosine within blocks.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        sig = _hyperplane_signature(F.col(vec_col), n_planes, seed)
+        s = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__sig"))
+        sa = s.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__sig")
+        sb = s.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__sig")
+        cand = sa.join(sb, "__sig").where(F.col("id_a") < F.col("id_b")).drop("__sig")
+    return (
+        cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane_signature(vec: Column, n_planes: int, seed: int) -> Column:
+    """Sign signature under seeded pseudo-random hyperplanes.
+
+    Plane p's weight for dimension i is a deterministic hash of (p, i)
+    mapped to [-1, 1) — no stored plane matrix, works for any
+    dimensionality, identical across executors.
+    """
+    import numpy as np
+
+    from sdvg_spark.core.rng import splitmix64_np
+
+    def weights(p: int, dims: int) -> list[float]:
+        ks = np.arange(dims, dtype=np.uint64) + np.uint64(seed + p * 1_000_003)
+        return (splitmix64_np(ks) / float(1 << 64) * 2.0 - 1.0).tolist()
+
+    # dims unknown statically; hash-based weights need a bound — use
+    # the common case (embedding dims ≤ 4096) via element-wise zip with
+    # a literal weight array truncated by zip_with semantics.
+    DIMS = 4096
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.lit(weights(p, DIMS))
+        dot = F.aggregate(
+            F.zip_with(vec, F.slice(w, 1, DIMS), lambda x, y: F.coalesce((x * y).cast("double"), F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return sig

@@ -1,0 +1,239 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is a native column expression (regex + higher-order array
+functions) — these run inside whole-stage codegen at full scan speed,
+and each has an exact ANSI-SQL mirror so the DuckDB oracle can verify
+them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword profiles. Deliberately small and frozen:
+# they are part of the operator's contract (the SQL oracle embeds the
+# same lists).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as", "was", "at"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "no", "para", "los", "se"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans", "les", "des", "du", "en", "au"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu", "im", "auf", "für"],
+    "ru": ["и", "в", "не", "на", "что", "с", "по", "это", "как", "из", "за", "то", "же", "от", "для"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic order: de, en, es, fr, ru
+
+# BPE-ish tokenizer: word pieces or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty array for blank text)."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (distinct-free:
+    counts every occurrence)."""
+    toks = tokens(text)
+    sw = F.lit(STOPWORDS[lang])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def detect_language(text: Column) -> Column:
+    """Heuristic language ID: the language whose stopword profile has
+    the highest per-token hit ratio; CJK-dominant text short-circuits
+    to 'zh'. Ties resolve to the alphabetically-first language;
+    zero hits everywhere → 'und'.
+    """
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    total = F.greatest(F.length(text), F.lit(1))
+    scores = [(lang, stopword_ratio(text, lang)) for lang in LANGS]
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, s in scores:  # first-wins on ties ⇒ alphabetical priority
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return F.when(cjk.cast("double") / total.cast("double") > 0.3, F.lit("zh")).otherwise(best)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features; each is oracle-mirrorable."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    word_chars = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    mean_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_word_len": mean_word_len,
+        "punct_ratio": F.when(
+            n_chars > 0, punct_chars.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "alnum_ratio": F.when(
+            n_chars > 0, word_chars.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio_en": stopword_ratio(text, "en"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: documents with reasonable length,
+    low punctuation noise and English-like stopword density score high.
+    The exact formula is the contract (mirrored in SQL):
+
+        0.25·min(n_tokens/100, 1) + 0.25·(1 - punct_ratio)
+        + 0.25·min(stopword_ratio_en/0.4, 1) + 0.25·alnum_ratio
+    """
+    f = quality_features(text)
+    return (
+        F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - f["punct_ratio"]) * 0.25
+        + F.least(f["stopword_ratio_en"] / F.lit(0.4), F.lit(1.0)) * 0.25
+        + f["alnum_ratio"] * 0.25
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over token codepoint-sums, mod 1e9+7.
+
+    fp = Σ-fold: acc = (acc*131 + tokhash(t)) mod p, where
+    tokhash(t) = Σ codepoints(t) mod p. Pure integer arithmetic —
+    bit-identical in Spark and DuckDB. Intermediate products stay
+    < (1e9+7)·131 + 1e9+7 < 2^63.
+    """
+    toks = tokens(text)
+
+    def tokhash(t: Column) -> Column:
+        chars = F.split(t, "")
+        return F.aggregate(
+            chars,
+            F.lit(0).cast("long"),
+            lambda a, c: (a + F.ascii(c)) % F.lit(FP_MOD),
+        )
+
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(FP_BASE) + tokhash(t)) % F.lit(FP_MOD),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL mirrors (DuckDB dialect) — keep in lockstep with the expressions
+
+
+def sql_tokens(col: str) -> str:
+    return (
+        f"CASE WHEN length(trim(lower({col}))) = 0 THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim(lower({col})), '\\s+') END"
+    )
+
+
+def sql_whitespace_token_count(col: str) -> str:
+    return f"len({sql_tokens(col)})"
+
+
+def sql_regex_token_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{TOKEN_REGEX}'))"
+
+
+def sql_stopword_ratio(col: str, lang: str = "en") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = sql_tokens(col)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> list_contains([{words}], t)))::DOUBLE "
+        f"/ len({toks})::DOUBLE ELSE 0.0 END)"
+    )
+
+
+def sql_detect_language(col: str) -> str:
+    cjk = f"length(regexp_replace({col}, '[^一-鿿]', '', 'g'))"
+    total = f"greatest(length({col}), 1)"
+    expr = "'und'"
+    score = "0.0"
+    # fold in reverse so the first (alphabetical) language wins ties,
+    # mirroring the Column fold's first-wins semantics
+    for lang in LANGS:
+        s = sql_stopword_ratio(col, lang)
+        expr = f"(CASE WHEN {s} > {score} THEN '{lang}' ELSE {expr} END)"
+        score = f"greatest({s}, {score})"
+    return (
+        f"(CASE WHEN {cjk}::DOUBLE / {total}::DOUBLE > 0.3 THEN 'zh' ELSE {expr} END)"
+    )
+
+
+def sql_quality_features(col: str) -> dict[str, str]:
+    toks = sql_tokens(col)
+    return {
+        "n_chars": f"length({col})::BIGINT",
+        "n_tokens": f"len({toks})::BIGINT",
+        "mean_word_len": (
+            f"(CASE WHEN len({toks}) > 0 THEN "
+            f"list_sum(list_transform({toks}, t -> length(t)))::DOUBLE / len({toks}) "
+            f"ELSE 0.0 END)"
+        ),
+        "punct_ratio": (
+            f"(CASE WHEN length({col}) > 0 THEN "
+            f"length(regexp_replace({col}, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length({col}) "
+            f"ELSE 0.0 END)"
+        ),
+        "alnum_ratio": (
+            f"(CASE WHEN length({col}) > 0 THEN "
+            f"length(regexp_replace({col}, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length({col}) "
+            f"ELSE 0.0 END)"
+        ),
+        "stopword_ratio_en": sql_stopword_ratio(col, "en"),
+    }
+
+
+def sql_quality_score(col: str) -> str:
+    f = sql_quality_features(col)
+    return (
+        f"(least({f['n_tokens']}::DOUBLE / 100.0, 1.0) * 0.25"
+        f" + (1.0 - {f['punct_ratio']}) * 0.25"
+        f" + least({f['stopword_ratio_en']} / 0.4, 1.0) * 0.25"
+        f" + {f['alnum_ratio']} * 0.25)"
+    )
+
+
+def sql_fingerprint(col: str) -> str:
+    toks = sql_tokens(col)
+    tokhash = (
+        "list_aggregate(list_transform(string_split_regex(t, ''), "
+        f"c -> ascii(c)), 'sum') % {FP_MOD}"
+    )
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({toks}, t -> ({tokhash})::BIGINT)), "
+        f"(acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD})"
+    )
