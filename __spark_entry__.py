@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` covers SURVEY.md §2's operator inventory: every value
+generator (G1-G10), sequencer (S2/S3), and semantic modifier (M1-M6)
+as a generation query checked value-for-value against an independent
+DuckDB oracle, plus the beyond-parity pipeline operators (dedup,
+similarity search, text analysis) and a few analytics queries over the
+driver testdata tables.
 """
 
 from __future__ import annotations
@@ -12,27 +13,375 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdvg_spark.config.model import parse_config
+from sdvg_spark.engine import Engine
+from sdvg_spark.oracle import column_oracle_sql
+from sdvg_spark.session import configure_session
+
+# ---------------------------------------------------------------------------
+# Generator-parity fixture: one model exercising every generator family.
+# Row count is fixed (independent of sf) — generation is the operator
+# under test; the testdata tables are inputs for the pipeline ops below.
+
+GEN_ROWS = 10_000
+
+GEN_CFG = {
+    "random_seed": 42,
+    "models": {
+        "m": {
+            "rows_count": GEN_ROWS,
+            "columns": [
+                {"name": "i_ord", "type": "integer", "type_params": {"bit_width": 64, "from": 1, "to": GEN_ROWS}, "ordered": True},
+                {"name": "i_rand", "type": "integer", "type_params": {"bit_width": 32, "from": -1000, "to": 1000}},
+                {"name": "i_dist", "type": "integer", "type_params": {"bit_width": 64, "from": 0, "to": 10**12}, "distinct_count": 64},
+                {"name": "f32", "type": "float", "type_params": {"from": 0, "to": 5}},
+                {"name": "f_null", "type": "float", "type_params": {"bit_width": 64, "from": -1, "to": 1}, "null_percentage": 0.2},
+                {"name": "dt_ord", "type": "datetime", "ordered": True},
+                {"name": "dt_rand", "type": "datetime", "type_params": {"from": "2020-01-01T00:00:00Z", "to": "2021-01-01T00:00:00Z"}},
+                {"name": "enum", "type": "string", "values": ["bronze", "gold", "silver", None]},
+                {"name": "first_name", "type": "string", "type_params": {"logical_type": "first_name"}},
+                {"name": "last_name", "type": "string", "type_params": {"logical_type": "last_name"}},
+                {"name": "phone", "type": "string", "type_params": {"logical_type": "phone"}},
+                {"name": "ranges", "type": "integer", "ranges": [
+                    {"type_params": {"bit_width": 16, "from": 0, "to": 10}, "range_percentage": 0.3},
+                    {"type_params": {"bit_width": 16, "from": 1000, "to": 2000}, "range_percentage": 0.7, "ordered": True}]},
+                {"name": "uuid", "type": "uuid"},
+                {"name": "s_simple", "type": "string", "type_params": {"min_length": 4, "max_length": 12}},
+                {"name": "s_tmpl", "type": "string", "type_params": {"template": "AA-00-aa"}},
+                {"name": "s_text", "type": "string", "type_params": {"logical_type": "text", "min_length": 16, "max_length": 64}},
+            ],
+        },
+        "child": {
+            "rows_count": 15_000,
+            "columns": [{"name": "pid", "foreign_key": "m.i_ord"}],
+        },
+        "m_slice": {
+            "rows_count": GEN_ROWS,
+            "generate_from": 2_500,
+            "generate_to": 7_500,
+            "columns": [
+                {"name": "v", "type": "integer", "type_params": {"bit_width": 32, "from": 0, "to": 10**6}}],
+        },
+    },
+}
+
+# query name -> (model, column); oracle derived mechanically for each
+_GEN_QUERIES = {
+    "gen_integer_ordered": ("m", "i_ord"),
+    "gen_integer_random": ("m", "i_rand"),
+    "gen_integer_distinct": ("m", "i_dist"),
+    "gen_float32": ("m", "f32"),
+    "gen_float_null": ("m", "f_null"),
+    "gen_datetime_ordered": ("m", "dt_ord"),
+    "gen_datetime_random": ("m", "dt_rand"),
+    "gen_enum": ("m", "enum"),
+    "gen_first_name": ("m", "first_name"),
+    "gen_last_name": ("m", "last_name"),
+    "gen_phone": ("m", "phone"),
+    "gen_ranges": ("m", "ranges"),
+    "gen_foreign_key": ("child", "pid"),
+    "gen_slice_resume": ("m_slice", "v"),
+    # no SQL mirror (combinatorial unranking) -> rows-only checks:
+    "gen_uuid": ("m", "uuid"),
+    "gen_string_simple": ("m", "s_simple"),
+    "gen_template": ("m", "s_tmpl"),
+    "gen_text": ("m", "s_text"),
+}
+_NO_ORACLE = {"gen_uuid", "gen_string_simple", "gen_template", "gen_text"}
+
+
+def _gen_query(model: str, column: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg = parse_config(GEN_CFG)
+        return Engine(cfg).column_df(spark, model, column)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# pipeline ops + analytics over the testdata tables
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nanosAsLong surfaces TIMESTAMP(NANOS) parquet columns as long
+    # nanos; normalize to µs timestamps (matches the oracle's ::TIMESTAMP
+    # truncation of TIMESTAMP_NS).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        T.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        T.detect_language(F.col("text")).alias("lang_pred"),
+        F.round(T.quality_score(F.col("text")), 9).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "source")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    p = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=5, threshold=0.4)
+    return p.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    return p.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_distance=6)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.dedup import embedding_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.9, exact=True).select(
+        "id_a", "id_b"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return brute_force_topk(emb, q, k=10).select("q_id", "c_id", "rank")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return lsh_topk(emb, q, k=10, n_planes=10, multiprobe=2).select("q_id", "c_id", "rank")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate (lineitem scan shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orders⋈customer⋈lineitem; broadcast the small dims."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    j = (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("segment_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return j
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits sessions (window
+    lag + cumulative sum — the batch form of the streaming operator)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts", 1).over(w))
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("__new", new_sess).withColumn(
+        "session_seq", F.sum("__new").over(w)
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregate over the event stream (window)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document quality/dedup pipeline at sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    feats = q_text_features(spark, sf)
+    docs = _read(spark, sf, "documents")
+    return docs.select("doc_id", "lang", "source").join(feats, "doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (model, column) in _GEN_QUERIES.items():
+        out[name] = _gen_query(model, column)
+    out.update(
+        {
+            "text_features": q_text_features,
+            "dedup_exact": q_dedup_exact,
+            "dedup_jaccard": q_dedup_jaccard,
+            "dedup_minhash": q_dedup_minhash,
+            "dedup_simhash": q_dedup_simhash,
+            "dedup_embedding": q_dedup_embedding,
+            "ann_topk": q_ann_topk,
+            "ann_lsh": q_ann_lsh,
+            "pricing_summary": q_pricing_summary,
+            "top_revenue": q_top_revenue,
+            "events_sessionize": q_events_sessionize,
+            "user_running_value": q_user_running_value,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sdvg_spark.ops import text as T
+
+    cfg = parse_config(GEN_CFG)
+    out: dict[str, str] = {}
+    for name, (model, column) in _GEN_QUERIES.items():
+        if name in _NO_ORACLE:
+            continue
+        sql = column_oracle_sql(cfg, model, column)
+        if sql is not None:
+            out[name] = sql
+
+    out["text_features"] = f"""SELECT doc_id,
+  {T.sql_whitespace_token_count('text')} AS n_tokens,
+  {T.sql_regex_token_count('text')} AS n_bpe_tokens,
+  {T.sql_detect_language('text')} AS lang_pred,
+  round({T.sql_quality_score('text')}, 9) AS quality,
+  {T.sql_fingerprint('text')} AS fingerprint
+FROM documents"""
+
+    out["dedup_exact"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+  FROM documents) WHERE rn = 1"""
+
+    _jacc = """
+WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(lower(text))-4, 1)+1),
+       i -> substr(lower(text), i, 5))) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.s,b.s))::DOUBLE
+        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))::DOUBLE, 9) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s,b.s))::DOUBLE
+      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))::DOUBLE >= 0.4"""
+    out["dedup_jaccard"] = _jacc
+
+    out["dedup_embedding"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9"""
+
+    out["ann_topk"] = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q_id, e.vec_id AS c_id,
+        list_cosine_similarity(q_vec::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings e),
+r AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
+SELECT q_id, c_id, rank FROM r WHERE rank <= 10"""
+
+    out["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    out["top_revenue"] = """
+WITH rev AS (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+             FROM lineitem GROUP BY l_orderkey)
+SELECT c_mktsegment, round(sum(rev), 2) AS segment_revenue, count(*) AS n_orders
+FROM orders JOIN rev ON o_orderkey = rev.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+    out["events_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+g AS (SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 6) AS session_value
+FROM s GROUP BY user_id, session_seq"""
+
+    out["user_running_value"] = """
+WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)
+SELECT event_id, user_id,
+  round(sum(value) OVER w, 6) AS running_value,
+  row_number() OVER w AS event_seq
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"""
+
+    return out

@@ -32,8 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from sdvg_spark.config.model import ColumnSpec, ConfigError, GenerationConfig, ModelSpec
-from sdvg_spark.core import rng
-from sdvg_spark.core.rng import derive_seed, frf_col
+from sdvg_spark.core.rng import derive_seed
 from sdvg_spark.core.sequence import ordered_col, ordered_np, perm_np, resolve_mode
 from sdvg_spark.generators.values import EnumGen, make_value_gen
 from sdvg_spark.session import configure_session
@@ -69,6 +68,16 @@ class ColumnPlan:
     @property
     def all_ordered_single(self) -> bool:
         return len(self.ranges) == 1 and self.ranges[0].ordered
+
+    @property
+    def pure_native(self) -> bool:
+        """No sequencer kernel needed: single ordered range, no jitter
+        (factor 0) and no null gate — the whole column is a closed-form
+        expression of id and stays in whole-stage codegen."""
+        if not self.all_ordered_single:
+            return False
+        r = self.ranges[0]
+        return r.factor == 0.0 and r.null_pct == 0.0
 
 
 def plan_column(cfg: GenerationConfig, model: ModelSpec, column: ColumnSpec) -> ColumnPlan:
@@ -177,15 +186,24 @@ def _column_dtype(data_column: ColumnSpec, plans: list[RangePlan]) -> str:
 
 
 def _make_sequence_kernel(plan: ColumnPlan, spark: SparkSession):
-    """pandas UDF: id -> struct(ridx, num).
+    """pandas UDF: id -> struct(ridx, num, r01).
 
     One Arrow pass computes the column-level permutation, the range
-    dispatch, and the per-range draw number for the whole batch. LFSR
-    parity tables ride a Spark broadcast so executors get them once.
+    dispatch, the per-range draw number, and the frf hash draw
+    (jitter/null source) for the whole batch. Emitting r01 here — not
+    as a native column expression — matters: the SplitMix chain as a
+    Catalyst tree doubles in size per scramble step (each xor
+    references its operand twice), and every downstream reference
+    re-inlines it. The Arrow node is a materialization barrier, so the
+    value expressions only ever reference cheap struct fields.
+
+    LFSR parity tables ride a Spark broadcast so executors get them
+    once; feistel mode needs no tables (100 TB path).
     """
     rows = plan.rows
     data_seed = plan.data_seed
     mode = plan.perm_mode
+    single_ordered = plan.all_ordered_single
     offs = np.array([r.off for r in plan.ranges], dtype=np.uint64)
     cnts = np.array([r.cnt for r in plan.ranges], dtype=np.uint64)
     distincts = np.array([r.distinct for r in plan.ranges], dtype=np.uint64)
@@ -195,7 +213,7 @@ def _make_sequence_kernel(plan: ColumnPlan, spark: SparkSession):
 
     # Ship parity tables via broadcast (they can be MBs); feistel needs none.
     tables_bc = None
-    if mode == "lfsr":
+    if mode == "lfsr" and not single_ordered:
         from sdvg_spark.core.sequence import lfsr_walk
 
         tables = {"col": np.asarray(lfsr_walk(rows, data_seed))}
@@ -204,31 +222,38 @@ def _make_sequence_kernel(plan: ColumnPlan, spark: SparkSession):
                 tables[r.index] = np.asarray(lfsr_walk(r.distinct, int(r.order_seed)))
         tables_bc = spark.sparkContext.broadcast(tables)
 
-    @pandas_udf("ridx int, num long")
+    from sdvg_spark.core.rng import frf_np
+
+    @pandas_udf("ridx int, num long, r01 double")
     def kernel(ids: pd.Series) -> pd.DataFrame:
         idx = ids.to_numpy(dtype=np.int64).astype(np.uint64)
-        if tables_bc is not None:
-            tables = tables_bc.value
-            gnum = tables["col"][(idx % np.uint64(rows)).astype(np.int64)]
+        if single_ordered:
+            ridx = np.zeros(len(idx), dtype=np.int64)
+            num = ordered_np(idx, int(distincts[0]), int(cnts[0]))
         else:
-            gnum = perm_np(idx, rows, data_seed, mode)
-        ridx = np.searchsorted(bounds, gnum, side="right").astype(np.int64)
-        np.minimum(ridx, len(bounds) - 1, out=ridx)
-        k = gnum - offs[ridx]
-        num = np.zeros(len(idx), dtype=np.uint64)
-        for j in range(len(offs)):
-            m = ridx == j
-            if not m.any():
-                continue
-            if ordereds[j]:
-                num[m] = ordered_np(k[m], int(distincts[j]), int(cnts[j]))
-            elif tables_bc is not None:
-                tab = tables_bc.value[j]
-                num[m] = tab[(k[m] % distincts[j]).astype(np.int64)]
+            if tables_bc is not None:
+                tables = tables_bc.value
+                gnum = tables["col"][(idx % np.uint64(rows)).astype(np.int64)]
             else:
-                num[m] = perm_np(k[m], int(distincts[j]), int(order_seeds[j]), "feistel")
+                gnum = perm_np(idx, rows, data_seed, mode)
+            ridx = np.searchsorted(bounds, gnum, side="right").astype(np.int64)
+            np.minimum(ridx, len(bounds) - 1, out=ridx)
+            k = gnum - offs[ridx]
+            num = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(len(offs)):
+                m = ridx == j
+                if not m.any():
+                    continue
+                if ordereds[j]:
+                    num[m] = ordered_np(k[m], int(distincts[j]), int(cnts[j]))
+                elif tables_bc is not None:
+                    tab = tables_bc.value[j]
+                    num[m] = tab[(k[m] % distincts[j]).astype(np.int64)]
+                else:
+                    num[m] = perm_np(k[m], int(distincts[j]), int(order_seeds[j]), "feistel")
+        r01 = frf_np(num + np.uint64(data_seed))
         return pd.DataFrame(
-            {"ridx": ridx.astype(np.int32), "num": num.astype(np.int64)}
+            {"ridx": ridx.astype(np.int32), "num": num.astype(np.int64), "r01": r01}
         )
 
     return kernel
@@ -245,12 +270,12 @@ def _make_value_udf(vgen, dtype: str):
     return value_udf
 
 
-def value_expr(plan: ColumnPlan, num: Column, ridx: Column) -> Column:
-    """Jitter + null gate + value dispatch, given the draw numbers."""
+def value_expr(plan: ColumnPlan, num: Column, ridx: Column, r01: Column) -> Column:
+    """Jitter + null gate + value dispatch, given the draw numbers.
 
-    # frf(data_seed + num) drives BOTH the jitter and the null gate
-    # (reference generator.go:220-237 uses the same hash draw for both).
-    r01 = frf_col(F.lit(rng._s64(plan.data_seed)) + num)
+    ``r01`` = frf(data_seed + num) drives BOTH the jitter and the null
+    gate (reference generator.go:220-237 uses the same hash draw for
+    both); it arrives pre-computed from the sequencer kernel."""
 
     def range_value(r: RangePlan) -> Column:
         number = num.cast("double") + r01 * F.lit(r.factor)
@@ -294,6 +319,7 @@ class Engine:
         generate_from: int | None = None,
         generate_to: int | None = None,
         num_partitions: int | None = None,
+        keep_id: bool = False,
     ) -> DataFrame:
         configure_session(spark)
         model = self.cfg.models[model_name]
@@ -306,12 +332,12 @@ class Engine:
         )
         plans = self.plans_for(model)
 
-        # Stage 1: one sequencer-kernel invocation per permuted column
-        # (projected to a named struct so the Arrow UDF runs exactly once
-        # per row, never duplicated by downstream field references).
+        # Stage 1: one sequencer-kernel invocation per non-closed-form
+        # column (projected to a named struct so the Arrow UDF runs
+        # exactly once per row; downstream field references are cheap).
         seq_cols = []
         for plan in plans:
-            if not plan.all_ordered_single:
+            if not plan.pure_native:
                 kernel = _make_sequence_kernel(plan, spark)
                 seq_cols.append(kernel(F.col("id")).alias(f"__seq_{plan.name}"))
         staged = base.select(F.col("id"), *seq_cols) if seq_cols else base
@@ -320,15 +346,55 @@ class Engine:
         # the uuid/string value kernels.
         exprs = []
         for plan in plans:
-            if plan.all_ordered_single:
+            if plan.pure_native:
                 r = plan.ranges[0]
                 num = ordered_col(F.col("id"), r.distinct, r.cnt)
                 ridx = F.lit(0)
+                r01 = F.lit(0.0)
             else:
                 num = F.col(f"__seq_{plan.name}.num")
                 ridx = F.col(f"__seq_{plan.name}.ridx")
-            exprs.append(value_expr(plan, num, ridx))
+                r01 = F.col(f"__seq_{plan.name}.r01")
+            exprs.append(value_expr(plan, num, ridx, r01))
+        if keep_id:
+            exprs = [F.col("id"), *exprs]
         return staged.select(*exprs)
+
+    def model_df_with_id(self, spark: SparkSession, model_name: str, **kw) -> DataFrame:
+        """model_df plus the raw row-id column (oracle comparisons)."""
+        return self.model_df(spark, model_name, keep_id=True, **kw)
+
+    def column_df(
+        self,
+        spark: SparkSession,
+        model_name: str,
+        column_name: str,
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        """(id, <column>) for exactly one column — avoids planning the
+        whole model (oracle checks are per-column)."""
+        configure_session(spark)
+        model = self.cfg.models[model_name]
+        plan = plan_column(self.cfg, model, model.column(column_name))
+        lo, hi = model.generate_from, model.generate_to
+        base = (
+            spark.range(lo, hi, 1, num_partitions)
+            if num_partitions
+            else spark.range(lo, hi)
+        )
+        if plan.pure_native:
+            r = plan.ranges[0]
+            num = ordered_col(F.col("id"), r.distinct, r.cnt)
+            ridx = F.lit(0)
+            r01 = F.lit(0.0)
+            staged = base
+        else:
+            kernel = _make_sequence_kernel(plan, spark)
+            staged = base.select(F.col("id"), kernel(F.col("id")).alias("__seq"))
+            num = F.col("__seq.num")
+            ridx = F.col("__seq.ridx")
+            r01 = F.col("__seq.r01")
+        return staged.select(F.col("id"), value_expr(plan, num, ridx, r01))
 
     def run(self, spark: SparkSession, models: list[str] | None = None) -> dict[str, str]:
         """Generate + write every (non-ignored) model. Returns model->path."""

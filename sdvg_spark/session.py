@@ -21,6 +21,9 @@ _RUNTIME_CONFS = {
     # Arrow-batched pandas UDFs are the engine's slow-path escape hatch;
     # make sure they actually go through Arrow.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) (e.g. the driver's events table) is
+    # otherwise unreadable; surfaces as long nanos that callers convert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
