@@ -92,6 +92,8 @@ def _ordered_int64_sql(from_: int, to: int, number_expr: str, total: int) -> str
 class IntegerGen:
     """n-th integer of [from, to]; semantics per reference value/integer.go."""
 
+    is_native = True
+
     def __init__(self, params: IntegerParams):
         self.p = params
         self.total = 1
@@ -125,6 +127,8 @@ class IntegerGen:
 
 class FloatGen:
     """Linear interpolation from..to; float32 cast for bit_width 32."""
+
+    is_native = True
 
     def __init__(self, params: FloatParams):
         self.p = params
@@ -179,6 +183,7 @@ class DateTimeGen:
         self.to_nsec = to_nsec + (1_000_000_000 if to_nsec < self.from_nsec else 0)
 
     spark_dtype = "timestamp"
+    is_native = True
 
     def values_count(self) -> float:
         sec_count = float(self.to_sec - self.from_sec) + 1
@@ -224,6 +229,7 @@ class UUIDGen:
         self.total = 1
 
     spark_dtype = "string"
+    is_native = False
 
     def values_count(self) -> float:
         return float((1 << 118) - 1)
@@ -234,22 +240,34 @@ class UUIDGen:
     def expr(self, number: Column, num: Column) -> None:
         return None  # UDF path only
 
+    # canonical 8-4-4-4-12 layout: char positions of each byte's nibbles
+    _DASHES = (8, 13, 18, 23)
+    _NIBBLE_POS = [
+        (0, 1), (2, 3), (4, 5), (6, 7),          # bytes 0-3
+        (9, 10), (11, 12),                        # bytes 4-5
+        (14, 15), (16, 17),                       # bytes 6-7
+        (19, 20), (21, 22),                       # bytes 8-9
+        (24, 25), (26, 27), (28, 29), (30, 31), (32, 33), (34, 35),  # 10-15
+    ]
+    _HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
     def np_value(self, number: np.ndarray) -> np.ndarray:
+        n = len(number)
         idx = number / float(self.total)
-        b = np.empty((len(number), 16), dtype=np.uint8)
-        for i in range(16):
+        b = np.empty((n, 16), dtype=np.uint8)
+        for i in range(16):  # 16 vectorized passes, no per-row work
             pos = np.floor(255.0 * idx)
             b[:, i] = pos.astype(np.uint8)
             idx = 255.0 * idx - pos
             np.maximum(idx, 0.0, out=idx)
         b[:, 6] = (b[:, 6] & 0x0F) | 0x40
         b[:, 8] = (b[:, 8] & 0x3F) | 0x80
-        hx = b.tobytes().hex()
-        out = np.empty(len(number), dtype=object)
-        for r in range(len(number)):
-            h = hx[r * 32 : (r + 1) * 32]
-            out[r] = f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
-        return out
+        out = np.empty((n, 36), dtype=np.uint8)
+        out[:, list(self._DASHES)] = ord("-")
+        for j, (hi, lo) in enumerate(self._NIBBLE_POS):
+            out[:, hi] = self._HEX[b[:, j] >> 4]
+            out[:, lo] = self._HEX[b[:, j] & 0xF]
+        return out.reshape(-1).view("S36").astype("U36")
 
     def sql(self, number_expr: str) -> str | None:
         return None
@@ -259,6 +277,8 @@ class EnumGen:
     """values[floor(number) / rows_per_value] over the pre-sorted literal
     list (nulls first). ``values`` must already be coerced/sorted by the
     config layer."""
+
+    is_native = True
 
     def __init__(self, values: list, column_type: str):
         self.values = values
@@ -341,6 +361,10 @@ class StringGen:
         self._prepare()
 
     spark_dtype = "string"
+
+    @property
+    def is_native(self) -> bool:
+        return self.p.logical_type in ("first_name", "last_name", "phone") and not self.p.template
 
     def _prepare(self) -> None:
         p = self.p
@@ -597,12 +621,14 @@ class StringGen:
             flo = len(letters) * idx
             pos = np.floor(flo)
             idx = np.maximum(flo - pos, 0.0)
-            arr = np.array(list(letters), dtype=object)
+            arr = np.array(list(letters), dtype="U1")
             cols.append(arr[pos.astype(np.int64)])
-        out = np.empty(len(number), dtype=object)
-        for r in range(len(number)):
-            out[r] = "".join(c if isinstance(c, str) else c[r] for c in cols)
-        return out
+        n = len(number)
+        L = len(tmpl)
+        mat = np.empty((n, L), dtype="U1")
+        for j, c in enumerate(cols):
+            mat[:, j] = c  # broadcast for literal str, vector for drawn
+        return np.ascontiguousarray(mat).reshape(-1).view(f"U{L}")
 
     def _simple_np(self, number: np.ndarray) -> np.ndarray:
         """Vectorized lexicographic unranking using the prefix tables
@@ -632,18 +658,26 @@ class StringGen:
             i = np.floor(remain[active] / nxt)
             remain[active] -= nxt * i
             chars[active, depth] = np.minimum(i, len(cs) - 1).astype(np.int64)
-        out = np.empty(n, dtype=object)
+        # vectorized assembly: (n, max_len) U1 matrix; unused tail stays
+        # '\x00' which numpy strips on U-string view conversion.
         n_len = p.max_length - p.min_length + 1
         numi = number.astype(np.int64)
-        for r in range(n):
-            ln = int(plen[r])
-            s = "".join(cs_arr[c] for c in chars[r, :ln])
-            if ln < p.min_length:
-                dest = p.min_length + int(numi[r]) % n_len
-                extra = [cs[(int(numi[r]) + i * i) % len(cs)] for i in range(dest - ln)]
-                s += "".join(extra)
-            out[r] = s
-        return out
+        L = max(p.max_length, 1)
+        mat = np.zeros((n, L), dtype="U1")
+        cs_u = np.array(list(cs), dtype="U1")
+        pos_grid = np.arange(L)[None, :]
+        body = pos_grid < plen[:, None]
+        safe_chars = np.where(chars[:, :L] >= 0, chars[:, :L], 0)
+        mat[body] = cs_u[safe_chars[body]]
+        # short strings extend to dest = min_len + num % n_len with
+        # cs[(num + i*i) % |cs|], i = offset past the prefix
+        dest = np.where(plen < p.min_length, p.min_length + numi % n_len, plen)
+        ext = body ^ (pos_grid < dest[:, None])  # plen <= pos < dest
+        if ext.any():
+            i_off = pos_grid - plen[:, None]
+            ext_idx = (numi[:, None] + i_off * i_off) % len(cs)
+            mat[ext] = cs_u[ext_idx[ext]]
+        return np.ascontiguousarray(mat).reshape(-1).view(f"U{L}")
 
     def _text_np(self, number: np.ndarray) -> np.ndarray:
         """Combinatorial unranking of word sequences (reference text,

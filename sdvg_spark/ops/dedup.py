@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE61 = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1
 _LONG_MAX = (1 << 63) - 1
 
 
@@ -90,14 +91,15 @@ def duplicate_classes(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def _hash_params(n_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     """Deterministic (a, b) parameter lists for the universal hash family
-    h_i(x) = (a_i * x + b_i) mod 2^61-1, derived from a seed via
-    SplitMix64 (driver-side numpy; a != 0)."""
+    h_i(x) = (a_i * x + b_i) mod 2^31-1, derived from a seed via
+    SplitMix64 (driver-side numpy; a != 0). 31-bit field keeps a*x in
+    signed-long range — ONE multiply per hash in codegen."""
     import numpy as np
 
     from sdvg_spark.core.rng import splitmix64_np
 
     ks = np.arange(n_hashes * 2, dtype=np.uint64) + np.uint64(seed)
-    h = splitmix64_np(ks) % np.uint64(MERSENNE61)
+    h = splitmix64_np(ks) % np.uint64(MERSENNE31)
     a = (h[:n_hashes] | np.uint64(1)).tolist()  # odd, nonzero
     b = h[n_hashes:].tolist()
     return [int(x) for x in a], [int(x) for x in b]
@@ -111,65 +113,29 @@ def minhash_signature(
     shingle array, ``zip_with(acc, hashes(s), least)``.
 
     The per-shingle 64-bit base hash is ``xxhash64`` (JVM native); the
-    family is (a*x+b) mod 2^61-1 on the non-negative base hash. All
-    arithmetic stays in signed-long range: a, b, x < 2^61 and products
-    are taken mod via double-split multiplication.
+    family is (a*x+b) mod 2^31-1 on the folded base hash — a, b, x
+    < 2^31 so the product fits a signed long with one multiply.
+
+    NOTE: prefer :func:`minhash_signature_agg` — Spark evaluates
+    higher-order lambdas interpreted, so this one-pass form costs
+    |shingles|*n_hashes interpreted ops per row.
     """
     a_arr, b_arr = _hash_params(n_hashes, seed)
     A = F.lit(a_arr)
     B = F.lit(b_arr)
-    p = F.lit(MERSENNE61)
+    p = F.lit(MERSENNE31)
 
     def hashes_of(s: Column) -> Column:
-        # x in [0, 2^61): fold the signed xxhash64 into the field.
         x = F.pmod(F.xxhash64(s), p)
         return F.transform(
             F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            # (a*x + b) mod p with a split multiply: a = ah*2^31 + al;
-            # each partial product stays under 2^62.
-            lambda i: _mulmod61(F.element_at(A, i + F.lit(1)), x, F.element_at(B, i + F.lit(1))),
+            lambda i: F.pmod(F.element_at(A, i + F.lit(1)) * x + F.element_at(B, i + F.lit(1)), p),
         )
 
     init = F.array_repeat(F.lit(_LONG_MAX), n_hashes)
     return F.aggregate(
         shingles, init, lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b))
     )
-
-
-def _mulmod61(a: Column, x: Column, b: Column) -> Column:
-    """(a*x + b) mod 2^61-1 without 64-bit overflow.
-
-    Split a = ah*2^31 + al (ah < 2^30, al < 2^31, x < 2^61 won't fit —
-    so reduce x first: all operands mod p, then school multiplication
-    on 31-bit limbs of a against x folded to < 2^31 pieces).
-    Simpler route used here: split x = xh*2^31 + xl; a mod p < 2^61.
-    a*xh mod p computed as ((a mod p) * xh) — xh < 2^30, a < 2^61
-    → product < 2^91: still overflows. Therefore split a instead:
-    ah < 2^30, al < 2^31, x < 2^61 → ah*x < 2^91: overflow again.
-
-    The robust trick: pre-reduce a to < 2^31 is impossible, so do the
-    standard Mersenne fold on partial products of 31-bit limbs:
-    a = ah*2^31+al, x = xh*2^31+xl, all limbs < 2^31 →
-    a*x = ah*xh*2^62 + (ah*xl + al*xh)*2^31 + al*xl, with each limb
-    product < 2^62 and 2^61 ≡ 2 (mod p) folds each term natively.
-    """
-    mask31 = F.lit((1 << 31) - 1)
-    p = F.lit(MERSENNE61)
-    ah = F.shiftrightunsigned(a, 31)  # a < 2^61 ⇒ ah < 2^30
-    al = a.bitwiseAND(mask31)
-    xh = F.shiftrightunsigned(x, 31)  # x < 2^61 ⇒ xh < 2^30
-    xl = x.bitwiseAND(mask31)
-    # a*x = ah*xh*2^62 + (ah*xl + al*xh)*2^31 + al*xl; every limb
-    # product < 2^62, and 2^62 ≡ 4 (mod p) folds natively.
-    hi = F.pmod(F.pmod(ah * xh, p) * F.lit(4), p)  # ah*xh*2^62 mod p
-    mid = F.pmod(ah * xl + al * xh, p)  # < p < 2^61
-    # mid*2^31 mod p: split mid = mh*2^30 + ml (mh < 2^31, ml < 2^30):
-    # mid*2^31 = mh*2^61 + ml*2^31 ≡ mh*2 + ml*2^31 (mod p)
-    mh = F.shiftrightunsigned(mid, 30)
-    ml = mid.bitwiseAND(F.lit((1 << 30) - 1))
-    mid_folded = F.pmod(mh * F.lit(2) + ml * F.lit(1 << 31), p)
-    lo = F.pmod(al * xl, p)
-    return F.pmod(hi + mid_folded + lo + b, p)
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -181,6 +147,35 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
             F.concat_ws(",", F.transform(F.slice(sig, b * F.lit(rows_per_band) + F.lit(1), rows_per_band), lambda v: v.cast("string"))),
             b,
         ),
+    )
+
+
+def minhash_signature_agg(
+    base: DataFrame, n_hashes: int, seed: int
+) -> DataFrame:
+    """MinHash signatures via explode + ``n_hashes`` min-aggregates.
+
+    Spark's higher-order lambdas (aggregate/zip_with) are interpreted,
+    not codegen'd — the one-pass :func:`minhash_signature` burns CPU at
+    |shingles|×n_hashes interpreted ops per row. This variant exploses
+    shingles and lets hash-aggregate codegen do the mins. Map-side
+    partial aggregation collapses each doc inside its input partition,
+    so the shuffle carries ONE row per document (n_hashes longs), not
+    the shingle set — this is the 100 TB path.
+
+    Input: (__id, __sh array<string>); output: (__id, __sig).
+    """
+    a_arr, b_arr = _hash_params(n_hashes, seed)
+    p = F.lit(MERSENNE31)
+    inv = base.select("__id", F.explode("__sh").alias("__s"))
+    x = F.pmod(F.xxhash64(F.col("__s")), p)
+    aggs = [
+        F.min(F.pmod(F.lit(a_arr[i]) * x + F.lit(b_arr[i]), p)).alias(f"__h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = inv.groupBy("__id").agg(*aggs)
+    return sig.select(
+        "__id", F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("__sig")
     )
 
 
@@ -199,10 +194,11 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b, exact-verified Jaccard ≥
     threshold) via MinHash-LSH.
 
-    Pipeline: per-row signature (no shuffle) → explode only the
-    ``bands`` band-hashes → self-join on (band, band_hash) → distinct
-    candidate pairs → exact Jaccard verification on the shingle
-    arrays. The only quadratic work is inside LSH buckets.
+    Pipeline: signatures via codegen'd min-aggregates (one shuffled row
+    per doc) → explode only the ``bands`` band-hashes → self-join on
+    (band, band_hash) → distinct candidate pairs → exact Jaccard
+    verification on the shingle arrays. The only quadratic work is
+    inside LSH buckets.
     """
     rows_per_band = n_hashes // bands
     sh = (
@@ -210,31 +206,30 @@ def minhash_lsh_pairs(
         if use_word_shingles
         else char_shingles(F.col(text_col), shingle_k)
     )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        sh.alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes, seed))
-    banded = base.select(
+    shingled = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+    sigs = minhash_signature_agg(shingled, n_hashes, seed)
+    # band hashes only — shingle arrays do NOT ride through the self-join
+    banded = sigs.select(
         "__id",
-        "__sh",
         F.posexplode(minhash_bands(F.col("__sig"), bands, rows_per_band)).alias(
             "__band", "__bhash"
         ),
     )
-    left = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"), "__band", "__bhash"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"), "__band", "__bhash"
-    )
+    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bhash")
+    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bhash")
     cand = (
         left.join(right, ["__band", "__bhash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact verification joins the arrays for candidates only
+    sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
@@ -257,19 +252,27 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"), char_shingles(F.col(text_col), shingle_k).alias("__sh")
     )
     inv = base.select("__id", F.explode("__sh").alias("__s"))
-    cand = (
+    # |A ∩ B| directly from the inverted index: shingles are distinct
+    # per doc, so the co-occurrence count of a pair IS the intersection
+    # size. No shingle arrays ever cross a join.
+    shared = (
         inv.alias("a")
         .join(inv.alias("b"), "__s")
         .where(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
     )
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    sizes = base.select("__id", F.size("__sh").alias("__n"))
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__shared").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__shared")).cast("double"),
+        )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
@@ -380,6 +383,7 @@ def embedding_dup_pairs(
     n_planes: int = 16,
     seed: int = 7,
     exact: bool = False,
+    dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -394,7 +398,9 @@ def embedding_dup_pairs(
     if exact:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        sig = _hyperplane_signature(F.col(vec_col), n_planes, seed)
+        if dims is None:
+            dims = _infer_dims(df, vec_col)
+        sig = _hyperplane_signature(F.col(vec_col), n_planes, seed, dims)
         s = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__sig"))
         sa = s.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__sig")
         sb = s.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__sig")
@@ -406,30 +412,33 @@ def embedding_dup_pairs(
     )
 
 
-def _hyperplane_signature(vec: Column, n_planes: int, seed: int) -> Column:
+def _infer_dims(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one tiny job)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    return int(row.n) if row else 0
+
+
+def _hyperplane_signature(vec: Column, n_planes: int, seed: int, dims: int) -> Column:
     """Sign signature under seeded pseudo-random hyperplanes.
 
     Plane p's weight for dimension i is a deterministic hash of (p, i)
-    mapped to [-1, 1) — no stored plane matrix, works for any
-    dimensionality, identical across executors.
+    mapped to [-1, 1) — no stored plane matrix, identical across
+    executors. Dot products index the vector directly (element_at) so
+    the work is exactly n_planes×dims multiply-adds per row.
     """
     import numpy as np
 
     from sdvg_spark.core.rng import splitmix64_np
 
-    def weights(p: int, dims: int) -> list[float]:
+    def weights(p: int) -> np.ndarray:
         ks = np.arange(dims, dtype=np.uint64) + np.uint64(seed + p * 1_000_003)
-        return (splitmix64_np(ks) / float(1 << 64) * 2.0 - 1.0).tolist()
+        return splitmix64_np(ks) / float(1 << 64) * 2.0 - 1.0
 
-    # dims unknown statically; hash-based weights need a bound — use
-    # the common case (embedding dims ≤ 4096) via element-wise zip with
-    # a literal weight array truncated by zip_with semantics.
-    DIMS = 4096
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.lit(weights(p, DIMS))
+        w = weights(p)
         dot = F.aggregate(
-            F.zip_with(vec, F.slice(w, 1, DIMS), lambda x, y: F.coalesce((x * y).cast("double"), F.lit(0.0))),
+            F.zip_with(vec, F.lit(w.tolist()), lambda x, y: (x * y).cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

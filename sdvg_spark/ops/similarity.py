@@ -74,6 +74,7 @@ def lsh_topk(
     n_planes: int = 12,
     multiprobe: int = 1,
     seed: int = 7,
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures bucket the
     corpus; each query probes its own bucket plus all buckets within
@@ -83,11 +84,15 @@ def lsh_topk(
     disk) by signature, so a probe touches ~corpus/2^n_planes rows per
     bucket. Recall grows with ``multiprobe``.
     """
-    sig_c = _hyperplane_signature(F.col(corpus_vec), n_planes, seed)
+    if dims is None:
+        from sdvg_spark.ops.dedup import _infer_dims
+
+        dims = _infer_dims(corpus, corpus_vec)
+    sig_c = _hyperplane_signature(F.col(corpus_vec), n_planes, seed, dims)
     c = corpus.select(
         F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"), sig_c.alias("__sig")
     )
-    sig_q = _hyperplane_signature(F.col(query_vec), n_planes, seed)
+    sig_q = _hyperplane_signature(F.col(query_vec), n_planes, seed, dims)
     q = queries.select(
         F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"), sig_q.alias("__qsig")
     )
