@@ -119,13 +119,20 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops import text as T
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
+    # Stage tokenization once: `__toks` is non-cheap and referenced by
+    # every feature, so CollapseProject keeps the projection boundary —
+    # each row tokenizes exactly once (81s -> ~2s at sf0.1).
+    staged = docs.select(
+        "doc_id", F.col("text").alias("__t"), T.tokens(F.col("text")).alias("__toks")
+    )
+    t, toks = F.col("__t"), F.col("__toks")
+    return staged.select(
         "doc_id",
-        T.whitespace_token_count(F.col("text")).alias("n_tokens"),
-        T.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
-        T.detect_language(F.col("text")).alias("lang_pred"),
-        F.round(T.quality_score(F.col("text")), 9).alias("quality"),
-        T.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        T.regex_token_count(t).alias("n_bpe_tokens"),
+        T.detect_language(t, toks).alias("lang_pred"),
+        F.round(T.quality_score(t, toks), 9).alias("quality"),
+        T.fingerprint(t, toks).alias("fingerprint"),
     )
 
 

@@ -24,6 +24,19 @@ MERSENNE31 = (1 << 31) - 1
 _LONG_MAX = (1 << 63) - 1
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the input is narrow.
+
+    A small parquet input arrives as 1-2 partitions, which would run a
+    whole shingle/signature/feature pipeline on one core; at real scale
+    inputs are already wide and this is a no-op (no shuffle inserted).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def char_shingles(text: Column, k: int = 5, lowercase: bool = True) -> Column:
     """Distinct character k-shingles of ``text`` as an array<string>.
 
@@ -167,8 +180,11 @@ def minhash_signature_agg(
     """
     a_arr, b_arr = _hash_params(n_hashes, seed)
     p = F.lit(MERSENNE31)
-    inv = base.select("__id", F.explode("__sh").alias("__s"))
-    x = F.pmod(F.xxhash64(F.col("__s")), p)
+    # project the base hash once so the 128 aggregates share it
+    inv = base.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", F.pmod(F.xxhash64(F.col("__s")), p).alias("__x")
+    )
+    x = F.col("__x")
     aggs = [
         F.min(F.pmod(F.lit(a_arr[i]) * x + F.lit(b_arr[i]), p)).alias(f"__h{i}")
         for i in range(n_hashes)
@@ -190,15 +206,36 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     use_word_shingles: bool = False,
+    est_margin: float = 0.1,
+    mode: str = "auto",
+    broadcast_max_docs: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact-verified Jaccard ≥
     threshold) via MinHash-LSH.
 
     Pipeline: signatures via codegen'd min-aggregates (one shuffled row
     per doc) → explode only the ``bands`` band-hashes → self-join on
-    (band, band_hash) → distinct candidate pairs → exact Jaccard
-    verification on the shingle arrays. The only quadratic work is
-    inside LSH buckets.
+    (band, band_hash) → distinct candidate pairs → **two-tier verify**:
+
+    1. signature estimate — fraction of equal minhash components ≈
+       Jaccard (σ = √(s(1-s)/n_hashes) ≈ 0.04 at n=128); pairs below
+       ``threshold - est_margin`` (≈2σ) are dropped without ever
+       touching the shingle arrays;
+    2. exact Jaccard on the shingle sets for the survivors only.
+
+    At a low threshold the band filter floods (e.g. 0.4 with b=32,r=4
+    admits ~4% of ALL pairs), so verification must never be per-pair
+    joins of heavyweight arrays. Two physical strategies, chosen like
+    Spark chooses broadcast-vs-shuffle joins:
+
+    * ``broadcast`` (corpus ≤ ``broadcast_max_docs``): the signature
+      matrix (n_docs × n_hashes int64) and xxhash64'd shingle sets ride
+      one broadcast; a single ``mapInPandas`` pass over the candidate
+      pairs does the numpy estimate filter AND the exact set
+      intersection — zero extra shuffles.
+    * ``join`` (cluster-scale corpus): estimate via zip_with on a
+      signature equi-join, then exact verification joining shingle
+      arrays for near-threshold survivors only.
     """
     rows_per_band = n_hashes // bands
     sh = (
@@ -206,8 +243,25 @@ def minhash_lsh_pairs(
         if use_word_shingles
         else char_shingles(F.col(text_col), shingle_k)
     )
-    shingled = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+    shingled = widen(df).select(F.col(id_col).alias("__id"), sh.alias("__sh"))
     sigs = minhash_signature_agg(shingled, n_hashes, seed)
+    if mode == "auto":
+        mode = "broadcast" if df.count() <= broadcast_max_docs else "join"
+    if mode == "broadcast":
+        return _minhash_pairs_broadcast(
+            shingled,
+            sigs,
+            n_hashes=n_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            est_margin=est_margin,
+        )
+    from pyspark import StorageLevel
+
+    # both subtrees feed multiple joins; avoid recomputing them
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # band hashes only — shingle arrays do NOT ride through the self-join
     banded = sigs.select(
         "__id",
@@ -223,16 +277,146 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verification joins the arrays for candidates only
+
+    # tier 1: estimate from signatures (one row of n_hashes longs per doc)
+    sig_a = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
+    sig_b = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("__siga"), F.col("__sigb"), lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / n_hashes
+    )
+    near = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .where(est >= F.lit(threshold - est_margin))
+        .select("id_a", "id_b")
+    )
+    # tier 2: exact verification joins the arrays for survivors only
     sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
-        cand.join(sh_a, "id_a")
+        near.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _minhash_pairs_broadcast(
+    shingled: DataFrame,
+    sigs: DataFrame,
+    *,
+    n_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    est_margin: float,
+) -> DataFrame:
+    """Small-corpus strategy: ONE distributed signature pass, then
+    driver-side banding + broadcast verification.
+
+    The signature matrix and xxhash64'd shingle sets are collected once
+    (n_docs × n_hashes int64 + ~|text| longs per doc). Band hashes are
+    derived from the matrix in numpy and re-parallelized as a tiny
+    (n_docs × bands)-row DataFrame for the candidate equi-join; the
+    candidate pairs stream through one ``mapInPandas`` pass doing the
+    numpy estimate filter and the exact set intersection against the
+    broadcast. Net effect: the shingle/signature pipeline is evaluated
+    exactly once (the join strategy re-evaluates it per consumer).
+    Shingles compare by 64-bit hash — collision odds ~(shingles²)/2^64,
+    immaterial for dedup semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sdvg_spark.core.rng import splitmix64_np
+
+    spark = shingled.sparkSession
+    hashed = shingled.select(
+        "__id",
+        F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__hs"),
+    )
+    joined = sigs.join(hashed, "__id").collect()
+    ids = np.array([r["__id"] for r in joined], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    sig_mat = np.array([joined[i]["__sig"] for i in order], dtype=np.int64)
+    # shingle-hash sets as one flat sorted-per-doc array + offsets:
+    # broadcast-unpickles as a memcpy, not millions of boxed ints
+    lens = np.array([len(joined[i]["__hs"]) for i in order], dtype=np.int64)
+    sh_off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=sh_off[1:])
+    sh_flat = np.empty(int(sh_off[-1]), dtype=np.int64)
+    for pos, i in enumerate(order):
+        sh_flat[sh_off[pos] : sh_off[pos + 1]] = joined[i]["__hs"]
+    n_docs = len(ids)
+
+    # band hashes: chain SplitMix64 over each band's signature slice
+    # (any deterministic hash works — bands only bucket)
+    bhash = np.empty((n_docs, bands), dtype=np.int64)
+    usig = sig_mat.view(np.uint64)
+    for b in range(bands):
+        acc = np.full(n_docs, 0x9E3779B97F4A7C15 ^ b, dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = splitmix64_np(acc ^ usig[:, b * rows_per_band + r])
+        bhash[:, b] = acc.view(np.int64)
+    band_pdf = pd.DataFrame(
+        {
+            "__id": np.repeat(ids, bands),
+            "__band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+            "__bhash": bhash.ravel(),
+        }
+    )
+    banded = spark.createDataFrame(band_pdf)
+    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bhash")
+    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bhash")
+    cand = (
+        left.join(right, ["__band", "__bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    bc = spark.sparkContext.broadcast((ids, sig_mat, sh_flat, sh_off))
+    cutoff = threshold - est_margin
+
+    def verify(batches):
+        b_ids, b_sig, b_flat, b_off = bc.value
+        n_h = b_sig.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(dtype=np.int64))
+            ib = np.searchsorted(b_ids, pdf["id_b"].to_numpy(dtype=np.int64))
+            est = (b_sig[ia] == b_sig[ib]).sum(axis=1) / n_h
+            keep = np.flatnonzero(est >= cutoff)
+            out_a, out_b, out_j = [], [], []
+            for k in keep:
+                da, db = ia[k], ib[k]
+                sa = b_flat[b_off[da] : b_off[da + 1]]
+                sb = b_flat[b_off[db] : b_off[db + 1]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(pdf["id_a"].iat[k])
+                    out_b.append(pdf["id_b"].iat[k])
+                    out_j.append(j)
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(out_a, dtype="int64"),
+                    "id_b": pd.Series(out_b, dtype="int64"),
+                    "jaccard": pd.Series(out_j, dtype="float64"),
+                }
+            )
+
+    return cand.mapInPandas(verify, "id_a long, id_b long, jaccard double")
 
 
 def ngram_jaccard_pairs(
@@ -248,7 +432,7 @@ def ngram_jaccard_pairs(
     threshold > 0). The small-scale / oracle-checkable path; for
     100 TB use :func:`minhash_lsh_pairs`.
     """
-    base = df.select(
+    base = widen(df).select(
         F.col(id_col).alias("__id"), char_shingles(F.col(text_col), shingle_k).alias("__sh")
     )
     inv = base.select("__id", F.explode("__sh").alias("__s"))
@@ -327,7 +511,7 @@ def simhash_pairs(
     the join is an equi-join on (quarter_index, quarter_value) — no
     cross join at any scale.
     """
-    sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
+    sh = widen(df).select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
     quarters = sh.select(
         "__id",
         "__sim",
@@ -387,16 +571,54 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    ``exact=True``: full O(n²) self-join (small n / oracle path).
-    Otherwise: random-hyperplane LSH — sign signature over ``n_planes``
-    seeded pseudo-random hyperplanes (deterministic, derived from the
-    vector itself via per-dimension hashed weights), block on the
-    signature, verify cosine within blocks.
+    ``exact=True``: exact all-pairs via a broadcast of the (normalized)
+    embedding matrix and a blocked numpy matmul per partition — each
+    task computes its row-block × corpusᵀ, so the O(n²) similarity work
+    is distributed and vectorized, never an interpreted per-pair
+    expression. Otherwise: random-hyperplane LSH — sign signature over
+    ``n_planes`` seeded pseudo-random hyperplanes (deterministic,
+    derived from the vector itself via per-dimension hashed weights),
+    block on the signature, verify cosine within blocks.
     """
+    df = widen(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
-        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        import numpy as np
+        import pandas as pd
+
+        spark = df.sparkSession
+        rows = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).collect()
+        ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array([rows[i]["__v"] for i in order], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        bc = spark.sparkContext.broadcast((ids, mat))
+        thr = float(threshold)
+
+        def block_pairs(batches):
+            b_ids, b_mat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(dtype=np.int64))
+                sims = b_mat[ia] @ b_mat.T  # (batch, n)
+                ra, cb = np.nonzero(sims >= thr)
+                keep = b_ids[ia[ra]] < b_ids[cb]
+                yield pd.DataFrame(
+                    {
+                        "id_a": b_ids[ia[ra[keep]]],
+                        "id_b": b_ids[cb[keep]],
+                        "cosine": sims[ra[keep], cb[keep]],
+                    }
+                )
+
+        return df.select(F.col(id_col).alias("id_a")).mapInPandas(
+            block_pairs, "id_a long, id_b long, cosine double"
+        )
     else:
         if dims is None:
             dims = _infer_dims(df, vec_col)

@@ -40,7 +40,9 @@ def brute_force_topk(
     Ties broken by corpus id ascending (deterministic).
     """
     q = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
-    c = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    from sdvg_spark.ops.dedup import widen
+
+    c = widen(corpus).select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
     scored = c.join(F.broadcast(q)).select(
         "q_id",
         "c_id",
@@ -88,8 +90,10 @@ def lsh_topk(
         from sdvg_spark.ops.dedup import _infer_dims
 
         dims = _infer_dims(corpus, corpus_vec)
+    from sdvg_spark.ops.dedup import widen
+
     sig_c = _hyperplane_signature(F.col(corpus_vec), n_planes, seed, dims)
-    c = corpus.select(
+    c = widen(corpus).select(
         F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"), sig_c.alias("__sig")
     )
     sig_q = _hyperplane_signature(F.col(query_vec), n_planes, seed, dims)

@@ -45,37 +45,54 @@ def regex_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    """Fraction of tokens that are stopwords of ``lang`` (distinct-free:
-    counts every occurrence)."""
-    toks = tokens(text)
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Occurrence count of ``lang``'s stopwords in a token array."""
     sw = F.lit(STOPWORDS[lang])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en", toks: Column | None = None) -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (distinct-free:
+    counts every occurrence). Pass a pre-computed ``toks`` column when
+    staging several text features over one projection (avoids
+    re-tokenizing per feature)."""
+    if toks is None:
+        toks = tokens(text)
     n = F.size(toks)
-    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return F.when(
+        n > 0, stopword_hits(toks, lang).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: the language whose stopword profile has
     the highest per-token hit ratio; CJK-dominant text short-circuits
     to 'zh'. Ties resolve to the alphabetically-first language;
     zero hits everywhere → 'und'.
+
+    Array-argmax form: all languages share the token-count denominator,
+    so argmax(ratio) == argmax(hit count); ``array_position`` of the max
+    returns the FIRST (alphabetically-first) language on ties. Linear
+    expression size — a when-chain fold here doubles per language and
+    re-runs tokenization exponentially many times.
     """
+    if toks is None:
+        toks = tokens(text)
     cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
     total = F.greatest(F.length(text), F.lit(1))
-    scores = [(lang, stopword_ratio(text, lang)) for lang in LANGS]
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang, s in scores:  # first-wins on ties ⇒ alphabetical priority
-        is_better = s > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, s).otherwise(best_score)
+    hits = F.array(*[stopword_hits(toks, lang) for lang in LANGS])
+    mx = F.array_max(hits)
+    best = F.when(
+        mx > 0,
+        F.element_at(F.lit(LANGS), F.array_position(hits, mx).cast("int")),
+    ).otherwise(F.lit("und"))
     return F.when(cjk.cast("double") / total.cast("double") > 0.3, F.lit("zh")).otherwise(best)
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Deterministic quality features; each is oracle-mirrorable."""
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
     word_chars = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
@@ -94,11 +111,11 @@ def quality_features(text: Column) -> dict[str, Column]:
         "alnum_ratio": F.when(
             n_chars > 0, word_chars.cast("double") / n_chars.cast("double")
         ).otherwise(F.lit(0.0)),
-        "stopword_ratio_en": stopword_ratio(text, "en"),
+        "stopword_ratio_en": stopword_ratio(text, "en", toks),
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality score: documents with reasonable length,
     low punctuation noise and English-like stopword density score high.
     The exact formula is the contract (mirrored in SQL):
@@ -106,7 +123,7 @@ def quality_score(text: Column) -> Column:
         0.25·min(n_tokens/100, 1) + 0.25·(1 - punct_ratio)
         + 0.25·min(stopword_ratio_en/0.4, 1) + 0.25·alnum_ratio
     """
-    f = quality_features(text)
+    f = quality_features(text, toks)
     return (
         F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0)) * 0.25
         + (F.lit(1.0) - f["punct_ratio"]) * 0.25
@@ -122,7 +139,7 @@ FP_BASE = 131
 FP_MOD = 1_000_000_007
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, toks: Column | None = None) -> Column:
     """Polynomial rolling hash over token codepoint-sums, mod 1e9+7.
 
     fp = Σ-fold: acc = (acc*131 + tokhash(t)) mod p, where
@@ -130,7 +147,8 @@ def fingerprint(text: Column) -> Column:
     bit-identical in Spark and DuckDB. Intermediate products stay
     < (1e9+7)·131 + 1e9+7 < 2^63.
     """
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
 
     def tokhash(t: Column) -> Column:
         chars = F.split(t, "")

@@ -13,6 +13,37 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def tune_malloc() -> None:
+    """Stop glibc from returning large buffers to the OS on free.
+
+    numpy/Arrow free their batch buffers after every pandas-UDF batch;
+    with the default mmap threshold (128 KB) each buffer is munmap'd and
+    the next batch page-faults the same memory back in. On hosts with
+    slow first-touch (lazy/ballooned VM memory) that fault storm
+    dominates runtime. Raising the mmap/trim thresholds makes malloc
+    serve large buffers from the reusable sbrk heap: pages fault once
+    per worker process, then stay resident.
+
+    Env vars only apply to processes spawned AFTER they are set, so we
+    both export them (JVM → python workers inherit) and mallopt() the
+    current process via ctypes.
+    """
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platform
+        pass
+
+
+tune_malloc()
+
 # Runtime confs every engine entry point enforces on the session it is
 # handed. Safe to set mid-session (all are dynamic SQL confs).
 _RUNTIME_CONFS = {
