@@ -595,10 +595,14 @@ def parse_config(raw: dict[str, Any]) -> GenerationConfig:
         type=str(out_raw.get("type", "devnull")).lower(),
         dir=str(out_raw.get("dir", "output")),
     )
-    params = out_raw.get("params") or {}
-    for k, v in params.items():
-        if hasattr(output, k):
-            setattr(output, k, v)
+    # writer options live under output.params (reference layout,
+    # generator_output.go) but are also accepted at the top level
+    for src in (out_raw, out_raw.get("params") or {}):
+        for k, v in src.items():
+            if k in ("type", "dir", "params"):
+                continue
+            if hasattr(output, k):
+                setattr(output, k, v)
 
     cfg = GenerationConfig(
         random_seed=int(raw.get("random_seed", 0)),

@@ -90,9 +90,15 @@ def _s64(v: int) -> int:
 
 
 def u64_to_unit_double(c: Column) -> Column:
-    """float64(uint64(c)) / float64(MaxUint64) for a signed-long column."""
-    as_double = c.cast("double") + F.when(c < 0, F.lit(float(U64))).otherwise(F.lit(0.0))
-    return as_double / F.lit(_NORM)
+    """float64(uint64(c)) / float64(MaxUint64) for a signed-long column.
+
+    Split into exact hi/lo 32-bit halves so the float64 conversion
+    rounds ONCE — ``double(s) + 2^64`` double-rounds and drifts 1 ULP
+    from the numpy kernel on ~8% of inputs.
+    """
+    hi = F.shiftrightunsigned(c, 32).cast("double") * F.lit(float(1 << 32))
+    lo = c.bitwiseAND(F.lit(0xFFFFFFFF)).cast("double")
+    return (hi + lo) / F.lit(_NORM)
 
 
 def splitmix64_col(c: Column) -> Column:

@@ -123,6 +123,10 @@ def _write_http(df: DataFrame, model: ModelSpec, out: OutputConfig) -> None:
     col_names = [f.name for f in df.schema.fields]
 
     def post_partition(rows: Iterable[Row]) -> None:
+        # re-import on the executor: unpickling the closure restores the
+        # `urllib` package but not the `urllib.request` submodule
+        import urllib.request
+
         def send(batch: list[dict]) -> None:
             body = json.dumps(
                 {"model_name": model_name, "rows": batch}, default=str

@@ -1,0 +1,239 @@
+"""Pipeline operators: dedup family, similarity search, text analysis."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# fixtures: a tiny corpus with known duplicate structure
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from a distance near the old river bank"
+)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        junk = " ".join(f"w{i}q{j}z{(i * 31 + j * 7) % 97}" for j in range(25))
+        rows.append((i, f"document number {i} " + junk))
+    # near-duplicate pairs: (100,101) and (102,103) differ by one word
+    rows.append((100, BASE + " alpha"))
+    rows.append((101, BASE + " beta"))
+    rows.append((102, "completely different text about spark and arrow batches " * 3 + "x"))
+    rows.append((103, "completely different text about spark and arrow batches " * 3 + "y"))
+    # exact duplicates: 200/201
+    rows.append((200, "identical payload for exact dedup"))
+    rows.append((201, "identical payload for exact dedup"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    from sdvg_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark), ["text"], "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 200 in ids and 201 not in ids  # min-id survivor
+    assert len(ids) == 45
+
+
+def test_duplicate_classes(spark):
+    from sdvg_spark.ops.dedup import duplicate_classes
+
+    out = duplicate_classes(_docs(spark), ["text"], "doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[201].class_rep == 200
+    assert by_id[201].class_size == 2
+    assert by_id[100].class_size == 1
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_minhash_finds_near_dups(spark, mode):
+    from sdvg_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.7, mode=mode
+        ).collect()
+    }
+    assert (100, 101) in pairs
+    assert (102, 103) in pairs
+    assert (200, 201) in pairs
+    # distinct docs must not pair at 0.7
+    assert not any(a < 40 and b < 40 for a, b in pairs)
+
+
+def test_minhash_modes_agree(spark):
+    from sdvg_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark)
+    a = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7, mode="broadcast").collect()
+    }
+    b = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7, mode="join").collect()
+    }
+    assert a == b
+
+
+def test_ngram_jaccard_exact(spark):
+    from sdvg_spark.ops.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert (200, 201) in pairs
+    assert pairs[(200, 201)] == 1.0
+    assert (100, 101) in pairs
+
+
+def test_simhash_near_dups(spark):
+    from sdvg_spark.ops.dedup import simhash_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(_docs(spark), "doc_id", "text", max_distance=6).collect()
+    }
+    assert (200, 201) in pairs  # identical -> distance 0
+    assert (100, 101) in pairs
+
+
+def _embeddings(spark, n=60, dims=16):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dims)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # 500/501: same direction, different scale -> cosine 1.0
+    v = rng.normal(size=dims)
+    rows.append((500, (v / np.linalg.norm(v)).tolist()))
+    rows.append((501, (2.0 * v / np.linalg.norm(v)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_dup_exact(spark):
+    from sdvg_spark.ops.dedup import embedding_dup_pairs
+
+    out = embedding_dup_pairs(
+        _embeddings(spark), "vec_id", "embedding", threshold=0.95, exact=True
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (500, 501) in pairs
+    for r in out:
+        if (r.id_a, r.id_b) == (500, 501):
+            assert r.cosine == pytest.approx(1.0, abs=1e-9)
+
+
+def test_embedding_dup_lsh(spark):
+    from sdvg_spark.ops.dedup import embedding_dup_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            _embeddings(spark), "vec_id", "embedding", threshold=0.95, exact=False
+        ).collect()
+    }
+    assert (500, 501) in pairs  # identical direction -> same LSH signature
+
+
+def test_brute_force_topk(spark):
+    from sdvg_spark.ops.similarity import brute_force_topk
+
+    emb = _embeddings(spark)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, q, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert len(hits) == 3
+        assert hits[0].c_id == qid  # self is the nearest neighbor
+        assert hits[0].cosine == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_topk_self_recall(spark):
+    from sdvg_spark.ops.similarity import lsh_topk
+
+    emb = _embeddings(spark)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_topk(emb, q, k=3, n_planes=6, multiprobe=1).collect()
+    best = {}
+    for r in out:
+        if r.q_id not in best or r.rank < best[r.q_id].rank:
+            best[r.q_id] = r
+    # a query's own bucket always contains itself
+    assert all(b.c_id == q_id for q_id, b in best.items())
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def test_detect_language(spark):
+    from sdvg_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat in the house"),
+            (2, "el perro y el gato en la casa es que no por una"),
+            (3, "der Hund und die Katze ist mit der Maus im Haus"),
+            (4, "и вот в доме на горе не было что было как всегда"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", T.detect_language(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "ru"
+    assert got[5] == "und"
+
+
+def test_token_counts_and_quality(spark):
+    from sdvg_spark.ops import text as T
+
+    df = spark.createDataFrame([(1, "Hello, world! 42"), (2, "")], "id long, text string")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            T.whitespace_token_count(F.col("text")).alias("n"),
+            T.regex_token_count(F.col("text")).alias("nb"),
+            T.quality_score(F.col("text")).alias("q"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[1].n == 3
+    assert rows[1].nb == 5  # hello , world ! 42
+    assert 0.0 <= rows[1].q <= 1.0
+    assert rows[2].n == 0 and rows[2].fp == 0
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    from sdvg_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "id long, text string"
+    )
+    fp = {r.id: r.fp for r in df.select("id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]

@@ -1,0 +1,159 @@
+"""Sinks: CSV / parquet / partitioning / rotation / HTTP, verified by
+independent read-back (DuckDB for files, a local HTTP server for POST).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+
+import duckdb
+import pytest
+
+from sdvg_spark.config.model import parse_config
+from sdvg_spark.engine import Engine
+
+
+def _cfg(tmp, out_type, rows=500, **out_extra):
+    return {
+        "random_seed": 7,
+        "output": {"type": out_type, "dir": str(tmp), **out_extra},
+        "models": {
+            "t": {
+                "rows_count": rows,
+                "columns": [
+                    {"name": "k", "type": "integer",
+                     "type_params": {"bit_width": 64, "from": 1, "to": rows}, "ordered": True},
+                    {"name": "price", "type": "float",
+                     "type_params": {"bit_width": 64, "from": 0, "to": 100}},
+                    {"name": "ts", "type": "datetime", "ordered": True},
+                    {"name": "tag", "type": "string", "values": ["x", "y", "z"]},
+                ],
+            }
+        },
+    }
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    cfg = parse_config(_cfg(tmp_path / "csv", "csv"))
+    Engine(cfg).run(spark)
+    con = duckdb.connect()
+    n, kmin, kmax = con.execute(
+        f"SELECT count(*), min(k), max(k) FROM read_csv_auto('{tmp_path}/csv/t/*.csv')"
+    ).fetchone()
+    assert (n, kmin, kmax) == (500, 1, 500)
+    # floats are fixed-precision strings with 2 decimals
+    sample = con.execute(
+        f"SELECT price FROM read_csv_auto('{tmp_path}/csv/t/*.csv', all_varchar=true) LIMIT 5"
+    ).fetchall()
+    assert all("." in v[0] and len(v[0].split(".")[1]) == 2 for v in sample)
+
+
+def test_csv_no_header_custom_delim(spark, tmp_path):
+    cfg = parse_config(
+        _cfg(tmp_path / "c2", "csv", without_headers=True, delimiter=";")
+    )
+    Engine(cfg).run(spark)
+    files = glob.glob(f"{tmp_path}/c2/t/*.csv")
+    assert files
+    first = open(files[0]).readline()
+    assert ";" in first and "k;" not in first  # no header row
+
+
+def test_csv_unix_datetime(spark, tmp_path):
+    cfg = parse_config(_cfg(tmp_path / "c3", "csv", datetime_format="unix"))
+    Engine(cfg).run(spark)
+    con = duckdb.connect()
+    (ts,) = con.execute(
+        f"SELECT ts FROM read_csv_auto('{tmp_path}/c3/t/*.csv') LIMIT 1"
+    ).fetchone()
+    # default datetime domain is 1900-01-01..2025-01-01 (epoch seconds)
+    assert isinstance(ts, int) and -2208988800 <= ts <= 1735689600
+
+
+def test_parquet_roundtrip_and_rotation(spark, tmp_path):
+    raw = _cfg(tmp_path / "pq", "parquet", rows=1000)
+    raw["models"]["t"]["rows_per_file"] = 250
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    files = glob.glob(f"{tmp_path}/pq/t/*.parquet")
+    # 1000 rows at <=250 rows/file -> at least 4 files
+    assert len(files) >= 4
+    con = duckdb.connect()
+    n, kmax = con.execute(
+        f"SELECT count(*), max(k) FROM read_parquet('{tmp_path}/pq/t/*.parquet')"
+    ).fetchone()
+    assert (n, kmax) == (1000, 1000)
+
+
+def test_partition_columns(spark, tmp_path):
+    raw = _cfg(tmp_path / "part", "parquet")
+    raw["models"]["t"]["partition_columns"] = [{"name": "tag"}]
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    dirs = {os.path.basename(p) for p in glob.glob(f"{tmp_path}/part/t/tag=*")}
+    assert dirs == {"tag=x", "tag=y", "tag=z"}
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/part/t/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert n == 500
+
+
+def test_devnull(spark, tmp_path):
+    cfg = parse_config(_cfg(tmp_path / "dn", "devnull"))
+    out = Engine(cfg).run(spark)
+    assert out["t"].startswith("noop")
+
+
+def test_http_sink(spark, tmp_path):
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    received = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append(json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = parse_config(
+            _cfg(
+                tmp_path / "h",
+                "http",
+                rows=120,
+                endpoint=f"http://127.0.0.1:{srv.server_port}/ingest",
+                batch_size=50,
+            )
+        )
+        Engine(cfg).run(spark)
+    finally:
+        srv.shutdown()
+    total = sum(len(p["rows"]) for p in received)
+    assert total == 120
+    assert all(p["model_name"] == "t" for p in received)
+    # micro-batching respected
+    assert all(len(p["rows"]) <= 50 for p in received)
+
+
+def test_ignored_model_not_written(spark, tmp_path):
+    raw = _cfg(tmp_path / "ig", "csv")
+    raw["models"]["extra"] = {
+        "rows_count": 10,
+        "columns": [{"name": "v", "type": "integer"}],
+    }
+    raw["models_to_ignore"] = ["extra"]
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    assert os.path.isdir(f"{tmp_path}/ig/t")
+    assert not os.path.isdir(f"{tmp_path}/ig/extra")
