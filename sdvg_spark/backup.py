@@ -1,0 +1,130 @@
+"""Job bookmark: backup / checkpoint / resume.
+
+Reference behavior (SURVEY.md §2.4 K7): a ``backup.json`` snapshot of
+the config written at task start, per-model checkpoints of rows
+written, `--continue-generation` validating the config against the
+backup and resuming, conflict detection for dirty output dirs with
+`--force` cleanup (reference usecase/general/backup/backup.go:11-86,
+output/general/conflicts.go:25-195).
+
+The Spark engine's resume is strictly cheaper than the reference's
+sequential sequencer drain: generation is a pure function of the row
+index, so resuming is ``spark.range(written, to)`` in append mode —
+no rescan, no replay. The number of rows already on disk is read from
+the sink itself (parquet metadata / CSV line count via DuckDB), which
+is more robust than trusting a checkpoint counter written on a timer.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+from typing import Any
+
+BACKUP_FILE = "backup.json"
+
+
+class ConflictError(RuntimeError):
+    pass
+
+
+def config_fingerprint(raw: dict[str, Any]) -> str:
+    """Canonical-JSON sha256 of the config (stable across key order)."""
+    blob = json.dumps(raw, sort_keys=True, separators=(",", ":"), default=str)
+    return hashlib.sha256(blob.encode("utf-8")).hexdigest()
+
+
+def backup_path(out_dir: str) -> str:
+    return os.path.join(out_dir, BACKUP_FILE)
+
+
+def save_backup(out_dir: str, raw: dict[str, Any]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(backup_path(out_dir), "w", encoding="utf-8") as f:
+        json.dump(
+            {"fingerprint": config_fingerprint(raw), "config": raw},
+            f,
+            indent=2,
+            default=str,
+        )
+
+
+def load_backup(out_dir: str) -> dict[str, Any] | None:
+    p = backup_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def config_diff(old: dict[str, Any], new: dict[str, Any], prefix: str = "") -> list[str]:
+    """Human-readable recursive diff (reference backup/compare.go)."""
+    diffs: list[str] = []
+    keys = sorted(set(old) | set(new))
+    for k in keys:
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if k not in old:
+            diffs.append(f"+ {path}")
+        elif k not in new:
+            diffs.append(f"- {path}")
+        elif isinstance(old[k], dict) and isinstance(new[k], dict):
+            diffs.extend(config_diff(old[k], new[k], path))
+        elif old[k] != new[k]:
+            diffs.append(f"~ {path}: {old[k]!r} -> {new[k]!r}")
+    return diffs
+
+
+def check_output_conflicts(out_dir: str, model_dirs: list[str]) -> list[str]:
+    """Paths that would collide with this run's outputs."""
+    hits = []
+    if os.path.exists(backup_path(out_dir)):
+        hits.append(backup_path(out_dir))
+    for d in model_dirs:
+        p = os.path.join(out_dir, d)
+        if os.path.exists(p) and (os.path.isfile(p) or os.listdir(p)):
+            hits.append(p)
+    return hits
+
+
+def clean_outputs(out_dir: str, model_dirs: list[str]) -> None:
+    for d in model_dirs:
+        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    try:
+        os.remove(backup_path(out_dir))
+    except FileNotFoundError:
+        pass
+
+
+def rows_on_disk(path: str, fmt: str) -> int:
+    """Rows already written for a model (the resume point).
+
+    Reads sink metadata with DuckDB — parquet row counts come from
+    footers (no scan); CSV needs a line pass. Missing dir -> 0.
+    """
+    import duckdb
+
+    if not os.path.isdir(path):
+        return 0
+    if fmt == "parquet":
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            return 0
+        con = duckdb.connect()
+        # count(*) over parquet is answered from footer metadata
+        (n,) = con.execute(
+            "SELECT count(*) FROM read_parquet($1)", [files]
+        ).fetchone()
+        return int(n or 0)
+    if fmt == "csv":
+        files = glob.glob(os.path.join(path, "**", "*.csv"), recursive=True)
+        if not files:
+            return 0
+        con = duckdb.connect()
+        (n,) = con.execute(
+            "SELECT count(*) FROM read_csv_auto($1, union_by_name=true)", [files]
+        ).fetchone()
+        return int(n or 0)
+    return 0

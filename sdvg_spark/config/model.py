@@ -638,17 +638,20 @@ def parse_config(raw: dict[str, Any]) -> GenerationConfig:
     return cfg
 
 
-def load_config(path: str) -> GenerationConfig:
-    """Load a YAML or JSON generation config from disk."""
+def load_raw_config(path: str) -> dict[str, Any]:
+    """Load a YAML or JSON config file into its raw dict form."""
     with open(path, encoding="utf-8") as f:
         text = f.read()
     if path.endswith(".json"):
-        raw = json.loads(text)
-    else:
-        try:
-            import yaml
+        return json.loads(text)
+    try:
+        import yaml
 
-            raw = yaml.safe_load(text)
-        except ImportError:  # pragma: no cover
-            raw = json.loads(text)
-    return parse_config(raw)
+        return yaml.safe_load(text)
+    except ImportError:  # pragma: no cover
+        return json.loads(text)
+
+
+def load_config(path: str) -> GenerationConfig:
+    """Load a YAML or JSON generation config from disk."""
+    return parse_config(load_raw_config(path))

@@ -61,9 +61,16 @@ def _partition_cols(model: ModelSpec) -> list[str]:
 
 
 def write_model(
-    spark: SparkSession, df: DataFrame, model: ModelSpec, out: OutputConfig
+    spark: SparkSession,
+    df: DataFrame,
+    model: ModelSpec,
+    out: OutputConfig,
+    mode: str = "overwrite",
 ) -> str:
-    """Write one model's DataFrame to the configured sink; returns path."""
+    """Write one model's DataFrame to the configured sink; returns path.
+
+    ``mode="append"`` is the resume path (jobs.run_generate): the
+    DataFrame then covers only the missing row range."""
     path = os.path.join(out.dir, model.model_dir)
     parts = _partition_cols(model)
 
@@ -74,7 +81,7 @@ def write_model(
     if out.type == "csv":
         w = (
             _csv_formatted(df, out)
-            .write.mode("overwrite")
+            .write.mode(mode)
             .option("header", not out.without_headers)
             .option("sep", out.delimiter)
             .option("emptyValue", "")
@@ -91,7 +98,7 @@ def write_model(
             "TIMESTAMP_MILLIS" if out.timestamp_unit == "millis" else "TIMESTAMP_MICROS",
         )
         w = (
-            df.write.mode("overwrite")
+            df.write.mode(mode)
             .option("compression", out.compression)
             .option("maxRecordsPerFile", model.rows_per_file or 0)
         )

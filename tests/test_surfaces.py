@@ -1,0 +1,313 @@
+"""CLI, HTTP API, resume/backup, config synthesis."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+import duckdb
+import pytest
+
+from sdvg_spark.config.model import ConfigError, parse_config
+
+
+def _raw_cfg(tmp, rows=400):
+    return {
+        "random_seed": 3,
+        "output": {"type": "parquet", "dir": str(tmp)},
+        "models": {
+            "t": {
+                "rows_count": rows,
+                "columns": [
+                    {"name": "k", "type": "integer",
+                     "type_params": {"bit_width": 64, "from": 1, "to": rows}, "ordered": True},
+                    {"name": "v", "type": "float", "type_params": {"from": 0, "to": 1}},
+                ],
+            }
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# backup / resume
+
+
+def test_conflict_detection(spark, tmp_path):
+    from sdvg_spark.backup import ConflictError
+    from sdvg_spark.jobs import run_generate
+
+    raw = _raw_cfg(tmp_path / "o")
+    run_generate(raw, spark=spark)
+    with pytest.raises(ConflictError):
+        run_generate(raw, spark=spark)
+    # force cleans and regenerates
+    run_generate(raw, spark=spark, force=True)
+
+
+def test_resume_appends_missing_rows(spark, tmp_path):
+    from sdvg_spark.jobs import run_generate
+
+    out = tmp_path / "r"
+    full = _raw_cfg(out, rows=400)
+
+    # simulate an interrupted run: generate only the first 150 rows
+    partial = json.loads(json.dumps(full))
+    partial["models"]["t"]["generate_to"] = 150
+    run_generate(partial, spark=spark)
+
+    # overwrite backup with the FULL config fingerprint (as if the full
+    # run had started and died mid-way)
+    from sdvg_spark.backup import save_backup
+
+    save_backup(str(out), full)
+
+    progress = []
+    run_generate(
+        full,
+        spark=spark,
+        continue_generation=True,
+        on_progress=lambda m, f: progress.append((m, f)),
+    )
+    con = duckdb.connect()
+    n, distinct, kmax = con.execute(
+        f"SELECT count(*), count(DISTINCT k), max(k) FROM read_parquet('{out}/t/*.parquet')"
+    ).fetchone()
+    assert (n, distinct, kmax) == (400, 400, 400)
+    # first progress call reports the resume point
+    assert progress[0] == ("t", 150 / 400)
+
+
+def test_resume_rejects_changed_config(spark, tmp_path):
+    from sdvg_spark.backup import ConflictError
+    from sdvg_spark.jobs import run_generate
+
+    raw = _raw_cfg(tmp_path / "rc")
+    run_generate(raw, spark=spark)
+    changed = json.loads(json.dumps(raw))
+    changed["random_seed"] = 99
+    with pytest.raises(ConflictError, match="random_seed"):
+        run_generate(changed, spark=spark, continue_generation=True)
+
+
+def test_resume_skips_complete_model(spark, tmp_path):
+    from sdvg_spark.jobs import run_generate
+
+    raw = _raw_cfg(tmp_path / "done")
+    run_generate(raw, spark=spark)
+    before = os.stat(glob_one(f"{tmp_path}/done/t")).st_mtime
+    run_generate(raw, spark=spark, continue_generation=True)
+    assert os.stat(glob_one(f"{tmp_path}/done/t")).st_mtime == before
+
+
+def glob_one(d):
+    import glob
+
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    assert files
+    return files[0]
+
+
+# ---------------------------------------------------------------------------
+# CLI
+
+
+def test_cli_validate_and_generate(spark, tmp_path):
+    from sdvg_spark.cli import main
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(_raw_cfg(tmp_path / "cli_out", rows=100)))
+    assert main(["validate-config", str(cfg_path)]) == 0
+    assert main(["generate", str(cfg_path)]) == 0
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/cli_out/t/*.parquet')"
+    ).fetchone()
+    assert n == 100
+    # re-run without force -> conflict exit code
+    assert main(["generate", str(cfg_path)]) == 2
+    assert main(["generate", "--force", str(cfg_path)]) == 0
+
+
+def test_cli_validate_rejects_bad(tmp_path):
+    from sdvg_spark.cli import main
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"models": {"m": {"rows_count": 1, "columns": [
+        {"name": "x", "type": "nope"}]}}}))
+    assert main(["validate-config", str(bad)]) == 1
+
+
+# ---------------------------------------------------------------------------
+# config synthesis
+
+
+def test_ddl_to_config_fk_and_pk():
+    from sdvg_spark.config_synth import ddl_to_config
+
+    raw = ddl_to_config(
+        """
+        CREATE TABLE users (
+          id BIGINT PRIMARY KEY,
+          name VARCHAR(40),
+          score DOUBLE,
+          created TIMESTAMP
+        );
+        CREATE TABLE orders (
+          order_id BIGINT PRIMARY KEY,
+          user_id BIGINT REFERENCES users(id),
+          amount DECIMAL(10,2)
+        );
+        """
+    )
+    cfg = parse_config(raw)  # must already be valid
+    users = raw["models"]["users"]["columns"]
+    byname = {c["name"]: c for c in users}
+    assert byname["id"]["type"] == "integer" and byname["id"]["ordered"]
+    assert byname["id"]["distinct_percentage"] == 1.0
+    assert byname["name"]["type_params"]["max_length"] == 40
+    assert byname["created"]["type"] == "datetime"
+    orders = {c["name"]: c for c in raw["models"]["orders"]["columns"]}
+    assert orders["user_id"] == {"name": "user_id", "foreign_key": "users.id"}
+    assert cfg.models["orders"].column("user_id").fk_model == "users"
+
+
+def test_ddl_table_level_fk():
+    from sdvg_spark.config_synth import ddl_to_config
+
+    raw = ddl_to_config(
+        """
+        CREATE TABLE a (x INT PRIMARY KEY);
+        CREATE TABLE b (
+          y INT,
+          FOREIGN KEY (y) REFERENCES a(x)
+        );
+        """
+    )
+    assert raw["models"]["b"]["columns"][0] == {"name": "y", "foreign_key": "a.x"}
+
+
+def test_sample_to_config():
+    from sdvg_spark.config_synth import sample_to_config
+
+    raw = sample_to_config(
+        "id,score,tag,when\n"
+        "1,0.5,a,2021-01-01T00:00:00\n"
+        "2,1.5,b,2021-06-01T12:00:00\n"
+        "3,2.5,a,2022-01-01T00:00:00\n"
+    )
+    cols = {c["name"]: c for c in raw["models"]["sample"]["columns"]}
+    assert cols["id"]["type"] == "integer" and cols["id"]["ordered"]
+    assert cols["score"]["type"] == "float"
+    assert cols["tag"]["values"] == ["a", "b"]
+    assert cols["when"]["type"] == "datetime"
+    parse_config(raw)
+
+
+def test_describe_to_config_validator_loop():
+    from sdvg_spark.config_synth import describe_to_config
+
+    bad = json.dumps({"models": {"m": {"rows_count": 5, "columns": [
+        {"name": "x", "type": "decimal"}]}}})
+    good = json.dumps({"random_seed": 1, "models": {"m": {"rows_count": 5, "columns": [
+        {"name": "x", "type": "integer"}]}}})
+    calls = []
+
+    def fake_chat(messages):
+        calls.append(list(messages))
+        return bad if len(calls) == 1 else good
+
+    raw = describe_to_config("five rows with one integer", chat=fake_chat)
+    assert raw["models"]["m"]["columns"][0]["type"] == "integer"
+    assert len(calls) == 2
+    # the retry prompt carried the validation error back
+    assert "failed validation" in calls[1][-1]["content"]
+
+
+def test_describe_to_config_gives_up():
+    from sdvg_spark.config_synth import describe_to_config
+
+    with pytest.raises(ConfigError, match="3 attempts"):
+        describe_to_config("x", chat=lambda m: "not json at all", max_attempts=3)
+
+
+# ---------------------------------------------------------------------------
+# HTTP API
+
+
+@pytest.fixture()
+def api(spark, tmp_path):
+    from sdvg_spark.server import make_server
+
+    srv = make_server(
+        host="127.0.0.1",
+        port=0,
+        output_root=str(tmp_path / "srv"),
+        spark_factory=lambda: spark,
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_api_validate(api):
+    code, _ = _post(f"{api}/validate-config", {"models": {"m": {
+        "rows_count": 5, "columns": [{"name": "x", "type": "integer"}]}}})
+    assert code == 200
+    code, body = _post(f"{api}/validate-config", {"models": {"m": {
+        "rows_count": 5, "columns": [{"name": "x", "type": "nope"}]}}})
+    assert code == 400 and "not valid" in body
+
+
+def test_api_generate_and_status(api, tmp_path):
+    cfg = {"random_seed": 5, "output": {"type": "parquet"}, "models": {"m": {
+        "rows_count": 300,
+        "columns": [{"name": "x", "type": "integer",
+                     "type_params": {"from": 0, "to": 100}}]}}}
+    code, task_id = _post(f"{api}/generate", cfg)
+    assert code == 200 and len(task_id) == 36
+    deadline = time.time() + 120
+    status = None
+    while time.time() < deadline:
+        with urllib.request.urlopen(f"{api}/status/{task_id}") as r:
+            status = json.loads(r.read())
+        if status["status"] in ("done", "failed"):
+            break
+        time.sleep(0.5)
+    assert status is not None and status["status"] == "done", status
+    assert status["progress"]["m"] == 100.0
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/srv/{task_id}/m/*.parquet')"
+    ).fetchone()
+    assert n == 300
+
+
+def test_api_status_unknown(api):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{api}/status/nope")
+    assert e.value.code == 404
+
+
+def test_api_generate_config(api):
+    code, body = _post(
+        f"{api}/generate-config",
+        {"mode": "sql-query", "input": "CREATE TABLE t (a INT, b VARCHAR(8));"},
+    )
+    assert code == 200
+    raw = json.loads(body)
+    assert "t" in raw["models"]
