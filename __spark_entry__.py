@@ -111,7 +111,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanos; normalize to µs timestamps (matches the oracle's ::TIMESTAMP
     # truncation of TIMESTAMP_NS).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: float `/ 1000` loses 1us at ~1.7e15 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -255,6 +256,51 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-ready tumbling-window aggregate (streaming operator run
+    in batch mode — Spark's unified semantics make the plans identical;
+    the oracle pins the arithmetic)."""
+    from sdvg_spark.streaming import windowed_agg
+
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_agg(
+        ev,
+        "ts",
+        "1 hour",
+        {"n_events": F.count(F.lit(1)), "total_value": F.round(F.sum("value"), 6)},
+        keys=["user_id"],
+    )
+    return out.select("user_id", "window_start", "n_events", "total_value")
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) — the streaming sessionizer in
+    batch mode, oracle-checked against a gap-and-cumsum SQL rewrite."""
+    from sdvg_spark.streaming import sessionize_stream
+
+    ev = _read(spark, sf_dir, "events")
+    out = sessionize_stream(
+        ev,
+        "ts",
+        "30 minutes",
+        {"n_events": F.count(F.lit(1)), "session_value": F.round(F.sum("value"), 6)},
+        keys=["user_id"],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events", "session_value")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary payloads + metadata, then
+    Arrow-batched decode + image statistics (deterministic fake decoder;
+    rows-only driver check)."""
+    from sdvg_spark.ops.multimodal import image_features, synth_media
+
+    media = synth_media(spark.range(0, 2000), width=8, height=8, channels=3)
+    return image_features(media).select(
+        "media_id", "width", "height", "channels", F.round("mean_intensity", 6).alias("mean_intensity")
+    )
+
+
 def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user aggregate over the event stream (window)."""
     from pyspark.sql import Window
@@ -298,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pricing_summary": q_pricing_summary,
             "top_revenue": q_top_revenue,
             "events_sessionize": q_events_sessionize,
+            "events_hourly": q_events_hourly,
+            "events_session_window": q_events_session_window,
+            "media_features": q_media_features,
             "user_running_value": q_user_running_value,
         }
     )
@@ -383,6 +432,25 @@ s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
 SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 6) AS session_value
 FROM s GROUP BY user_id, session_seq"""
+
+    out["events_hourly"] = """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events)
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+  count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM e GROUP BY user_id, date_trunc('hour', ts)"""
+
+    out["events_session_window"] = """
+WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+g AS (SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events, round(sum(value), 6) AS session_value
+FROM s GROUP BY user_id, sid"""
 
     out["user_running_value"] = """
 WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)

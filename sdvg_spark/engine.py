@@ -382,6 +382,20 @@ class Engine:
             else spark.range(lo, hi)
         )
         plans = self.plans_for(model)
+        return self.apply_columns(spark, base, plans, keep_id=keep_id)
+
+    def apply_columns(
+        self,
+        spark: SparkSession,
+        base: DataFrame,
+        plans: list[ColumnPlan],
+        keep_id: bool = False,
+        extra_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Evaluate column plans over ANY DataFrame with an ``id`` column
+        (batch ``spark.range`` or a streaming rate source — generation is
+        a pure function of the row index either way)."""
+        extra = [F.col(c) for c in (extra_cols or [])]
 
         # Stage 1: one Arrow kernel per non-closed-form column — fused
         # (value included) when every range needs the Python value path,
@@ -396,7 +410,7 @@ class Engine:
             else:
                 kernel = _make_sequence_kernel(plan, spark)
                 seq_cols.append(kernel(F.col("id")).alias(f"__seq_{plan.name}"))
-        staged = base.select(F.col("id"), *seq_cols) if seq_cols else base
+        staged = base.select(F.col("id"), *extra, *seq_cols) if seq_cols else base
 
         # Stage 2: jitter + null gate + value dispatch, all native.
         exprs = []
@@ -416,7 +430,7 @@ class Engine:
             exprs.append(value_expr(plan, num, ridx, r01))
         if keep_id:
             exprs = [F.col("id"), *exprs]
-        return staged.select(*exprs)
+        return staged.select(*extra, *exprs)
 
     def model_df_with_id(self, spark: SparkSession, model_name: str, **kw) -> DataFrame:
         """model_df plus the raw row-id column (oracle comparisons)."""

@@ -1,0 +1,231 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+Arrow-batched decode / feature-extract / resize / frame-sample stages.
+
+Design for 100 TB (the brief's training-data-pipeline shape): media
+ride as ``binary`` columns with a typed metadata struct; all per-item
+work runs in ``mapInPandas`` (one Arrow batch of byte payloads at a
+time, never a row-at-a-time Python UDF), and batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor memory is
+payload-bound, not row-count-bound.
+
+The actual image/audio codecs are NOT in this container, so the decode
+step is pluggable: ``set_decoder`` installs a real one (e.g. Pillow) if
+available; the default is a documented deterministic fake (content-
+hash-seeded pixels) that keeps every downstream stage — schema,
+partitioning, batch shapes, feature math — real and testable. The
+entry points raise ``NotImplementedError`` only when a real codec is
+explicitly requested and missing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "struct<format:string,width:int,height:int,channels:int,"
+    "duration_ms:bigint,sample_rate:int>"
+)
+
+_DECODERS: dict[str, Callable[[bytes, dict[str, Any]], np.ndarray]] = {}
+
+
+def set_decoder(kind: str, fn: Callable[[bytes, dict[str, Any]], np.ndarray]) -> None:
+    """Install a real decoder ('image' | 'audio' | 'video')."""
+    _DECODERS[kind] = fn
+
+
+def fake_image_decode(payload: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Deterministic stand-in decoder: content-hash-seeded uint8 pixels
+    of the metadata's declared shape. Same bytes -> same pixels, so
+    every downstream assertion is exact."""
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") ^ len(payload)
+    w = int(meta.get("width") or 16)
+    ht = int(meta.get("height") or 16)
+    ch = int(meta.get("channels") or 3)
+    from sdvg_spark.core.rng import splitmix64_np
+
+    n = w * ht * ch
+    ks = np.arange(n, dtype=np.uint64) + np.uint64(h & ((1 << 64) - 1))
+    return (splitmix64_np(ks) & np.uint64(0xFF)).astype(np.uint8).reshape(ht, w, ch)
+
+
+def _resolve_decoder(
+    kind: str, strict: bool
+) -> Callable[[bytes, dict[str, Any]], np.ndarray]:
+    """Resolve the decoder ON THE DRIVER so it rides the closure —
+    executor processes re-import this module with an empty registry."""
+    fn = _DECODERS.get(kind)
+    if fn is not None:
+        return fn
+    if strict:
+        raise NotImplementedError(
+            f"no real {kind} decoder installed in this environment; "
+            f"call set_decoder({kind!r}, fn) (e.g. a Pillow/libav wrapper)"
+        )
+    return fake_image_decode
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    meta_col: str = "meta",
+    strict_decode: bool = False,
+) -> DataFrame:
+    """Decode + per-image statistics in one Arrow pass.
+
+    Output: (id, width, height, channels, mean_intensity, std_intensity,
+    entropy) — the feature math is real; only the pixel source is the
+    pluggable decoder.
+    """
+    out_schema = (
+        f"{id_col} long, width int, height int, channels int, "
+        "mean_intensity double, std_intensity double, entropy double"
+    )
+    decode = _resolve_decoder("image", strict_decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = row[meta_col] if isinstance(row[meta_col], dict) else dict(row[meta_col] or {})
+                px = decode(bytes(row[bin_col] or b""), meta)
+                hist = np.bincount(px.ravel(), minlength=256) / max(px.size, 1)
+                nz = hist[hist > 0]
+                rows.append(
+                    {
+                        id_col: row[id_col],
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "channels": px.shape[2] if px.ndim == 3 else 1,
+                        "mean_intensity": float(px.mean()) if px.size else 0.0,
+                        "std_intensity": float(px.std()) if px.size else 0.0,
+                        "entropy": float(-(nz * np.log2(nz)).sum()) if px.size else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col, meta_col).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    meta_col: str = "meta",
+    strict_decode: bool = False,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-emit raw bytes + updated
+    metadata. The resize math is real numpy (no codec needed)."""
+    out_schema = f"{id_col} long, payload binary, meta {MEDIA_META_SCHEMA}"
+    decode = _resolve_decoder("image", strict_decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for _, row in pdf.iterrows():
+                meta = row[meta_col] if isinstance(row[meta_col], dict) else dict(row[meta_col] or {})
+                px = decode(bytes(row[bin_col] or b""), meta)
+                yi = (np.arange(height) * px.shape[0] // height).astype(np.int64)
+                xi = (np.arange(width) * px.shape[1] // width).astype(np.int64)
+                resized = px[yi][:, xi]
+                ids.append(row[id_col])
+                payloads.append(resized.tobytes())
+                metas.append(
+                    {
+                        "format": "raw",
+                        "width": width,
+                        "height": height,
+                        "channels": int(resized.shape[2] if resized.ndim == 3 else 1),
+                        "duration_ms": 0,
+                        "sample_rate": 0,
+                    }
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads, "meta": metas})
+
+    return df.select(id_col, bin_col, meta_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled timestamp (explode on the driver-free executor side). The
+    frame *extraction* is the pluggable decoder; the default derives a
+    deterministic frame payload per (video bytes, timestamp)."""
+    out_schema = f"{id_col} long, frame_ms bigint, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, ts, frames = [], [], []
+            for _, row in pdf.iterrows():
+                meta = row[meta_col] if isinstance(row[meta_col], dict) else dict(row[meta_col] or {})
+                dur = int(meta.get("duration_ms") or 0)
+                payload = bytes(row[bin_col] or b"")
+                for t in range(0, max(dur, 1), max(every_ms, 1)):
+                    ids.append(row[id_col])
+                    ts.append(t)
+                    frames.append(
+                        hashlib.blake2b(
+                            payload + t.to_bytes(8, "little"), digest_size=32
+                        ).digest()
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_ms": ts, "frame": frames})
+
+    return df.select(id_col, bin_col, meta_col).mapInPandas(run, out_schema)
+
+
+def synth_media(
+    df_ids: DataFrame,
+    id_col: str = "id",
+    width: int = 16,
+    height: int = 16,
+    channels: int = 3,
+    payload_bytes: int = 256,
+) -> DataFrame:
+    """Deterministic synthetic media table (id -> payload+meta): the
+    binary-column generator used by tests and demos; payload bytes are
+    a pure function of the id (engine determinism rules apply)."""
+    out_schema = f"media_id long, payload binary, meta {MEDIA_META_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdvg_spark.core.rng import splitmix64_np
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = []
+            metas = []
+            for i in ids:
+                ks = np.arange(payload_bytes, dtype=np.uint64) + np.uint64(i) * np.uint64(
+                    0x9E3779B97F4A7C15
+                )
+                payloads.append(
+                    (splitmix64_np(ks) & np.uint64(0xFF)).astype(np.uint8).tobytes()
+                )
+                metas.append(
+                    {
+                        "format": "synthetic",
+                        "width": width,
+                        "height": height,
+                        "channels": channels,
+                        "duration_ms": 1000,
+                        "sample_rate": 16000,
+                    }
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads, "meta": metas})
+
+    return df_ids.select(F.col(id_col)).mapInPandas(run, out_schema)

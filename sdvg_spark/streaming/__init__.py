@@ -1,0 +1,8 @@
+from sdvg_spark.streaming.generate import stream_model
+from sdvg_spark.streaming.ops import (
+    sessionize_stream,
+    stream_dedup,
+    windowed_agg,
+)
+
+__all__ = ["stream_model", "windowed_agg", "sessionize_stream", "stream_dedup"]

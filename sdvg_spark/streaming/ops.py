@@ -1,0 +1,96 @@
+"""Streaming operators: watermarked windowed aggregation, session
+windows, streaming deduplication.
+
+All three are expressed with built-in Structured Streaming operators
+(window / session_window / dropDuplicates under a watermark) so state
+management, late-data handling, and recovery come from Spark's state
+store — no custom stateful code in the hot path. Each works identically
+on batch DataFrames (Spark's unified semantics), which is how the test
+suite pins the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: dict[str, Column],
+    *,
+    keys: list[str] | None = None,
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, with ``slide``) event-time windows.
+
+    ``aggs`` maps output name -> aggregate Column. ``watermark`` (e.g.
+    "10 minutes") bounds state and admits that much event-time lateness;
+    required for append-mode streaming sinks.
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    group = [win, *[F.col(k) for k in (keys or [])]]
+    out = df.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(n) for n in aggs],
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, Column],
+    *,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per key (the streaming form of the batch sessionize
+    query — ``session_window`` keeps merge/expiry in Spark's state
+    store instead of a custom applyInPandasWithState operator).
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    group = [win, *[F.col(k) for k in (keys or [])]]
+    out = df.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[F.col(k) for k in (keys or [])],
+        *[F.col(n) for n in aggs],
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on ``cols``.
+
+    With a watermark the dedup state is bounded (duplicates arriving
+    later than the watermark are not suppressed — the documented
+    trade-off); without one, state grows unboundedly (only for finite
+    streams). ``dropDuplicatesWithinWatermark`` semantics via the
+    standard dropDuplicates-under-watermark pattern.
+    """
+    if watermark and ts_col:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(cols)
+    return df.dropDuplicates(cols)

@@ -1,0 +1,150 @@
+"""Structured Streaming: generation stream, windowed/session aggs,
+streaming dedup. File source + availableNow trigger + memory sink keeps
+runs deterministic."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdvg_spark.config.model import parse_config
+from sdvg_spark.engine import Engine
+
+
+def _await(q, timeout=60):
+    q.awaitTermination(timeout)
+    assert not q.isActive
+
+
+CFG = {
+    "random_seed": 11,
+    "models": {
+        "m": {
+            "rows_count": 500,
+            "columns": [
+                {"name": "k", "type": "integer",
+                 "type_params": {"bit_width": 64, "from": 1, "to": 500}, "ordered": True},
+                {"name": "v", "type": "float", "type_params": {"from": 0, "to": 1}},
+                {"name": "tag", "type": "string", "values": ["a", "b"]},
+            ],
+        }
+    },
+}
+
+
+def test_stream_model_matches_batch(spark):
+    """The streaming generator must emit exactly the batch rows at the
+    same indices (idempotence across execution modes)."""
+    from sdvg_spark.streaming import stream_model
+
+    cfg = parse_config(CFG)
+    sdf = stream_model(spark, cfg, "m", rows_per_second=10_000, include_event_time=False)
+    assert sdf.isStreaming
+    name = f"sm_{int(time.time() * 1000)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").first().c >= 300:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {
+        (r.k, round(r.v, 9), r.tag)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert len(got) >= 300
+    batch = {
+        (r.k, round(r.v, 9), r.tag)
+        for r in Engine(cfg).model_df(spark, "m").collect()
+    }
+    assert got <= batch  # every streamed row is a batch row, bit-for-bit
+
+
+@pytest.fixture()
+def event_files(spark, tmp_path):
+    rows = []
+    for uid in (1, 2):
+        for i in range(10):
+            # two sessions per user: burst in hour 10, burst in hour 12
+            hour = 10 if i < 5 else 12
+            rows.append((uid, i, f"2024-01-01 {hour:02d}:{(i % 5) * 10:02d}:00", 1.0))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s string, value double")
+    df = df.select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    path = str(tmp_path / "events_in")
+    df.coalesce(1).write.parquet(path)
+    return path, df
+
+
+def _stream_from(spark, path, schema):
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_windowed_agg_stream(spark, event_files):
+    from sdvg_spark.streaming import windowed_agg
+
+    path, batch_df = event_files
+    sdf = _stream_from(spark, path, batch_df.schema)
+    out = windowed_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        {"n": F.count(F.lit(1)), "total": F.sum("value")},
+        keys=["user_id"],
+        watermark="1 minute",
+    )
+    name = f"wa_{int(time.time() * 1000)}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    # append mode only emits windows older than the watermark; run the
+    # same op in BATCH mode (unified semantics) for the full answer
+    got = {
+        (r.user_id, r.window_start.hour, r.n, r.total)
+        for r in windowed_agg(
+            batch_df, "ts", "1 hour", {"n": F.count(F.lit(1)), "total": F.sum("value")},
+            keys=["user_id"],
+        ).collect()
+    }
+    assert got == {(1, 10, 5, 5.0), (1, 12, 5, 5.0), (2, 10, 5, 5.0), (2, 12, 5, 5.0)}
+
+
+def test_sessionize_stream_batch_parity(spark, event_files):
+    from sdvg_spark.streaming import sessionize_stream
+
+    _, batch_df = event_files
+    out = sessionize_stream(
+        batch_df, "ts", "30 minutes", {"n": F.count(F.lit(1))}, keys=["user_id"]
+    ).collect()
+    # 2 users x 2 sessions of 5 events
+    assert len(out) == 4
+    assert all(r.n == 5 for r in out)
+
+
+def test_stream_dedup(spark, tmp_path):
+    from sdvg_spark.streaming import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, payload string"
+    )
+    path = str(tmp_path / "dd_in")
+    df.coalesce(1).write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_dedup(sdf, ["payload"])
+    name = f"dd_{int(time.time() * 1000)}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    _await(q)
+    rows = spark.sql(f"SELECT payload, count(*) c FROM {name} GROUP BY payload").collect()
+    assert {(r.payload, r.c) for r in rows} == {("x", 1), ("y", 1)}
