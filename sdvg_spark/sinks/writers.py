@@ -28,9 +28,7 @@ from sdvg_spark.config.model import ModelSpec, OutputConfig
 
 _RFC3339 = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
-# default TCS body template (JSON lines of rows), mirroring the
-# reference's frozen default (models/generator_output.go:17)
-_DEFAULT_HTTP_BODY = "rows"
+from sdvg_spark.sinks.template import DEFAULT_BODY_TEMPLATE
 
 
 def _csv_formatted(df: DataFrame, out: OutputConfig) -> DataFrame:
@@ -128,15 +126,18 @@ def _write_http(df: DataFrame, model: ModelSpec, out: OutputConfig) -> None:
     timeout = out.timeout_seconds
     model_name = model.name
     col_names = [f.name for f in df.schema.fields]
+    body_template = out.body_template or DEFAULT_BODY_TEMPLATE
 
     def post_partition(rows: Iterable[Row]) -> None:
         # re-import on the executor: unpickling the closure restores the
         # `urllib` package but not the `urllib.request` submodule
         import urllib.request
 
+        from sdvg_spark.sinks.template import render
+
         def send(batch: list[dict]) -> None:
-            body = json.dumps(
-                {"model_name": model_name, "rows": batch}, default=str
+            body = render(
+                body_template, {"ModelName": model_name, "Rows": batch}
             ).encode("utf-8")
             delay = 1.0
             deadline = time.monotonic() + timeout

@@ -141,9 +141,11 @@ def test_http_sink(spark, tmp_path):
         srv.shutdown()
     total = sum(len(p["rows"]) for p in received)
     assert total == 120
-    assert all(p["model_name"] == "t" for p in received)
+    # default body template parity: {"table_name": ..., "rows": [...]}
+    assert all(p["table_name"] == "t" for p in received)
     # micro-batching respected
     assert all(len(p["rows"]) <= 50 for p in received)
+    assert all(set(p["rows"][0]) == {"k", "price", "ts", "tag"} for p in received)
 
 
 def test_ignored_model_not_written(spark, tmp_path):
