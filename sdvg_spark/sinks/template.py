@@ -11,9 +11,21 @@ templates use: dotted field access, ``json``/``len`` calls,
 
 from __future__ import annotations
 
+import datetime as _dt
 import json as _json
 import re
 from typing import Any
+
+
+def _json_default(v: Any) -> Any:
+    """Match Go's json.Marshal: time.Time -> RFC3339 string."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:  # engine datetimes are UTC-naive
+            return v.isoformat(timespec="seconds") + "Z"
+        return v.isoformat(timespec="seconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
 
 _TOKEN = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}", flags=re.S)
 
@@ -62,7 +74,7 @@ def _eval(expr: str, ctx: Any) -> Any:
             return seq[i]
         arg = _eval(rest, ctx)
         if fn == "json":
-            return _json.dumps(arg, default=str)
+            return _json.dumps(arg, default=_json_default)
         return len(arg)
     raise TemplateError(f"unsupported template expression: {expr!r}")
 
@@ -97,7 +109,7 @@ def _exec(nodes: list[tuple], ctx: Any, out: list[str]) -> None:
                 _exec(node[2], item, out)
         else:
             val = _eval(node[1], ctx)
-            out.append(val if isinstance(val, str) else _json.dumps(val, default=str))
+            out.append(val if isinstance(val, str) else _json.dumps(val, default=_json_default))
 
 
 def render(template: str, ctx: Any) -> str:

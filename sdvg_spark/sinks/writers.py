@@ -6,10 +6,12 @@ routing -> ``partitionBy``; CSV float precision and datetime formats ->
 pre-write formatting expressions; HTTP/TCS micro-batched POST ->
 ``foreachPartition`` with exponential backoff.
 
-Known, documented layout deviations from the reference (SURVEY.md §7):
-Spark writes ``part-*`` file names (not ``{model}_{n}``), and null
-partition values land in ``__HIVE_DEFAULT_PARTITION__`` (not
-``col=null``). Contents and directory keys are otherwise equivalent.
+Layout parity (reference model_writer.go:166-233, csv.go:339-341,
+parquet.go:348): a post-write pass on local filesystems renames
+``part-*`` files to ``{model}_{n}.{ext}``, ``__HIVE_DEFAULT_PARTITION__``
+dirs to ``col=null``, and restores ``write_to_output: true`` partition
+directory names. On object-store paths (``s3://`` etc.) renames are
+O(data), so the pass is skipped and Spark's native layout is kept.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from sdvg_spark.config.model import ModelSpec, OutputConfig
 
 _RFC3339 = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
+from sdvg_spark.sinks.go_layout import go_layout_to_jdk
 from sdvg_spark.sinks.template import DEFAULT_BODY_TEMPLATE
 
 
@@ -42,10 +45,14 @@ def _csv_formatted(df: DataFrame, out: OutputConfig) -> DataFrame:
                 c.isNotNull(), F.format_string(f"%.{out.float_precision}f", c)
             ).alias(f.name)
         elif isinstance(f.dataType, T.TimestampType):
-            if out.datetime_format == "unix":
+            if out.datetime_format.lower() == "unix":
                 c = c.cast("long").alias(f.name)
             elif out.datetime_format:
-                c = F.date_format(c, out.datetime_format).alias(f.name)
+                # user configs carry Go reference-time layouts
+                # (writer/csv/csv.go:278); translate to a JDK pattern
+                c = F.date_format(
+                    c, go_layout_to_jdk(out.datetime_format)
+                ).alias(f.name)
             else:
                 c = F.date_format(c, _RFC3339).alias(f.name)
         else:
@@ -54,8 +61,58 @@ def _csv_formatted(df: DataFrame, out: OutputConfig) -> DataFrame:
     return df.select(*cols)
 
 
-def _partition_cols(model: ModelSpec) -> list[str]:
-    return [pc.name for pc in model.partition_columns]
+_PART_PREFIX = "__part_"
+
+
+def _prepare_partitioning(
+    df: DataFrame, model: ModelSpec
+) -> tuple[DataFrame, list[str]]:
+    """Partition keys for ``partitionBy``. Spark always drops partition
+    columns from the data files — which matches ``write_to_output: false``
+    (model_writer.go:193-199). For ``write_to_output: true`` the column
+    must stay in the payload, so we partition on an aliased copy and the
+    parity pass renames the directories back."""
+    keys: list[str] = []
+    for pc in model.partition_columns:
+        if pc.write_to_output:
+            alias = _PART_PREFIX + pc.name
+            df = df.withColumn(alias, F.col(pc.name))
+            keys.append(alias)
+        else:
+            keys.append(pc.name)
+    return df, keys
+
+
+def _restore_layout(path: str, model: ModelSpec, ext: str) -> None:
+    """Post-write rename pass for local paths: reference-style partition
+    dir names and ``{model}_{n}.{ext}`` file names (csv.go:339-341)."""
+    if "://" in path or not os.path.isdir(path):
+        return
+    # directories bottom-up so child renames happen before parents move
+    for root, dirs, _files in os.walk(path, topdown=False):
+        for d in dirs:
+            new = d
+            if new.startswith(_PART_PREFIX):
+                new = new[len(_PART_PREFIX) :]
+            if new.endswith("=__HIVE_DEFAULT_PARTITION__"):
+                new = new[: -len("__HIVE_DEFAULT_PARTITION__")] + "null"
+            if new != d:
+                os.rename(os.path.join(root, d), os.path.join(root, new))
+    for root, _dirs, files in os.walk(path):
+        parts = sorted(f for f in files if f.startswith("part-") and f.endswith(ext))
+        if not parts:
+            continue
+        taken = {f for f in files if not f.startswith("part-")}
+        n = 0
+        for f in parts:
+            while f"{model.name}_{n}{ext}" in taken:  # resume/append numbering
+                n += 1
+            new = f"{model.name}_{n}{ext}"
+            taken.add(new)
+            os.rename(os.path.join(root, f), os.path.join(root, new))
+            crc = os.path.join(root, f".{f}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
 
 
 def write_model(
@@ -70,16 +127,15 @@ def write_model(
     ``mode="append"`` is the resume path (jobs.run_generate): the
     DataFrame then covers only the missing row range."""
     path = os.path.join(out.dir, model.model_dir)
-    parts = _partition_cols(model)
 
     if out.type == "devnull":
         df.write.format("noop").mode("overwrite").save()
         return "noop://"
 
     if out.type == "csv":
+        pdf, parts = _prepare_partitioning(_csv_formatted(df, out), model)
         w = (
-            _csv_formatted(df, out)
-            .write.mode(mode)
+            pdf.write.mode(mode)
             .option("header", not out.without_headers)
             .option("sep", out.delimiter)
             .option("emptyValue", "")
@@ -88,6 +144,7 @@ def write_model(
         if parts:
             w = w.partitionBy(*parts)
         w.csv(path)
+        _restore_layout(path, model, ".csv")
         return path
 
     if out.type == "parquet":
@@ -95,14 +152,16 @@ def write_model(
             "spark.sql.parquet.outputTimestampType",
             "TIMESTAMP_MILLIS" if out.timestamp_unit == "millis" else "TIMESTAMP_MICROS",
         )
+        pdf, parts = _prepare_partitioning(df, model)
         w = (
-            df.write.mode(mode)
+            pdf.write.mode(mode)
             .option("compression", out.compression)
             .option("maxRecordsPerFile", model.rows_per_file or 0)
         )
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(path)
+        _restore_layout(path, model, ".parquet")
         return path
 
     if out.type in ("http", "tcs"):

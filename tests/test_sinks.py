@@ -148,6 +148,69 @@ def test_http_sink(spark, tmp_path):
     assert all(set(p["rows"][0]) == {"k", "price", "ts", "tag"} for p in received)
 
 
+def test_csv_go_layout_datetime_format(spark, tmp_path):
+    cfg = parse_config(
+        _cfg(tmp_path / "gofmt", "csv", datetime_format="2006-01-02 15:04:05")
+    )
+    Engine(cfg).run(spark)
+    import re
+
+    con = duckdb.connect()
+    (ts,) = con.execute(
+        f"SELECT ts FROM read_csv_auto('{tmp_path}/gofmt/t/*.csv', all_varchar=true) LIMIT 1"
+    ).fetchone()
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", ts), ts
+
+
+def test_layout_parity_file_names_and_null_partition(spark, tmp_path):
+    # reference layout: {model}_{n}.csv files, col=null dirs
+    # (csv.go:339-341, model_writer.go:225-229)
+    raw = _cfg(tmp_path / "lp", "csv", rows=600)
+    raw["models"]["t"]["rows_per_file"] = 200
+    raw["models"]["t"]["columns"][3]["values"] = ["x", "y", None]
+    raw["models"]["t"]["partition_columns"] = [{"name": "tag"}]
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    dirs = {os.path.basename(p) for p in glob.glob(f"{tmp_path}/lp/t/tag=*")}
+    assert dirs == {"tag=x", "tag=y", "tag=null"}
+    for d in dirs:
+        names = sorted(
+            os.path.basename(p) for p in glob.glob(f"{tmp_path}/lp/t/{d}/*.csv")
+        )
+        assert names and all(
+            n.startswith("t_") and n.endswith(".csv") for n in names
+        ), names
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_csv_auto('{tmp_path}/lp/t/*/*.csv', hive_partitioning=1)"
+    ).fetchone()
+    assert n == 600
+
+
+def test_write_to_output_keeps_column_in_payload(spark, tmp_path):
+    raw = _cfg(tmp_path / "wto", "parquet")
+    raw["models"]["t"]["partition_columns"] = [
+        {"name": "tag", "write_to_output": True}
+    ]
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    dirs = {os.path.basename(p) for p in glob.glob(f"{tmp_path}/wto/t/tag=*")}
+    assert dirs == {"tag=x", "tag=y", "tag=z"}
+    con = duckdb.connect()
+    cols = {
+        r[0]
+        for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{tmp_path}/wto/t/*/*.parquet')"
+        ).fetchall()
+    }
+    # the tag column survives inside the data files
+    assert "tag" in cols and not any(c.startswith("__part_") for c in cols)
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/wto/t/*/*.parquet') WHERE tag IS NOT NULL"
+    ).fetchone()
+    assert n == 500
+
+
 def test_ignored_model_not_written(spark, tmp_path):
     raw = _cfg(tmp_path / "ig", "csv")
     raw["models"]["extra"] = {
