@@ -244,19 +244,19 @@ def minhash_lsh_pairs(
         else char_shingles(F.col(text_col), shingle_k)
     )
     shingled = widen(df).select(F.col(id_col).alias("__id"), sh.alias("__sh"))
-    sigs = minhash_signature_agg(shingled, n_hashes, seed)
     if mode == "auto":
         mode = "broadcast" if df.count() <= broadcast_max_docs else "join"
     if mode == "broadcast":
         return _minhash_pairs_broadcast(
             shingled,
-            sigs,
             n_hashes=n_hashes,
             bands=bands,
             rows_per_band=rows_per_band,
             threshold=threshold,
             est_margin=est_margin,
+            seed=seed,
         )
+    sigs = minhash_signature_agg(shingled, n_hashes, seed)
     from pyspark import StorageLevel
 
     # both subtrees feed multiple joins; avoid recomputing them
@@ -310,27 +310,28 @@ def minhash_lsh_pairs(
 
 def _minhash_pairs_broadcast(
     shingled: DataFrame,
-    sigs: DataFrame,
     *,
     n_hashes: int,
     bands: int,
     rows_per_band: int,
     threshold: float,
     est_margin: float,
+    seed: int,
 ) -> DataFrame:
-    """Small-corpus strategy: ONE distributed signature pass, then
-    driver-side banding + broadcast verification.
+    """Small-corpus strategy: ONE distributed pass, everything else on
+    the driver in numpy — the analogue of a broadcast join's
+    build-side-fits decision.
 
-    The signature matrix and xxhash64'd shingle sets are collected once
-    (n_docs × n_hashes int64 + ~|text| longs per doc). Band hashes are
-    derived from the matrix in numpy and re-parallelized as a tiny
-    (n_docs × bands)-row DataFrame for the candidate equi-join; the
-    candidate pairs stream through one ``mapInPandas`` pass doing the
-    numpy estimate filter and the exact set intersection against the
-    broadcast. Net effect: the shingle/signature pipeline is evaluated
-    exactly once (the join strategy re-evaluates it per consumer).
-    Shingles compare by 64-bit hash — collision odds ~(shingles²)/2^64,
-    immaterial for dedup semantics.
+    The only cluster work is shingling + per-shingle ``xxhash64``
+    (executors own the heavy text scan); the sorted hash sets arrive as
+    one Arrow transfer. Signatures (``minimum.reduceat`` over the same
+    (a·x+b) mod 2^31-1 family the join tier uses), band bucketing
+    (lexsort + group boundaries), the signature-estimate filter, and the
+    exact set intersections are all vectorized driver work — for corpora
+    under ``broadcast_max_docs`` this removes three shuffles, a
+    re-evaluated shingle pipeline, and a 128-aggregate job that together
+    dominate wall-clock. Shingles compare by 64-bit hash — collision
+    odds ~(shingles²)/2^64, immaterial for dedup semantics.
     """
     import numpy as np
     import pandas as pd
@@ -342,81 +343,113 @@ def _minhash_pairs_broadcast(
         "__id",
         F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__hs"),
     )
-    joined = sigs.join(hashed, "__id").collect()
-    ids = np.array([r["__id"] for r in joined], dtype=np.int64)
+    pdf = hashed.toPandas()  # Arrow-batched: arrays land as numpy, not boxed rows
+    ids = pdf["__id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
-    sig_mat = np.array([joined[i]["__sig"] for i in order], dtype=np.int64)
-    # shingle-hash sets as one flat sorted-per-doc array + offsets:
-    # broadcast-unpickles as a memcpy, not millions of boxed ints
-    lens = np.array([len(joined[i]["__hs"]) for i in order], dtype=np.int64)
-    sh_off = np.zeros(len(ids) + 1, dtype=np.int64)
-    np.cumsum(lens, out=sh_off[1:])
-    sh_flat = np.empty(int(sh_off[-1]), dtype=np.int64)
-    for pos, i in enumerate(order):
-        sh_flat[sh_off[pos] : sh_off[pos + 1]] = joined[i]["__hs"]
+    sets = pdf["__hs"].to_numpy()[order]
     n_docs = len(ids)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    if n_docs == 0:
+        return spark.createDataFrame(empty)
+    lens = np.fromiter((len(s) for s in sets), count=n_docs, dtype=np.int64)
+    sh_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=sh_off[1:])
+    sh_flat = np.concatenate(sets) if n_docs else np.empty(0, dtype=np.int64)
+    sh_flat = sh_flat.astype(np.int64, copy=False)
+
+    # signatures: same universal family as minhash_signature_agg, so the
+    # two tiers agree bit-for-bit on signature values
+    a_arr, b_arr = _hash_params(n_hashes, seed)
+    x = np.mod(sh_flat, MERSENNE31)  # pmod: numpy % matches for negatives
+    starts = sh_off[:-1]
+    sig_mat = np.empty((n_docs, n_hashes), dtype=np.int64)
+    for i in range(n_hashes):
+        sig_mat[:, i] = np.minimum.reduceat((a_arr[i] * x + b_arr[i]) % MERSENNE31, starts)
 
     # band hashes: chain SplitMix64 over each band's signature slice
     # (any deterministic hash works — bands only bucket)
-    bhash = np.empty((n_docs, bands), dtype=np.int64)
     usig = sig_mat.view(np.uint64)
+    bhash = np.empty((n_docs, bands), dtype=np.uint64)
     for b in range(bands):
         acc = np.full(n_docs, 0x9E3779B97F4A7C15 ^ b, dtype=np.uint64)
         for r in range(rows_per_band):
             acc = splitmix64_np(acc ^ usig[:, b * rows_per_band + r])
-        bhash[:, b] = acc.view(np.int64)
-    band_pdf = pd.DataFrame(
+        bhash[:, b] = acc
+
+    # bucket grouping: one sort of the (band, bhash) keys; same-bucket
+    # runs become candidate groups
+    band_idx = np.tile(np.arange(bands, dtype=np.int64), n_docs)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), bands)
+    keys = bhash.ravel() ^ splitmix64_np(band_idx.view(np.uint64))
+    srt = np.argsort(keys, kind="stable")
+    keys_s, docs_s = keys[srt], doc_idx[srt]
+    boundary = np.flatnonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1], [True])))
+    pair_a: list[np.ndarray] = []
+    pair_b: list[np.ndarray] = []
+    tri_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for g in range(len(boundary) - 1):
+        lo, hi = boundary[g], boundary[g + 1]
+        m = hi - lo
+        if m < 2:
+            continue
+        tri = tri_cache.get(m)
+        if tri is None:
+            tri = np.triu_indices(m, k=1)
+            tri_cache[m] = tri
+        members = docs_s[lo:hi]
+        pair_a.append(members[tri[0]])
+        pair_b.append(members[tri[1]])
+    if not pair_a:
+        return spark.createDataFrame(empty)
+    ia = np.concatenate(pair_a)
+    ib = np.concatenate(pair_b)
+    swap = ia > ib
+    ia[swap], ib[swap] = ib[swap], ia[swap]
+    keep = ia != ib
+    ia, ib = ia[keep], ib[keep]
+    uniq = np.unique(ia * np.int64(n_docs) + ib)
+    ia, ib = uniq // n_docs, uniq % n_docs
+
+    # tier 1: signature estimate filter. Per-hash column loop, NOT
+    # sig_mat[ia] gathers — the full (n_pairs, n_hashes) gather would be
+    # a fresh multi-hundred-MB allocation, and on hosts with slow
+    # first-touch memory (this one faults fresh pages at ~7 MB/s) that
+    # single line costs minutes; the per-column temporaries are a few MB
+    # and get recycled by malloc after the first iteration.
+    eq_cnt = np.zeros(len(ia), dtype=np.int32)
+    for i in range(n_hashes):
+        col = sig_mat[:, i]
+        eq_cnt += col[ia] == col[ib]
+    est = eq_cnt / n_hashes
+    near = np.flatnonzero(est >= threshold - est_margin)
+    # tier 2: exact Jaccard on the surviving pairs only
+    out_a, out_b, out_j = [], [], []
+    for k in near:
+        da, db = ia[k], ib[k]
+        sa = sh_flat[sh_off[da] : sh_off[da + 1]]
+        sb = sh_flat[sh_off[db] : sh_off[db + 1]]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            out_a.append(ids[da])
+            out_b.append(ids[db])
+            out_j.append(j)
+    result = pd.DataFrame(
         {
-            "__id": np.repeat(ids, bands),
-            "__band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
-            "__bhash": bhash.ravel(),
+            "id_a": pd.Series(out_a, dtype="int64"),
+            "id_b": pd.Series(out_b, dtype="int64"),
+            "jaccard": pd.Series(out_j, dtype="float64"),
         }
     )
-    banded = spark.createDataFrame(band_pdf)
-    left = banded.select(F.col("__id").alias("id_a"), "__band", "__bhash")
-    right = banded.select(F.col("__id").alias("id_b"), "__band", "__bhash")
-    cand = (
-        left.join(right, ["__band", "__bhash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-    bc = spark.sparkContext.broadcast((ids, sig_mat, sh_flat, sh_off))
-    cutoff = threshold - est_margin
-
-    def verify(batches):
-        b_ids, b_sig, b_flat, b_off = bc.value
-        n_h = b_sig.shape[1]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(dtype=np.int64))
-            ib = np.searchsorted(b_ids, pdf["id_b"].to_numpy(dtype=np.int64))
-            est = (b_sig[ia] == b_sig[ib]).sum(axis=1) / n_h
-            keep = np.flatnonzero(est >= cutoff)
-            out_a, out_b, out_j = [], [], []
-            for k in keep:
-                da, db = ia[k], ib[k]
-                sa = b_flat[b_off[da] : b_off[da + 1]]
-                sb = b_flat[b_off[db] : b_off[db + 1]]
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                j = inter / union if union else 0.0
-                if j >= threshold:
-                    out_a.append(pdf["id_a"].iat[k])
-                    out_b.append(pdf["id_b"].iat[k])
-                    out_j.append(j)
-            yield pd.DataFrame(
-                {
-                    "id_a": pd.Series(out_a, dtype="int64"),
-                    "id_b": pd.Series(out_b, dtype="int64"),
-                    "jaccard": pd.Series(out_j, dtype="float64"),
-                }
-            )
-
-    return cand.mapInPandas(verify, "id_a long, id_b long, jaccard double")
+    return spark.createDataFrame(result if len(result) else empty)
 
 
 def ngram_jaccard_pairs(
