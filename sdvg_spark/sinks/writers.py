@@ -61,6 +61,39 @@ def _csv_formatted(df: DataFrame, out: OutputConfig) -> DataFrame:
     return df.select(*cols)
 
 
+def _parquet_rounded(df: DataFrame, out: OutputConfig) -> DataFrame:
+    """The reference parquet writer rounds float values to
+    ``float_precision`` decimals before writing (parquet.go:459-494,
+    half-away-from-zero like Go math.Round ≙ Spark HALF_UP)."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            c = F.round(c, out.float_precision).cast(f.dataType).alias(f.name)
+        cols.append(c)
+    return df.select(*cols)
+
+
+_ROWS_PER_TASK_CAP = 10_000_000
+
+
+def _coalesce_for_rotation(df: DataFrame, model: ModelSpec) -> DataFrame:
+    """Shrink task count toward ``ceil(rows / rows_per_file)`` so file
+    counts track the reference's single-writer rotation instead of one
+    file per task. Never coalesces a task above ~10M rows: a small model
+    gets file-count parity, a 1e9-row model keeps its write parallelism
+    (file-count parity is not worth serializing a cluster-scale write).
+    """
+    if not model.rows_count or not model.rows_per_file:
+        return df
+    target = -(-model.rows_count // model.rows_per_file)
+    floor_tasks = -(-model.rows_count // _ROWS_PER_TASK_CAP)
+    want = max(target, floor_tasks)
+    if want < df.rdd.getNumPartitions():
+        df = df.coalesce(want)
+    return df
+
+
 _PART_PREFIX = "__part_"
 
 
@@ -133,7 +166,9 @@ def write_model(
         return "noop://"
 
     if out.type == "csv":
-        pdf, parts = _prepare_partitioning(_csv_formatted(df, out), model)
+        pdf, parts = _prepare_partitioning(
+            _coalesce_for_rotation(_csv_formatted(df, out), model), model
+        )
         w = (
             pdf.write.mode(mode)
             .option("header", not out.without_headers)
@@ -148,11 +183,22 @@ def write_model(
         return path
 
     if out.type == "parquet":
+        if any(c.parquet is not None and c.parquet.encoding != "PLAIN"
+               for c in model.columns):
+            from sdvg_spark.sinks.parquet_encodings import write_parquet_encoded
+
+            write_parquet_encoded(
+                _coalesce_for_rotation(_parquet_rounded(df, out), model),
+                model, out, path, mode,
+            )
+            return path
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType",
             "TIMESTAMP_MILLIS" if out.timestamp_unit == "millis" else "TIMESTAMP_MICROS",
         )
-        pdf, parts = _prepare_partitioning(df, model)
+        pdf, parts = _prepare_partitioning(
+            _coalesce_for_rotation(_parquet_rounded(df, out), model), model
+        )
         w = (
             pdf.write.mode(mode)
             .option("compression", out.compression)

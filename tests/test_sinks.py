@@ -211,6 +211,65 @@ def test_write_to_output_keeps_column_in_payload(spark, tmp_path):
     assert n == 500
 
 
+def test_parquet_per_column_encodings(spark, tmp_path):
+    raw = _cfg(tmp_path / "enc", "parquet", rows=1000)
+    raw["models"]["t"]["rows_per_file"] = 400
+    cols = raw["models"]["t"]["columns"]
+    cols[0]["parquet"] = {"encoding": "DELTA_BINARY_PACKED"}
+    cols[1]["parquet"] = {"encoding": "BYTE_STREAM_SPLIT"}
+    cols[3]["parquet"] = {"encoding": "PLAIN_DICT"}
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    files = sorted(glob.glob(f"{tmp_path}/enc/t/*.parquet"))
+    assert files and all(
+        os.path.basename(f).startswith("t_") for f in files
+    ), files
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(files[0]).metadata
+    enc_by_col = {
+        md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i).encodings
+        for i in range(md.num_columns)
+    }
+    assert "DELTA_BINARY_PACKED" in enc_by_col["k"]
+    assert "BYTE_STREAM_SPLIT" in enc_by_col["price"]
+    assert any("DICTIONARY" in e for e in enc_by_col["tag"])
+    # rotation respected
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 400 for f in files)
+    con = duckdb.connect()
+    n, kmax = con.execute(
+        f"SELECT count(*), max(k) FROM read_parquet('{tmp_path}/enc/t/*.parquet')"
+    ).fetchone()
+    assert (n, kmax) == (1000, 1000)
+
+
+def test_parquet_encodings_with_partitioning(spark, tmp_path):
+    raw = _cfg(tmp_path / "encp", "parquet", rows=600)
+    raw["models"]["t"]["columns"][0]["parquet"] = {"encoding": "DELTA_BINARY_PACKED"}
+    raw["models"]["t"]["columns"][3]["values"] = ["x", None]
+    raw["models"]["t"]["partition_columns"] = [{"name": "tag"}]
+    cfg = parse_config(raw)
+    Engine(cfg).run(spark)
+    dirs = {os.path.basename(p) for p in glob.glob(f"{tmp_path}/encp/t/tag=*")}
+    assert dirs == {"tag=x", "tag=null"}
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/encp/t/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert n == 600
+
+
+def test_parquet_float_rounding(spark, tmp_path):
+    cfg = parse_config(_cfg(tmp_path / "pqr", "parquet", rows=200))
+    Engine(cfg).run(spark)
+    con = duckdb.connect()
+    (bad,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/pqr/t/*.parquet') "
+        "WHERE price IS NOT NULL AND abs(price - round(price, 2)) > 1e-9"
+    ).fetchone()
+    assert bad == 0
+
+
 def test_ignored_model_not_written(spark, tmp_path):
     raw = _cfg(tmp_path / "ig", "csv")
     raw["models"]["extra"] = {
