@@ -75,6 +75,9 @@ def main() -> None:
     extra["gen_values_per_s"] = round(GEN_BENCH_ROWS * 8 / dt)
 
     # -- pipeline + analytics at sf ----------------------------------------
+    # warm the scan path (parquet reader init, codegen infra) so the
+    # first query doesn't absorb session boot costs
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     qs = E.queries()
     bench_queries = [
         "text_features",
