@@ -1,0 +1,145 @@
+"""Physical-plan assertions: the plans the engine promises at scale.
+
+These guard the properties that matter at 100 TB — filters reaching the
+parquet scan, small dimensions broadcast, no cartesian products, and
+the generation pipeline staying shuffle-free — so a refactor that
+silently degrades a plan fails CI, not a cluster run.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plans", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def entry():
+    return _entry()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, entry):
+    plan = _plan(entry.queries()["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine: partial_sum before the exchange
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle for the final agg
+    assert "CartesianProduct" not in plan
+
+
+def test_top_revenue_broadcasts_dimensions(spark, entry):
+    plan = _plan(entry.queries()["top_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit the broadcast side
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_generation_is_shuffle_free(spark):
+    """The whole generator collapses to range -> project: every cell is
+    a pure function of (seed, column, id), so no exchange may appear."""
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    cfg = parse_config(
+        {
+            "random_seed": 5,
+            "models": {
+                "m": {
+                    "rows_count": 1000,
+                    "columns": [
+                        {"name": "a", "type": "integer", "type_params": {"bit_width": 64}},
+                        {"name": "b", "type": "float", "null_percentage": 0.1},
+                        {"name": "c", "type": "string", "values": ["x", "y"]},
+                        {"name": "d", "type": "datetime", "ordered": True},
+                    ],
+                }
+            },
+        }
+    )
+    df = Engine(cfg).model_df(spark, "m")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Range" in plan
+
+
+def test_fk_generation_is_shuffle_free(spark):
+    """FK columns re-evaluate the parent's pure expression on the child's
+    row-ids (SURVEY.md M3) — no join, no shuffle."""
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    cfg = parse_config(
+        {
+            "random_seed": 5,
+            "models": {
+                "p": {
+                    "rows_count": 100,
+                    "columns": [
+                        {"name": "pk", "type": "integer",
+                         "type_params": {"bit_width": 64, "from": 1, "to": 100}}
+                    ],
+                },
+                "c": {
+                    "rows_count": 1000,
+                    "columns": [{"name": "fk", "foreign_key": "p.pk"}],
+                },
+            },
+        }
+    )
+    df = Engine(cfg).model_df(spark, "c")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark, entry):
+    plan = _plan(entry.queries()["dedup_exact"](spark, SF_DIR))
+    # one hash-shuffle on content is the minimum possible for dedup
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_events_sessionize_single_shuffle(spark, entry):
+    plan = _plan(entry.queries()["events_sessionize"](spark, SF_DIR))
+    # window by user: one shuffle on the partition key, reused by the
+    # downstream aggregation if keys align
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_no_query_uses_cartesian_or_bnl_joins(spark, entry):
+    """No implemented query may fall back to CartesianProduct; BNL is
+    tolerated only where a broadcast range-join is intended (none today).
+    """
+    qs = entry.queries()
+    offenders = []
+    for name, fn in qs.items():
+        try:
+            plan = _plan(fn(spark, SF_DIR))
+        except Exception:
+            continue  # queries needing runtime state are covered elsewhere
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
