@@ -534,6 +534,63 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __sim): 64-bit SimHash per row via a vectorized Arrow
+    kernel — map-only, no shuffle, fully distributed.
+
+    The expression-based :func:`simhash` builds 64 interpreted CASE
+    branches per token; at scan scale that burns ~100× the CPU of this
+    batch kernel (crc32+SplitMix64 token hash, ``unpackbits`` →
+    ``add.reduceat`` per-doc bit counters, ``packbits`` reassembly).
+    Token hash is crc32 folded through SplitMix64 — any deterministic
+    64-bit hash serves; SimHash only needs hash-bit independence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sdvg_spark.core.rng import splitmix64_np
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            n = len(texts)
+            if n == 0:
+                continue
+            tok_lists = [str(t).lower().split() for t in texts]
+            lens = np.fromiter((len(t) for t in tok_lists), count=n, dtype=np.int64)
+            sims = np.zeros(n, dtype=np.uint64)
+            nonempty = np.flatnonzero(lens > 0)
+            if len(nonempty):
+                flat = [tok for i in nonempty for tok in tok_lists[i]]
+                crc = np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) for t in flat),
+                    count=len(flat),
+                    dtype=np.uint64,
+                )
+                h = splitmix64_np(crc)
+                # (n_tokens, 64) ±1 contributions, summed per doc
+                bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)
+                contrib = bits.astype(np.int32) * 2 - 1
+                off = np.zeros(len(nonempty), dtype=np.int64)
+                np.cumsum(lens[nonempty][:-1], out=off[1:])
+                counters = np.add.reduceat(contrib, off, axis=0)
+                sim_bits = (counters > 0).astype(np.uint8)
+                packed = np.packbits(sim_bits, axis=1)
+                sims[nonempty] = packed.view(np.uint64).ravel()
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "__sim": sims.view(np.int64),
+                }
+            )
+
+    return widen(df).select(id_col, text_col).mapInPandas(
+        kernel, "__id long, __sim long"
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, *, max_distance: int = 3
 ) -> DataFrame:
@@ -544,7 +601,7 @@ def simhash_pairs(
     the join is an equi-join on (quarter_index, quarter_value) — no
     cross join at any scale.
     """
-    sh = widen(df).select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
+    sh = simhash_df(df, id_col, text_col)
     quarters = sh.select(
         "__id",
         "__sim",
