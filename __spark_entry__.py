@@ -171,7 +171,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import embedding_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.9, exact=True).select(
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, exact=True).select(
         "id_a", "id_b"
     )
 
@@ -394,7 +394,7 @@ WHERE a.doc_id < b.doc_id
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9"""
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""
 
     out["ann_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
