@@ -1,8 +1,15 @@
 from sdvg_spark.streaming.generate import stream_model
 from sdvg_spark.streaming.ops import (
+    stream_running_totals,
     sessionize_stream,
     stream_dedup,
     windowed_agg,
 )
 
-__all__ = ["stream_model", "windowed_agg", "sessionize_stream", "stream_dedup"]
+__all__ = [
+    "stream_model",
+    "windowed_agg",
+    "sessionize_stream",
+    "stream_dedup",
+    "stream_running_totals",
+]

@@ -94,3 +94,58 @@ def stream_dedup(
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(cols)
     return df.dropDuplicates(cols)
+
+
+def stream_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful operator: per-key running sum/count across
+    micro-batches via ``applyInPandasWithState``.
+
+    This is the engine's template for operators the built-in streaming
+    surface can't express (cross-batch accumulators, custom expiry):
+    state is one (sum, count) pair per key in Spark's state store —
+    bytes per key, not rows — so it scales to any key cardinality the
+    cluster's state store holds. Emits one updated row per key per
+    micro-batch. ``state_timeout_ms`` > 0 expires idle keys
+    (processing-time timeout) and emits nothing for them.
+
+    Input must be a streaming DataFrame; on batch DataFrames use a
+    plain ``groupBy`` (the batch arithmetic this reproduces).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, count = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            total += float(vals.sum())
+            count += int(vals.count())
+        state.update((total, count))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "total": [total], "count": [count]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, total double, count long",
+        stateStructType="total double, count long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

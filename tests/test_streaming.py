@@ -148,3 +148,48 @@ def test_stream_dedup(spark, tmp_path):
     _await(q)
     rows = spark.sql(f"SELECT payload, count(*) c FROM {name} GROUP BY payload").collect()
     assert {(r.payload, r.c) for r in rows} == {("x", 1), ("y", 1)}
+
+
+def test_stream_running_totals(spark, tmp_path):
+    from sdvg_spark.streaming import stream_running_totals
+
+    # two micro-batch files so state genuinely crosses batches
+    src = str(tmp_path / "rt_src")
+    batch = Engine(parse_config(CFG)).model_df(spark, "m", keep_id=True)
+    b1 = batch.where(F.col("id") < 250).select(
+        (F.col("id") % 7).alias("k"), F.col("v")
+    )
+    b2 = batch.where(F.col("id") >= 250).select(
+        (F.col("id") % 7).alias("k"), F.col("v")
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sdf = spark.readStream.schema("k long, v double").parquet(src)
+    out = stream_running_totals(sdf, "k", "v")
+    name = "rt_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rt_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    # final state per key (last update wins) must equal the batch agg
+    got = {
+        r["k"]: (round(r["total"], 6), r["count"])
+        for r in spark.sql(
+            f"SELECT k, total, count FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY k ORDER BY count DESC) AS rn FROM {name}) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["k"]: (round(r["total"], 6), r["cnt"])
+        for r in b1.unionAll(b2)
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("cnt"))
+        .collect()
+    }
+    assert got == want
