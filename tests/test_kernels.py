@@ -129,3 +129,29 @@ def test_feistel_large_domain():
     assert (out < n).all()
     # injective on the sample
     assert len(set(out.tolist())) == len(out)
+
+
+def test_frf_matches_pure_python_reference():
+    """Independent check of the Go fastRandomFloat formula
+    (reference generator/utils.go:180-196) using Python bigints —
+    catches any numpy uint64 semantics drift."""
+    import numpy as np
+
+    from sdvg_spark.core.rng import MASK64, frf_np
+
+    def go_frf(seed: int) -> float:
+        seed = (seed + 0x9E3779B97F4A7C15) & MASK64
+        seed ^= seed >> 30
+        seed = (seed * 0xBF58476D1CE4E5B9) & MASK64
+        seed ^= seed >> 27
+        seed = (seed * 0x94D049BB133111EB) & MASK64
+        seed ^= seed >> 31
+        seed ^= seed >> 12
+        seed = (seed ^ (seed << 25)) & MASK64
+        seed ^= seed >> 27
+        return seed / float(MASK64)
+
+    xs = [0, 1, 2, 42, 12345678901234567890, MASK64, MASK64 - 1, 2**63, 977]
+    got = frf_np(np.array([x & MASK64 for x in xs], dtype=np.uint64))
+    for x, g in zip(xs, got):
+        assert g == go_frf(x & MASK64), (x, g, go_frf(x & MASK64))
