@@ -195,7 +195,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    return lsh_topk(emb, q, k=10, n_planes=10, multiprobe=2).select("q_id", "c_id", "rank")
+    return lsh_topk(
+        emb, q, k=10, n_planes=6, n_tables=16, multiprobe=1
+    ).select("q_id", "c_id", "rank")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

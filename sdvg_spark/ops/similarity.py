@@ -15,7 +15,7 @@ scoring — its candidate sets are tiny by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sdvg_spark.ops.dedup import _hyperplane_signature, cosine
@@ -118,18 +118,27 @@ def lsh_topk(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     multiprobe: int = 1,
     seed: int = 7,
     dims: int | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane signatures bucket the
-    corpus; each query probes its own bucket plus all buckets within
-    Hamming distance ``multiprobe`` (flip each subset of ≤ m bits).
+    """Approximate cosine top-k via multi-table hyperplane LSH.
 
-    At 100 TB the corpus is hash-partitioned (optionally bucketed on
-    disk) by signature, so a probe touches ~corpus/2^n_planes rows per
-    bucket. Recall grows with ``multiprobe``.
+    ``n_tables`` independent hash tables (each with its own ``n_planes``
+    hyperplanes) bucket the corpus; a query probes its bucket in every
+    table, plus all buckets within Hamming distance ``multiprobe``.
+    Recall for similarity s over L tables is 1-(1-p(s))^L with
+    p(s) ≈ (1-θ/π)^n_planes — single-table LSH is useless for
+    mid-similarity neighbors (p(0.5) ≈ 0.008 at 12 planes), so tables
+    × multiprobe are the recall knobs, and bucket width 2^-n_planes ×
+    probes × tables is the scan-fraction cost knob.
+
+    At 100 TB the corpus rides one explode (n_tables rows per vector,
+    ids + signatures only until scoring) hash-partitioned on
+    (table, signature) — optionally disk-bucketed — so each probe
+    touches ~corpus/2^n_planes rows per table, never a full scan.
     """
     if dims is None:
         from sdvg_spark.ops.dedup import _infer_dims
@@ -137,15 +146,28 @@ def lsh_topk(
         dims = _infer_dims(corpus, corpus_vec)
     from sdvg_spark.ops.dedup import widen
 
-    sig_c = _hyperplane_signature(F.col(corpus_vec), n_planes, seed, dims)
+    # per-table signatures; table t uses its own seeded hyperplane set
+    def sigs_for(vec_col: str) -> Column:
+        return F.array(
+            *[
+                _hyperplane_signature(
+                    F.col(vec_col), n_planes, seed + 7919 * t, dims
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     c = widen(corpus).select(
-        F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"), sig_c.alias("__sig")
+        F.col(corpus_id).alias("c_id"),
+        F.col(corpus_vec).alias("__cv"),
+        F.posexplode(sigs_for(corpus_vec)).alias("__t", "__sig"),
     )
-    sig_q = _hyperplane_signature(F.col(query_vec), n_planes, seed, dims)
     q = queries.select(
-        F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"), sig_q.alias("__qsig")
+        F.col(query_id).alias("q_id"),
+        F.col(query_vec).alias("__qv"),
+        F.posexplode(sigs_for(query_vec)).alias("__t", "__qsig"),
     )
-    # probe signatures: original + single-bit flips (+ pairs if m=2, ...)
+    # probe signatures per table: original + single-bit flips (+ pairs)
     probes = [F.col("__qsig")]
     if multiprobe >= 1:
         probes += [
@@ -159,8 +181,8 @@ def lsh_topk(
             for b1 in range(n_planes)
             for b2 in range(b1 + 1, n_planes)
         ]
-    qp = q.select("q_id", "__qv", F.explode(F.array(*probes)).alias("__sig"))
-    scored = qp.join(c, "__sig").select(
+    qp = q.select("q_id", "__qv", "__t", F.explode(F.array(*probes)).alias("__sig"))
+    scored = qp.join(c, ["__t", "__sig"]).select(
         "q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine")
     ).dropDuplicates(["q_id", "c_id"])
     final = scored.withColumn(
