@@ -303,6 +303,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal plumbing: waveform decode + RMS/peak/
+    zero-crossing statistics (deterministic fake decoder; rows-only)."""
+    from sdvg_spark.ops.multimodal import audio_features, synth_media
+
+    media = synth_media(spark.range(0, 2000))
+    return audio_features(media).select(
+        "media_id", "n_samples", "duration_ms",
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
+
+
 def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user aggregate over the event stream (window)."""
     from pyspark.sql import Window
@@ -349,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_hourly": q_events_hourly,
             "events_session_window": q_events_session_window,
             "media_features": q_media_features,
+            "media_audio_features": q_media_audio_features,
             "user_running_value": q_user_running_value,
         }
     )

@@ -229,3 +229,68 @@ def synth_media(
             yield pd.DataFrame({"media_id": ids, "payload": payloads, "meta": metas})
 
     return df_ids.select(F.col(id_col)).mapInPandas(run, out_schema)
+
+
+def fake_audio_decode(payload: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Deterministic stand-in audio decoder: content-hash-seeded int16
+    waveform of the metadata's declared duration/sample_rate."""
+    from sdvg_spark.core.rng import splitmix64_np
+
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") ^ len(payload)
+    sr = int(meta.get("sample_rate") or 16000)
+    dur = int(meta.get("duration_ms") or 1000)
+    n = max(sr * dur // 1000, 1)
+    ks = np.arange(n, dtype=np.uint64) + np.uint64(h & ((1 << 64) - 1))
+    return (splitmix64_np(ks) & np.uint64(0xFFFF)).astype(np.int64).astype(
+        np.int16
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    meta_col: str = "meta",
+    strict_decode: bool = False,
+) -> DataFrame:
+    """Decode + per-clip statistics in one Arrow pass: duration, RMS
+    level, peak, zero-crossing rate. Feature math is real numpy; only
+    the waveform source is the pluggable decoder (install one with
+    ``set_decoder('audio', fn)``)."""
+    out_schema = (
+        f"{id_col} long, n_samples bigint, duration_ms bigint, "
+        "rms double, peak double, zero_crossing_rate double"
+    )
+    if strict_decode and "audio" not in _DECODERS:
+        raise NotImplementedError(
+            "no real audio decoder installed; call set_decoder('audio', fn)"
+        )
+    decode = _DECODERS.get("audio", fake_audio_decode)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = row[meta_col] if isinstance(row[meta_col], dict) else dict(row[meta_col] or {})
+                wav = decode(bytes(row[bin_col] or b""), meta).astype(np.float64)
+                sr = int(meta.get("sample_rate") or 16000)
+                n = wav.size
+                zc = (
+                    float(np.count_nonzero(np.signbit(wav[1:]) != np.signbit(wav[:-1])))
+                    / (n - 1)
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    {
+                        id_col: row[id_col],
+                        "n_samples": n,
+                        "duration_ms": int(n * 1000 // max(sr, 1)),
+                        "rms": float(np.sqrt((wav**2).mean())) if n else 0.0,
+                        "peak": float(np.abs(wav).max()) if n else 0.0,
+                        "zero_crossing_rate": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col, meta_col).mapInPandas(run, out_schema)

@@ -97,3 +97,29 @@ def test_sample_frames(media):
     frames = {(r.media_id, r.frame_ms): bytes(r.frame) for r in out}
     out2 = sample_frames(media, every_ms=250).collect()
     assert frames == {(r.media_id, r.frame_ms): bytes(r.frame) for r in out2}
+
+
+def test_audio_features_deterministic(spark):
+    from sdvg_spark.ops.multimodal import audio_features, synth_media
+
+    media = synth_media(spark.range(0, 50), id_col="id")
+    feats = audio_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        # synthetic meta: 1000 ms @ 16 kHz -> 16000 samples
+        assert r["n_samples"] == 16000 and r["duration_ms"] == 1000
+        assert 0.0 < r["zero_crossing_rate"] < 1.0
+        assert r["rms"] > 0 and r["peak"] >= r["rms"]
+    # partition-layout determinism
+    a = sorted(map(tuple, audio_features(synth_media(spark.range(0, 50).repartition(2))).collect()))
+    b = sorted(map(tuple, audio_features(synth_media(spark.range(0, 50).repartition(7))).collect()))
+    assert a == b
+
+
+def test_audio_strict_decode_raises(spark):
+    import pytest as _pytest
+
+    from sdvg_spark.ops.multimodal import audio_features, synth_media
+
+    with _pytest.raises(NotImplementedError):
+        audio_features(synth_media(spark.range(0, 2)), strict_decode=True)
