@@ -83,13 +83,13 @@ _GEN_QUERIES = {
     "gen_ranges": ("m", "ranges"),
     "gen_foreign_key": ("child", "pid"),
     "gen_slice_resume": ("m_slice", "v"),
-    # no SQL mirror (combinatorial unranking) -> rows-only checks:
+    # uuid/template mirror via lateral digit chains; simple/text stay rows-only:
     "gen_uuid": ("m", "uuid"),
     "gen_string_simple": ("m", "s_simple"),
     "gen_template": ("m", "s_tmpl"),
     "gen_text": ("m", "s_text"),
 }
-_NO_ORACLE = {"gen_uuid", "gen_string_simple", "gen_template", "gen_text"}
+_NO_ORACLE = {"gen_string_simple", "gen_text"}  # combinatorial prefix-table unranking
 
 
 def _gen_query(model: str, column: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -272,6 +272,32 @@ class UUIDGen:
     def sql(self, number_expr: str) -> str | None:
         return None
 
+    def sql_lateral(
+        self, number_expr: str, prefix: str
+    ) -> tuple[list[tuple[str, str]], str]:
+        """DuckDB mirror of :meth:`np_value` via lateral column aliases.
+
+        The 16-step ``floor(255·idx)`` digit chain is stepwise IEEE
+        float arithmetic — each stage must reference the *named* prior
+        stage (a closed form would round differently), which lateral
+        aliases express without exponential expression blowup.
+        """
+        lat: list[tuple[str, str]] = [(f"{prefix}i0", f"(({number_expr}) / {float(self.total)!r})")]
+        for i in range(16):
+            lat.append((f"{prefix}b{i}", f"floor(255.0 * {prefix}i{i})"))
+            lat.append(
+                (
+                    f"{prefix}i{i+1}",
+                    f"greatest(255.0 * {prefix}i{i} - {prefix}b{i}, 0.0)",
+                )
+            )
+        byte_exprs = [f"CAST({prefix}b{i} AS INTEGER)" for i in range(16)]
+        byte_exprs[6] = f"(({byte_exprs[6]} & 15) | 64)"   # version 4
+        byte_exprs[8] = f"(({byte_exprs[8]} & 63) | 128)"  # RFC 4122 variant
+        fmt = "%02x" * 4 + "-" + "%02x" * 2 + "-" + "%02x" * 2 + "-" + "%02x" * 2 + "-" + "%02x" * 6
+        value = f"printf('{fmt}', {', '.join(byte_exprs)})"
+        return lat, value
+
 
 class EnumGen:
     """values[floor(number) / rows_per_value] over the pre-sorted literal
@@ -537,6 +563,46 @@ class StringGen:
         if p.logical_type == "phone":
             return self._phone_sql(number_expr)
         return None
+
+    def sql_lateral(
+        self, number_expr: str, prefix: str
+    ) -> tuple[list[tuple[str, str]], str] | None:
+        """DuckDB mirror of :meth:`_template_np` for template columns:
+        the same stepwise ``floor(base·idx)`` digit chain as UUID
+        (lateral aliases keep IEEE rounding identical stage-for-stage),
+        one drawn character per placeholder."""
+        p = self.p
+        if not p.template:
+            return None
+        from sdvg_spark.generators import locales as _loc
+
+        lat: list[tuple[str, str]] = [
+            (f"{prefix}i0", f"(({number_expr}) / {float(self.total)!r})")
+        ]
+        parts: list[str] = []
+        j = 0
+        for ch in p.template:
+            letters = {
+                "A": self.pack.large_letters,
+                "a": self.pack.small_letters,
+                "0": _loc.NUMBERS,
+                "#": _loc.SPECIAL_CHARS,
+            }.get(ch)
+            if letters is None:
+                parts.append("'" + ch.replace("'", "''") + "'")
+                continue
+            base = len(letters)
+            lat.append((f"{prefix}b{j}", f"floor({base}.0 * {prefix}i{j})"))
+            lat.append(
+                (
+                    f"{prefix}i{j+1}",
+                    f"greatest({base}.0 * {prefix}i{j} - {prefix}b{j}, 0.0)",
+                )
+            )
+            lits = ", ".join("'" + c.replace("'", "''") + "'" for c in letters)
+            parts.append(f"([{lits}])[CAST({prefix}b{j} AS INTEGER) + 1]")
+            j += 1
+        return lat, "(" + " || ".join(parts) + ")"
 
     def _phone_sql(self, number_expr: str) -> str:
         pats = self.pack.phone_patterns_filtered(self.p.min_length, self.p.max_length)

@@ -108,12 +108,21 @@ def column_oracle_sql(
 
     # --- value dispatch ------------------------------------------------------
     val_cases = []
+    laterals: list[tuple[str, str]] = []
     for r in plan.ranges:
         number = f"(num::DOUBLE + r01 * {r.factor!r})"
         if isinstance(r.vgen, EnumGen):
             v = r.vgen.sql("num", _duck_type(plan.dtype))
         else:
             v = r.vgen.sql(number)
+        if v is None and hasattr(r.vgen, "sql_lateral"):
+            # stepwise digit-chain generators (uuid, templates): stages
+            # become lateral column aliases so IEEE rounding matches the
+            # numpy kernel stage-for-stage
+            res = r.vgen.sql_lateral(number, f"__l{r.index}_")
+            if res is not None:
+                lats, v = res
+                laterals.extend(lats)
         if v is None:
             return None
         if r.null_pct > 0:
@@ -128,6 +137,12 @@ def column_oracle_sql(
             + f" ELSE {val_cases[-1][1]} END"
         )
     cast = _duck_type(plan.dtype)
+    if laterals:
+        defs = ", ".join(f"{e} AS {n}" for n, e in laterals)
+        return (
+            f"WITH {pre}, {chain}, lat AS (SELECT *, {defs} FROM {final}) "
+            f"SELECT id, CAST({val_expr} AS {cast}) AS {column_name} FROM lat"
+        )
     return (
         f"WITH {pre}, {chain} "
         f"SELECT id, CAST({val_expr} AS {cast}) AS {column_name} FROM {final}"
