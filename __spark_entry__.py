@@ -89,7 +89,7 @@ _GEN_QUERIES = {
     "gen_template": ("m", "s_tmpl"),
     "gen_text": ("m", "s_text"),
 }
-_NO_ORACLE = {"gen_string_simple", "gen_text"}  # combinatorial prefix-table unranking
+_NO_ORACLE = {"gen_text"}  # big-int word-sequence unranking has no SQL mirror
 
 
 def _gen_query(model: str, column: str) -> Callable[[SparkSession, str], DataFrame]:

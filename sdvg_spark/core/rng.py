@@ -36,6 +36,14 @@ _SM64_MUL2 = 0x94D049BB133111EB
 _NORM = float(np.float64(np.uint64(MASK64)))
 
 
+def dlit(v: float) -> str:
+    """Emit a float as a DuckDB DOUBLE literal. Bare decimal literals
+    parse as DECIMAL (different rounding!); an exponent forces DOUBLE,
+    so append e0 when repr lacks one."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
 def derive_seed(base_seed: int, key: str) -> int:
     """Per-column seed: base seed plus the byte-sum of sha1(key).
 
@@ -188,6 +196,6 @@ def frf_cte_chain(
         prev = name
     final = f"{prefix}_out"
     parts.append(
-        f"{final} AS (SELECT {cols}(s::DOUBLE / {_NORM!r}) AS {out} FROM {prev})"
+        f"{final} AS (SELECT {cols}(s::DOUBLE / {dlit(_NORM)}) AS {out} FROM {prev})"
     )
     return ", ".join(parts), final

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from sdvg_spark.core.rng import MASK64, splitmix64_np
+from sdvg_spark.core.rng import MASK64, splitmix64_np, dlit
 
 # Primitive polynomials (Galois LFSR taps) for register sizes 1..64.
 # These are standard published maximal-length LFSR polynomials (the same
@@ -178,6 +178,6 @@ def ordered_sql(k_expr: str, distinct: int, cycle: int) -> str:
     """DuckDB mirror of the ordered sequencer."""
     cyc = max(cycle, 1)
     return (
-        f"CAST(trunc((({k_expr}) % {cyc})::DOUBLE * {float(distinct)!r} "
-        f"/ {float(cyc)!r}) AS BIGINT)"
+        f"CAST(trunc((({k_expr}) % {cyc})::DOUBLE * {dlit(distinct)} "
+        f"/ {dlit(cyc)}) AS BIGINT)"
     )

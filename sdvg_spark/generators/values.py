@@ -32,6 +32,7 @@ from sdvg_spark.config.model import (
     IntegerParams,
     StringParams,
 )
+from sdvg_spark.core.rng import dlit
 from sdvg_spark.generators import locales
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
@@ -83,7 +84,7 @@ def _ordered_int64_sql(from_: int, to: int, number_expr: str, total: int) -> str
     step = (float(to) - float(from_) + 1.0) / float(total)
     if float(to) - float(from_) + 1.0 >= _TWO63:
         return None  # DuckDB BIGINT arithmetic would overflow-error
-    return f"({from_} + CAST(trunc(({number_expr}) * {step!r}) AS BIGINT))"
+    return f"({from_} + CAST(trunc(({number_expr}) * {dlit(step)}) AS BIGINT))"
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +163,10 @@ class FloatGen:
 
     def sql(self, number_expr: str) -> str | None:
         if self.p.from_ == self.p.to:
-            v = f"({self.p.from_!r})"
+            v = f"({dlit(self.p.from_)})"
         else:
-            s = f"(({number_expr}) / {float(self.total)!r})"
-            v = f"({self.p.from_!r} * (1.0 - {s}) + {self.p.to!r} * {s})"
+            s = f"(({number_expr}) / {dlit(self.total)})"
+            v = f"({dlit(self.p.from_)} * (1.0 - {s}) + {dlit(self.p.to)} * {s})"
         return f"CAST({v} AS REAL)" if self.p.bit_width == 32 else f"CAST({v} AS DOUBLE)"
 
 
@@ -282,7 +283,7 @@ class UUIDGen:
         stage (a closed form would round differently), which lateral
         aliases express without exponential expression blowup.
         """
-        lat: list[tuple[str, str]] = [(f"{prefix}i0", f"(({number_expr}) / {float(self.total)!r})")]
+        lat: list[tuple[str, str]] = [(f"{prefix}i0", f"(({number_expr}) / {dlit(self.total)})")]
         for i in range(16):
             lat.append((f"{prefix}b{i}", f"floor(255.0 * {prefix}i{i})"))
             lat.append(
@@ -567,17 +568,25 @@ class StringGen:
     def sql_lateral(
         self, number_expr: str, prefix: str
     ) -> tuple[list[tuple[str, str]], str] | None:
-        """DuckDB mirror of :meth:`_template_np` for template columns:
-        the same stepwise ``floor(base·idx)`` digit chain as UUID
-        (lateral aliases keep IEEE rounding identical stage-for-stage),
-        one drawn character per placeholder."""
+        """DuckDB mirror of the stepwise string unrankings.
+
+        Template columns: the same ``floor(base·idx)`` digit chain as
+        UUID (lateral aliases keep IEEE rounding identical
+        stage-for-stage), one drawn character per placeholder.
+        Plain strings: the prefix-table walk of :meth:`_simple_np`
+        (reference simpleString, value/string.go:382-410) unrolled to
+        ``max_length`` lateral stages carrying (remaining, active,
+        length) per row, plus the quadratic-probe tail extension.
+        """
         p = self.p
+        if not p.logical_type and not p.template and p.max_length <= 32:
+            return self._simple_sql_lateral(number_expr, prefix)
         if not p.template:
             return None
         from sdvg_spark.generators import locales as _loc
 
         lat: list[tuple[str, str]] = [
-            (f"{prefix}i0", f"(({number_expr}) / {float(self.total)!r})")
+            (f"{prefix}i0", f"(({number_expr}) / {dlit(self.total)})")
         ]
         parts: list[str] = []
         j = 0
@@ -602,6 +611,74 @@ class StringGen:
             lits = ", ".join("'" + c.replace("'", "''") + "'" for c in letters)
             parts.append(f"([{lits}])[CAST({prefix}b{j} AS INTEGER) + 1]")
             j += 1
+        return lat, "(" + " || ".join(parts) + ")"
+
+    def _simple_sql_lateral(
+        self, number_expr: str, prefix: str
+    ) -> tuple[list[tuple[str, str]], str]:
+        p = self.p
+        cbp, sbp, cs = self.count_by_prefix, self.sum_by_prefix, self.charset
+        ncs = len(cs)
+        cs_list = "[" + ", ".join("'" + c.replace("'", "''") + "'" for c in cs) + "]"
+        n_len = p.max_length - p.min_length + 1
+        lat: list[tuple[str, str]] = [
+            (f"{prefix}r0", f"(({number_expr})::DOUBLE)"),
+            (f"{prefix}ni", f"CAST(trunc({number_expr}) AS BIGINT)"),
+            (f"{prefix}a0", "TRUE"),
+            (f"{prefix}L0", "-1"),
+        ]
+        for d in range(p.max_length + 1):
+            nxt = sbp[d + 1] if d + 1 < len(sbp) else 0.0
+            # remain[active] -= cbp[d]
+            lat.append(
+                (f"{prefix}ra{d}",
+                 f"(CASE WHEN {prefix}a{d} THEN {prefix}r{d} - {dlit(cbp[d])} ELSE {prefix}r{d} END)")
+            )
+            stop_cond = f"({prefix}ra{d} < 0.0)" if nxt != 0.0 else "TRUE"
+            lat.append((f"{prefix}s{d}", f"({prefix}a{d} AND {stop_cond})"))
+            lat.append(
+                (f"{prefix}L{d+1}",
+                 f"(CASE WHEN {prefix}s{d} THEN {d} ELSE {prefix}L{d} END)")
+            )
+            lat.append((f"{prefix}a{d}_", f"({prefix}a{d} AND NOT {prefix}s{d})"))
+            if d >= p.max_length:
+                # loop epilogue: rows still active get plen = max_length
+                lat.append(
+                    (f"{prefix}len",
+                     f"(CASE WHEN {prefix}a{d}_ THEN {d} ELSE {prefix}L{d+1} END)")
+                )
+                break
+            # active rows draw char d and update remain
+            lat.append(
+                (f"{prefix}i{d}",
+                 f"(CASE WHEN {prefix}a{d}_ THEN floor({prefix}ra{d} / {dlit(nxt)}) ELSE 0.0 END)")
+            )
+            lat.append(
+                (f"{prefix}r{d+1}",
+                 f"(CASE WHEN {prefix}a{d}_ THEN {prefix}ra{d} - {dlit(nxt)} * {prefix}i{d} ELSE {prefix}ra{d} END)")
+            )
+            lat.append(
+                (f"{prefix}c{d}",
+                 f"least(CAST({prefix}i{d} AS BIGINT), {ncs - 1})")
+            )
+            lat.append((f"{prefix}a{d+1}", f"{prefix}a{d}_"))
+        # tail extension: short prefixes pad to min_len + num % n_len
+        lat.append(
+            (f"{prefix}dest",
+             f"(CASE WHEN {prefix}len < {p.min_length} "
+             f"THEN {p.min_length} + ({prefix}ni % {n_len}) ELSE {prefix}len END)")
+        )
+        parts = []
+        for pos in range(p.max_length):
+            ext_idx = (
+                f"((({prefix}ni + ({pos} - {prefix}len) * ({pos} - {prefix}len)) % {ncs}) + {ncs}) % {ncs}"
+            )
+            body_char = f"({cs_list})[CAST({prefix}c{pos} AS INTEGER) + 1]" if pos < p.max_length else "''"
+            parts.append(
+                f"(CASE WHEN {pos} < {prefix}len THEN {body_char} "
+                f"WHEN {pos} < {prefix}dest THEN ({cs_list})[({ext_idx}) + 1] "
+                f"ELSE '' END)"
+            )
         return lat, "(" + " || ".join(parts) + ")"
 
     def _phone_sql(self, number_expr: str) -> str:

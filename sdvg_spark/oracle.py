@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from sdvg_spark.config.model import GenerationConfig
-from sdvg_spark.core.rng import frf_cte_chain
+from sdvg_spark.core.rng import dlit, frf_cte_chain
 from sdvg_spark.core.sequence import feistel_np, lfsr_walk, ordered_sql
 from sdvg_spark.engine import ColumnPlan, plan_column
 from sdvg_spark.generators.values import EnumGen
@@ -110,7 +110,7 @@ def column_oracle_sql(
     val_cases = []
     laterals: list[tuple[str, str]] = []
     for r in plan.ranges:
-        number = f"(num::DOUBLE + r01 * {r.factor!r})"
+        number = f"(num::DOUBLE + r01 * {dlit(r.factor)})"
         if isinstance(r.vgen, EnumGen):
             v = r.vgen.sql("num", _duck_type(plan.dtype))
         else:
@@ -126,7 +126,7 @@ def column_oracle_sql(
         if v is None:
             return None
         if r.null_pct > 0:
-            v = f"(CASE WHEN r01 < {r.null_pct!r} THEN NULL ELSE {v} END)"
+            v = f"(CASE WHEN r01 < {dlit(r.null_pct)} THEN NULL ELSE {v} END)"
         val_cases.append((r.index, v))
     if len(val_cases) == 1:
         val_expr = val_cases[0][1]
@@ -138,10 +138,19 @@ def column_oracle_sql(
         )
     cast = _duck_type(plan.dtype)
     if laterals:
-        defs = ", ".join(f"{e} AS {n}" for n, e in laterals)
+        # one chained CTE per stage: DuckDB expands same-SELECT lateral
+        # aliases by SUBSTITUTION, so a recurrence referencing its
+        # predecessor k times would grow k^depth; a projection chain
+        # computes every stage exactly once per row.
+        stages = []
+        rel = final
+        for i, (n, e) in enumerate(laterals):
+            nxt = f"lat{i}"
+            stages.append(f"{nxt} AS (SELECT *, {e} AS {n} FROM {rel})")
+            rel = nxt
         return (
-            f"WITH {pre}, {chain}, lat AS (SELECT *, {defs} FROM {final}) "
-            f"SELECT id, CAST({val_expr} AS {cast}) AS {column_name} FROM lat"
+            f"WITH {pre}, {chain}, {', '.join(stages)} "
+            f"SELECT id, CAST({val_expr} AS {cast}) AS {column_name} FROM {rel}"
         )
     return (
         f"WITH {pre}, {chain} "
