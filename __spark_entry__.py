@@ -83,13 +83,13 @@ _GEN_QUERIES = {
     "gen_ranges": ("m", "ranges"),
     "gen_foreign_key": ("child", "pid"),
     "gen_slice_resume": ("m_slice", "v"),
-    # uuid/template mirror via lateral digit chains; simple/text stay rows-only:
+    # every unranking (uuid, template, simple, text) has a SQL mirror:
     "gen_uuid": ("m", "uuid"),
     "gen_string_simple": ("m", "s_simple"),
     "gen_template": ("m", "s_tmpl"),
     "gen_text": ("m", "s_text"),
 }
-_NO_ORACLE = {"gen_text"}  # big-int word-sequence unranking has no SQL mirror
+_NO_ORACLE: set[str] = set()  # every generator now has a value-exact SQL mirror
 
 
 def _gen_query(model: str, column: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -581,6 +581,8 @@ class StringGen:
         p = self.p
         if not p.logical_type and not p.template and p.max_length <= 32:
             return self._simple_sql_lateral(number_expr, prefix)
+        if p.logical_type == "text" and len(self.completions) <= 80:
+            return self._text_sql_lateral(number_expr, prefix)
         if not p.template:
             return None
         from sdvg_spark.generators import locales as _loc
@@ -680,6 +682,158 @@ class StringGen:
                 f"ELSE '' END)"
             )
         return lat, "(" + " || ".join(parts) + ")"
+
+    def _text_sql_lateral(
+        self, number_expr: str, prefix: str
+    ) -> tuple[list[tuple[str, str]], str]:
+        """DuckDB mirror of :meth:`_text_np` (reference text unranking,
+        value/string.go:239-324).
+
+        The per-row word search "find first w with k < comp[rem-wlen],
+        else k -= comp[...]" is an upper-bound over the prefix sums of
+        those counts; the DP identity comp[rem] = Σ_w comp[rem-wlen]
+        bounds every sum below 2^63, so the cumulative tables embed as
+        one nested BIGINT list literal indexed by `rem`. The loop
+        unrolls to ≤ ⌈max_pre/2⌉+1 stages carrying (rem, k, text, len,
+        ok); tail padding repeats a single k-chosen word.
+        """
+        p = self.p
+        words = list(self.pack.words)
+        one_letter = self.pack.one_letter_words()
+        comp = self.completions
+        max_pre = len(comp) - 1
+        n_words = len(words)
+        n_len = p.max_length - p.min_length + 1
+        delim = locales.WORDS_DELIMITER
+
+        def slit(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        words_lit = "[" + ", ".join(slit(w) for w in words) + "]"
+        wlens_lit = "[" + ", ".join(str(len(w) + 1) for w in words) + "]"
+        onelet_lit = "[" + ", ".join(slit(w) for w in one_letter) + "]"
+        # cumz[rem][i] (1-indexed): 0-prepended prefix sums of
+        # comp[rem - wlen_w] over words admissible at that rem
+        outer = []
+        for rem in range(max_pre + 1):
+            acc, row = 0, [0]
+            for w in words:
+                wlen = len(w) + 1
+                if wlen <= rem:
+                    acc += comp[rem - wlen]
+                row.append(acc)
+            outer.append("[" + ",".join(str(v) for v in row) + "]")
+        cumz_lit = "[" + ", ".join(outer) + "]"
+
+        # bulky lookup literals live in a one-row CTE; scalar subqueries
+        # of it are uncorrelated, so DuckDB evaluates them once, and the
+        # SQL text stays small however many stages reference them
+        vt = f"{prefix}vt"
+        ctes = [
+            (
+                vt,
+                f"SELECT {words_lit} AS w, {wlens_lit} AS wl, "
+                f"{onelet_lit} AS ol, {cumz_lit} AS cz",
+            )
+        ]
+        W = f"(SELECT w FROM {vt})"
+        WL = f"(SELECT wl FROM {vt})"
+        OL = f"(SELECT ol FROM {vt})"
+        CZ = f"(SELECT cz FROM {vt})"
+        lat: list[tuple[str, str]] = [
+            (f"{prefix}ni", f"CAST(trunc({number_expr}) AS BIGINT)"),
+        ]
+        lat.append(
+            (f"{prefix}wanted", f"({p.min_length} + 1 + ({prefix}ni % {n_len}))")
+        )
+        lat.append(
+            (
+                f"{prefix}k0",
+                f"CAST(floor({dlit(float(comp[max_pre] - 1))} * "
+                f"(({number_expr}) / {dlit(self.total)})) AS BIGINT)",
+            )
+        )
+        lat += [
+            (f"{prefix}rem0", f"{max_pre}"),
+            (f"{prefix}t0", "''"),
+            (f"{prefix}tl0", "0"),
+            (f"{prefix}ok0", "TRUE"),
+        ]
+        n_stages = max_pre // 2 + 2
+        for s in range(n_stages):
+            P = prefix
+            act = f"({P}ok{s} AND {P}rem{s} > 0)"
+            term = f"({act} AND {P}rem{s} = 1)"
+            mid = f"({act} AND {P}rem{s} > 1)"
+            cum = f"({CZ}[{P}rem{s} + 1])"
+            # j0 = count of prefix-sum entries <= k, minus the leading 0
+            lat.append(
+                (
+                    f"{P}j{s}",
+                    f"(CASE WHEN {mid} THEN len(list_filter({cum}, c -> c <= {P}k{s})) - 1 ELSE 0 END)",
+                )
+            )
+            found = f"({P}j{s} < {n_words})"
+            lat.append(
+                (
+                    f"{P}ok{s+1}",
+                    f"(CASE WHEN {term} THEN {P}k{s} <= {len(one_letter) - 1} "
+                    f"WHEN {mid} THEN {found} ELSE {P}ok{s} END)",
+                )
+            )
+            lat.append(
+                (
+                    f"{P}t{s+1}",
+                    f"(CASE WHEN {term} AND {P}k{s} <= {len(one_letter) - 1} "
+                    f"THEN {P}t{s} || {OL}[CAST({P}k{s} AS INTEGER) + 1] "
+                    f"WHEN {mid} AND {found} "
+                    f"THEN {P}t{s} || {W}[CAST({P}j{s} AS INTEGER) + 1] || {slit(delim)} "
+                    f"ELSE {P}t{s} END)",
+                )
+            )
+            lat.append(
+                (
+                    f"{P}tl{s+1}",
+                    f"(CASE WHEN {term} THEN {P}tl{s} + 1 "
+                    f"WHEN {mid} AND {found} THEN {P}tl{s} + {WL}[CAST({P}j{s} AS INTEGER) + 1] "
+                    f"ELSE {P}tl{s} END)",
+                )
+            )
+            lat.append(
+                (
+                    f"{P}rem{s+1}",
+                    f"(CASE WHEN {term} THEN 0 "
+                    f"WHEN {mid} AND {found} THEN {P}rem{s} - {WL}[CAST({P}j{s} AS INTEGER) + 1] "
+                    f"ELSE {P}rem{s} END)",
+                )
+            )
+            lat.append(
+                (
+                    f"{P}k{s+1}",
+                    f"(CASE WHEN {mid} AND {found} THEN {P}k{s} - {cum}[CAST({P}j{s} AS INTEGER) + 1] "
+                    f"ELSE {P}k{s} END)",
+                )
+            )
+        S = n_stages
+        P = prefix
+        lat.append((f"{P}okF", f"({P}ok{S} AND {P}rem{S} = 0)"))
+        lat.append(
+            (f"{P}pw", f"{W}[CAST({P}k{S} % {n_words - 1} AS INTEGER) + 1]")
+        )
+        lat.append(
+            (
+                f"{P}padded",
+                f"(CASE WHEN {P}tl{S} < {P}wanted THEN {P}t{S} || repeat({P}pw || {slit(delim)}, "
+                f"CAST(ceil(({P}wanted - {P}tl{S})::DOUBLE / (length({P}pw) + 1)) AS INTEGER)) "
+                f"ELSE {P}t{S} END)",
+            )
+        )
+        value = (
+            f"(CASE WHEN NOT {P}okF THEN '' "
+            f"WHEN length({P}padded) > {P}wanted THEN substring({P}padded, 1, CAST({P}wanted AS INTEGER)) "
+            f"ELSE {P}padded END)"
+        )
+        return lat, value, ctes
 
     def _phone_sql(self, number_expr: str) -> str:
         pats = self.pack.phone_patterns_filtered(self.p.min_length, self.p.max_length)

@@ -109,6 +109,7 @@ def column_oracle_sql(
     # --- value dispatch ------------------------------------------------------
     val_cases = []
     laterals: list[tuple[str, str]] = []
+    extra_ctes: list[tuple[str, str]] = []
     for r in plan.ranges:
         number = f"(num::DOUBLE + r01 * {dlit(r.factor)})"
         if isinstance(r.vgen, EnumGen):
@@ -116,12 +117,18 @@ def column_oracle_sql(
         else:
             v = r.vgen.sql(number)
         if v is None and hasattr(r.vgen, "sql_lateral"):
-            # stepwise digit-chain generators (uuid, templates): stages
-            # become lateral column aliases so IEEE rounding matches the
-            # numpy kernel stage-for-stage
+            # stepwise digit-chain generators (uuid, templates, text):
+            # stages become chained projections so IEEE rounding matches
+            # the numpy kernel stage-for-stage; bulky lookup literals
+            # ride in one-row CTEs referenced as scalar subqueries
+            # (evaluated once, not per row)
             res = r.vgen.sql_lateral(number, f"__l{r.index}_")
             if res is not None:
-                lats, v = res
+                if len(res) == 3:
+                    lats, v, ctes = res
+                    extra_ctes.extend(ctes)
+                else:
+                    lats, v = res
                 laterals.extend(lats)
         if v is None:
             return None
@@ -148,8 +155,9 @@ def column_oracle_sql(
             nxt = f"lat{i}"
             stages.append(f"{nxt} AS (SELECT *, {e} AS {n} FROM {rel})")
             rel = nxt
+        cte_sql = "".join(f"{n} AS ({s}), " for n, s in extra_ctes)
         return (
-            f"WITH {pre}, {chain}, {', '.join(stages)} "
+            f"WITH {pre}, {chain}, {cte_sql}{', '.join(stages)} "
             f"SELECT id, CAST({val_expr} AS {cast}) AS {column_name} FROM {rel}"
         )
     return (
