@@ -586,8 +586,15 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 }
             )
 
-    return widen(df).select(id_col, text_col).mapInPandas(
-        kernel, "__id long, __sim long"
+    # null texts carry no signal: drop them (matching the expression
+    # path, whose NULL simhash never joined) instead of stringifying
+    # None into a shared "none" token that would make every null-text
+    # doc an exact duplicate of the others
+    return (
+        widen(df)
+        .select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .mapInPandas(kernel, "__id long, __sim long")
     )
 
 

@@ -49,6 +49,10 @@ def brute_force_topk(
     q_rows = queries.select(
         F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")
     ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank int"
+        )
     q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["__qv"] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(q_mat, axis=1)
@@ -157,14 +161,16 @@ def lsh_topk(
             ]
         )
 
-    c = widen(corpus).select(
+    # the bucketing join moves ONLY (id, table, signature) — exploding
+    # the vector payload n_tables× would multiply shuffle volume by L;
+    # vectors re-attach after the candidate set is deduped
+    wide = widen(corpus)
+    c = wide.select(
         F.col(corpus_id).alias("c_id"),
-        F.col(corpus_vec).alias("__cv"),
         F.posexplode(sigs_for(corpus_vec)).alias("__t", "__sig"),
     )
     q = queries.select(
         F.col(query_id).alias("q_id"),
-        F.col(query_vec).alias("__qv"),
         F.posexplode(sigs_for(query_vec)).alias("__t", "__qsig"),
     )
     # probe signatures per table: original + single-bit flips (+ pairs)
@@ -181,10 +187,19 @@ def lsh_topk(
             for b1 in range(n_planes)
             for b2 in range(b1 + 1, n_planes)
         ]
-    qp = q.select("q_id", "__qv", "__t", F.explode(F.array(*probes)).alias("__sig"))
-    scored = qp.join(c, ["__t", "__sig"]).select(
-        "q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine")
-    ).dropDuplicates(["q_id", "c_id"])
+    qp = q.select("q_id", "__t", F.explode(F.array(*probes)).alias("__sig"))
+    cand = (
+        qp.join(c, ["__t", "__sig"])
+        .select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    cv = wide.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
+    scored = (
+        cand.join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")  # queries are the small side
+        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    )
     final = scored.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),

@@ -79,10 +79,32 @@ def write_parquet_encoded(
     # numbering collision-free without cross-task coordination
     files_per_task = 1 << 20
 
-    if "://" not in path:
-        if mode == "overwrite" and os.path.isdir(path):
-            shutil.rmtree(path)
-        os.makedirs(path, exist_ok=True)
+    if "://" in path:
+        # executor-side pq.write_table + os.makedirs target the local
+        # filesystem; shipping this to object stores needs an fsspec
+        # filesystem handle per task (not wired yet). Fail loudly
+        # instead of scattering local junk dirs across executors.
+        raise NotImplementedError(
+            "per-column parquet encodings currently support local paths "
+            "only; use the default Spark parquet writer (global encoding "
+            "options) for object-store outputs"
+        )
+    if mode == "overwrite" and os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    # append/resume: existing {model}_{n} files survive; new files must
+    # number past them BOTH at write time (no silent overwrite) and in
+    # the compaction pass
+    base = 0
+    if mode == "append":
+        import re as _re
+
+        pat = _re.compile(rf"^{_re.escape(model.name)}_(\d+)\.parquet$")
+        for _root, _dirs, files in os.walk(path):
+            for f in files:
+                mt = pat.match(f)
+                if mt:
+                    base = max(base, int(mt.group(1)) + 1)
 
     def write_task(batches):
         import pyarrow as pa
@@ -110,7 +132,7 @@ def write_parquet_encoded(
             off = 0
             while off < tbl.num_rows:
                 chunk = tbl.slice(off, rows_per_file)
-                n = pid * files_per_task + seq
+                n = base + pid * files_per_task + seq
                 pq.write_table(
                     chunk,
                     os.path.join(d, f"{model_name}_{n}.parquet"),
@@ -157,12 +179,15 @@ def write_parquet_encoded(
     df.mapInArrow(write_task, "files long").write.format("noop").mode(
         "overwrite"
     ).save()
-    _renumber(path, model_name)
+    _renumber(path, model_name, base)
 
 
-def _renumber(path: str, model_name: str) -> None:
-    """Compact the collision-free sparse file numbers to 0..k per dir."""
-    if "://" in path or not os.path.isdir(path):
+def _renumber(path: str, model_name: str, base: int = 0) -> None:
+    """Compact sparse file numbers to the smallest free indices per dir.
+
+    Files below ``base`` are previous-run output already compact; new
+    sparse numbers (≥ base) fill the gaps after them."""
+    if not os.path.isdir(path):
         return
     import re
 
@@ -171,9 +196,16 @@ def _renumber(path: str, model_name: str) -> None:
         matched = sorted(
             (int(m.group(1)), f) for f in files if (m := pat.match(f))
         )
-        for k, (n, f) in enumerate(matched):
+        taken = {n for n, _f in matched if n < base}
+        k = 0
+        for n, f in matched:
+            if n < base:
+                continue
+            while k in taken:
+                k += 1
             if n != k:
                 os.rename(
                     os.path.join(root, f),
                     os.path.join(root, f"{model_name}_{k}.parquet"),
                 )
+            taken.add(k)

@@ -27,7 +27,7 @@ def _json_default(v: Any) -> Any:
         return v.isoformat()
     return str(v)
 
-_TOKEN = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}", flags=re.S)
+_TOKEN = re.compile(r"\{\{(-)?\s*(.*?)\s*(-)?\}\}", flags=re.S)
 
 
 class TemplateError(ValueError):
@@ -115,13 +115,25 @@ def _exec(nodes: list[tuple], ctx: Any, out: list[str]) -> None:
 def render(template: str, ctx: Any) -> str:
     parts: list[tuple[str, str]] = []
     pos = 0
+    trim_next = False  # a preceding `-}}` trims our leading whitespace
     for m in _TOKEN.finditer(template):
         if m.start() > pos:
-            parts.append(("text", template[pos : m.start()]))
-        parts.append(("action", m.group(1)))
+            text = template[pos : m.start()]
+            if trim_next:
+                text = text.lstrip()
+            if m.group(1):  # `{{-` trims trailing whitespace before it
+                text = text.rstrip()
+            if text:
+                parts.append(("text", text))
+        parts.append(("action", m.group(2)))
+        trim_next = bool(m.group(3))
         pos = m.end()
     if pos < len(template):
-        parts.append(("text", template[pos:]))
+        text = template[pos:]
+        if trim_next:
+            text = text.lstrip()
+        if text:
+            parts.append(("text", text))
     nodes, _ = _parse(parts, 0)
     out: list[str] = []
     _exec(nodes, ctx, out)

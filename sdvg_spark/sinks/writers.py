@@ -16,7 +16,6 @@ O(data), so the pass is skipped and Spark's native layout is kept.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import urllib.request
@@ -130,7 +129,15 @@ def _restore_layout(path: str, model: ModelSpec, ext: str) -> None:
             if new.endswith("=__HIVE_DEFAULT_PARTITION__"):
                 new = new[: -len("__HIVE_DEFAULT_PARTITION__")] + "null"
             if new != d:
-                os.rename(os.path.join(root, d), os.path.join(root, new))
+                src, dst = os.path.join(root, d), os.path.join(root, new)
+                if os.path.isdir(dst):
+                    # resume/append: the parity-named dir already exists
+                    # from an earlier run — merge instead of rename
+                    for f in os.listdir(src):
+                        os.rename(os.path.join(src, f), os.path.join(dst, f))
+                    os.rmdir(src)
+                else:
+                    os.rename(src, dst)
     for root, _dirs, files in os.walk(path):
         parts = sorted(f for f in files if f.startswith("part-") and f.endswith(ext))
         if not parts:

@@ -142,9 +142,10 @@ def stream_running_totals(
         if state_timeout_ms > 0
         else GroupStateTimeout.NoTimeout
     )
+    key_dtype = dict(df.dtypes)[key_col]
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, total double, count long",
+        outputStructType=f"{key_col} {key_dtype}, total double, count long",
         stateStructType="total double, count long",
         outputMode="update",
         timeoutConf=timeout,

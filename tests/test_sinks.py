@@ -281,3 +281,50 @@ def test_ignored_model_not_written(spark, tmp_path):
     Engine(cfg).run(spark)
     assert os.path.isdir(f"{tmp_path}/ig/t")
     assert not os.path.isdir(f"{tmp_path}/ig/extra")
+
+
+def test_encoded_parquet_resume_append_preserves_data(spark, tmp_path):
+    # regression: append-mode encoded writes must not overwrite run-1
+    # files (numbering now offsets past existing {model}_{n} names)
+    from sdvg_spark.sinks.writers import write_model
+
+    raw = _cfg(tmp_path / "encres", "parquet", rows=400)
+    raw["models"]["t"]["columns"][0]["parquet"] = {"encoding": "DELTA_BINARY_PACKED"}
+    cfg = parse_config(raw)
+    eng = Engine(cfg)
+    df1 = eng.model_df(spark, "t", generate_from=0, generate_to=200)
+    write_model(spark, df1, cfg.models["t"], cfg.output, mode="overwrite")
+    df2 = eng.model_df(spark, "t", generate_from=200, generate_to=400)
+    write_model(spark, df2, cfg.models["t"], cfg.output, mode="append")
+    con = duckdb.connect()
+    n, kmin, kmax = con.execute(
+        f"SELECT count(*), min(k), max(k) FROM read_parquet('{tmp_path}/encres/t/*.parquet')"
+    ).fetchone()
+    assert (n, kmin, kmax) == (400, 1, 400)
+
+
+def test_csv_resume_append_with_null_partition_dirs(spark, tmp_path):
+    # regression: second append run must merge into existing tag=null /
+    # renamed write_to_output dirs instead of crashing on os.rename
+    from sdvg_spark.sinks.writers import write_model
+
+    raw = _cfg(tmp_path / "csvres", "csv", rows=300)
+    raw["models"]["t"]["columns"][3]["values"] = ["x", None]
+    raw["models"]["t"]["partition_columns"] = [{"name": "tag"}]
+    cfg = parse_config(raw)
+    eng = Engine(cfg)
+    write_model(
+        spark, eng.model_df(spark, "t", generate_from=0, generate_to=150),
+        cfg.models["t"], cfg.output, mode="overwrite",
+    )
+    write_model(
+        spark, eng.model_df(spark, "t", generate_from=150, generate_to=300),
+        cfg.models["t"], cfg.output, mode="append",
+    )
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_csv_auto('{tmp_path}/csvres/t/*/*.csv', hive_partitioning=1)"
+    ).fetchone()
+    assert n == 300
+    dirs = {os.path.basename(p) for p in glob.glob(f"{tmp_path}/csvres/t/tag=*")}
+    assert dirs == {"tag=x", "tag=null"}

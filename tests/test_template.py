@@ -81,3 +81,10 @@ def test_non_string_values_json_encoded():
     # dict/list values render as JSON, matching Go's json func usage
     out = render("{{ .M }}", {"M": {"k": 1}})
     assert json.loads(out) == {"k": 1}
+
+
+def test_trim_markers():
+    out = render('{ "rows":\n  {{- json .Rows }} }', {"Rows": [1]})
+    assert out == '{ "rows":[1] }'
+    out = render("a {{- 1 -}} b", {})
+    assert out == "a1b"
