@@ -237,6 +237,27 @@ def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+def _value_micros() -> "F.Column":
+    """``value`` in exact integer micro-units.
+
+    Summing doubles is order-dependent (Spark and DuckDB reduce in
+    different orders), so ``round(sum(value), 6)`` can land on either
+    side of a rounding boundary — the one red CORRECTNESS cell in r1.
+    ``round(value * 1e6)`` is a single IEEE multiply + round-half-away
+    on the same double in both engines (bit-identical), and the long
+    sum is exact and associative — order-independent by construction.
+    """
+    return F.round(F.col("value") * 1_000_000).cast("long")
+
+
+def _micros_to_value(c: "F.Column") -> "F.Column":
+    return (c / F.lit(1_000_000.0)).cast("double")
+
+
+# DuckDB mirror of the same arithmetic (sum(BIGINT) is exact int128)
+_SQL_VSUM = "(sum(round(value * 1000000)::BIGINT) / 1000000.0)"
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min inactivity gap splits sessions (window
     lag + cumulative sum — the batch form of the streaming operator)."""
@@ -254,7 +275,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("session_value"),
+        _micros_to_value(F.sum(_value_micros())).alias("session_value"),
     )
 
 
@@ -269,7 +290,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "ts",
         "1 hour",
-        {"n_events": F.count(F.lit(1)), "total_value": F.round(F.sum("value"), 6)},
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": _micros_to_value(F.sum(_value_micros())),
+        },
         keys=["user_id"],
     )
     return out.select("user_id", "window_start", "n_events", "total_value")
@@ -285,7 +309,10 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "ts",
         "30 minutes",
-        {"n_events": F.count(F.lit(1)), "session_value": F.round(F.sum("value"), 6)},
+        {
+            "n_events": F.count(F.lit(1)),
+            "session_value": _micros_to_value(F.sum(_value_micros())),
+        },
         keys=["user_id"],
     )
     return out.select("user_id", "session_start", "session_end", "n_events", "session_value")
@@ -324,7 +351,7 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        _micros_to_value(F.sum(_value_micros()).over(w)).alias("running_value"),
         F.row_number().over(w).alias("event_seq"),
     )
 
@@ -437,7 +464,7 @@ FROM orders JOIN rev ON o_orderkey = rev.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
 
-    out["events_sessionize"] = """
+    out["events_sessionize"] = f"""
 WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
 g AS (SELECT user_id, event_id, ts, value,
         CASE WHEN lag(ts) OVER w IS NULL
@@ -445,16 +472,16 @@ g AS (SELECT user_id, event_id, ts, value,
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
-SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 6) AS session_value
+SELECT user_id, session_seq, count(*) AS n_events, {_SQL_VSUM} AS session_value
 FROM s GROUP BY user_id, session_seq"""
 
-    out["events_hourly"] = """
+    out["events_hourly"] = f"""
 WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events)
 SELECT user_id, date_trunc('hour', ts) AS window_start,
-  count(*) AS n_events, round(sum(value), 6) AS total_value
+  count(*) AS n_events, {_SQL_VSUM} AS total_value
 FROM e GROUP BY user_id, date_trunc('hour', ts)"""
 
-    out["events_session_window"] = """
+    out["events_session_window"] = f"""
 WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
 g AS (SELECT user_id, ts, value,
         CASE WHEN lag(ts) OVER w IS NULL
@@ -464,13 +491,13 @@ s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
         ROWS UNBOUNDED PRECEDING) AS sid FROM g)
 SELECT user_id, min(ts) AS session_start,
   max(ts) + INTERVAL 30 MINUTE AS session_end,
-  count(*) AS n_events, round(sum(value), 6) AS session_value
+  count(*) AS n_events, {_SQL_VSUM} AS session_value
 FROM s GROUP BY user_id, sid"""
 
     out["user_running_value"] = """
 WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)
 SELECT event_id, user_id,
-  round(sum(value) OVER w, 6) AS running_value,
+  (sum(round(value * 1000000)::BIGINT) OVER w / 1000000.0) AS running_value,
   row_number() OVER w AS event_seq
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"""
 

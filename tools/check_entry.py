@@ -9,6 +9,7 @@ Usage: python tools/check_entry.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from datetime import datetime
@@ -20,9 +21,14 @@ sys.path.insert(0, ".")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+EXACT = os.environ.get("EXACT", "") == "1"
+
+
 def norm(v):
     if isinstance(v, float):
-        return round(v, 9)
+        # EXACT=1 predicts the driver's value-hash (bit-exact doubles);
+        # the default 1e-9 tolerance only predicts rows/schema.
+        return v if EXACT else round(v, 9)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None)
     return v
