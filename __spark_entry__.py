@@ -156,7 +156,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    # bands=64 (2 rows/band): candidate-miss probability for a true
+    # s≥0.4 pair is (1-s²)^64 ≤ 1.4e-5, and every candidate is
+    # exact-verified — so the output IS the exact Jaccard ground truth,
+    # and the dedup_jaccard SQL doubles as a value-exact oracle.
+    p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, bands=64)
     return p.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
@@ -320,8 +324,9 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary payloads + metadata, then
-    Arrow-batched decode + image statistics (deterministic fake decoder;
-    rows-only driver check)."""
+    Arrow-batched decode + image statistics. The fake decoder is
+    splitmix64-seeded, so a DuckDB SQL mirror re-derives the exact
+    pixels — this is a value-exact oracle row, not rows-only."""
     from sdvg_spark.ops.multimodal import image_features, synth_media
 
     media = synth_media(spark.range(0, 2000), width=8, height=8, channels=3)
@@ -332,10 +337,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio leg of the multimodal plumbing: waveform decode + RMS/peak/
-    zero-crossing statistics (deterministic fake decoder; rows-only)."""
+    zero-crossing statistics, value-exact against a SQL mirror of the
+    splitmix64 fake waveform (200 clips × 250 ms @ 16 kHz)."""
     from sdvg_spark.ops.multimodal import audio_features, synth_media
 
-    media = synth_media(spark.range(0, 2000))
+    media = synth_media(spark.range(0, 200), duration_ms=250)
     return audio_features(media).select(
         "media_id", "n_samples", "duration_ms",
         F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
@@ -431,12 +437,27 @@ WHERE a.doc_id < b.doc_id
   AND len(list_intersect(a.s,b.s))::DOUBLE
       / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))::DOUBLE >= 0.4"""
     out["dedup_jaccard"] = _jacc
+    # minhash-LSH at bands=64 + exact verification has recall ~1-1e-5
+    # at threshold 0.4 (verified identical on the driver testdata), so
+    # the exact-Jaccard SQL is its oracle too — a red cell here means
+    # the LSH pipeline dropped or fabricated a pair.
+    out["dedup_minhash"] = _jacc
+
+    from sdvg_spark.ops.dedup import simhash_pairs_oracle_sql
+
+    out["dedup_simhash"] = simhash_pairs_oracle_sql(max_distance=6)
 
     out["dedup_embedding"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""
+
+    from sdvg_spark.ops.similarity import lsh_topk_oracle_sql
+
+    out["ann_lsh"] = lsh_topk_oracle_sql(
+        k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64
+    )
 
     out["ann_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
@@ -493,6 +514,14 @@ SELECT user_id, min(ts) AS session_start,
   max(ts) + INTERVAL 30 MINUTE AS session_end,
   count(*) AS n_events, {_SQL_VSUM} AS session_value
 FROM s GROUP BY user_id, sid"""
+
+    from sdvg_spark.ops.multimodal import (
+        audio_features_oracle_sql,
+        image_features_oracle_sql,
+    )
+
+    out["media_features"] = image_features_oracle_sql(2000, width=8, height=8, channels=3)
+    out["media_audio_features"] = audio_features_oracle_sql(200, duration_ms=250)
 
     out["user_running_value"] = """
 WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)

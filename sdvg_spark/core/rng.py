@@ -159,22 +159,21 @@ def _sql_xor(a: str, b: str) -> str:
     )
 
 
-def frf_cte_chain(
+def splitmix64_cte_chain(
     source: str,
     seed_expr: str,
     carry: list[str],
-    out: str = "r",
-    prefix: str = "frf",
+    out: str = "s",
+    prefix: str = "sm",
 ) -> tuple[str, str]:
-    """Emit a DuckDB CTE chain computing fastRandomFloat(seed_expr).
+    """Emit a DuckDB CTE chain computing raw SplitMix64+XorShift64 of
+    ``seed_expr`` as a HUGEINT in [0, 2^64) — the integer the numpy /
+    Column kernels produce before normalization.
 
-    Returns ``(cte_sql, final_cte_name)``. ``cte_sql`` is a fragment like
-    ``"p0 AS (...), p1 AS (...), ..."`` to splice into a WITH clause.
-    ``source`` is the CTE/table the chain reads from; ``carry`` columns
-    are passed through unchanged; the result column is named ``out``.
-
-    A chain (rather than one expression) keeps the SQL linear in size —
-    each scramble step references the previous step's column by name.
+    Returns ``(cte_sql, final_cte_name)``; splice ``cte_sql`` into a
+    WITH clause. ``carry`` columns pass through unchanged; the result
+    column is named ``out``. A chain (rather than one expression) keeps
+    the SQL linear in size.
     """
     steps = [
         f"(((({seed_expr})::HUGEINT) % {U64} + {U64}) % {U64} + {_SM64_GAMMA}) % {U64}",
@@ -195,7 +194,26 @@ def frf_cte_chain(
         parts.append(f"{name} AS (SELECT {cols}({step}) AS s FROM {prev})")
         prev = name
     final = f"{prefix}_out"
-    parts.append(
-        f"{final} AS (SELECT {cols}(s::DOUBLE / {dlit(_NORM)}) AS {out} FROM {prev})"
-    )
+    if out != "s":
+        parts.append(f"{final} AS (SELECT {cols}s AS {out} FROM {prev})")
+    else:
+        final = prev
     return ", ".join(parts), final
+
+
+def frf_cte_chain(
+    source: str,
+    seed_expr: str,
+    carry: list[str],
+    out: str = "r",
+    prefix: str = "frf",
+) -> tuple[str, str]:
+    """Emit a DuckDB CTE chain computing fastRandomFloat(seed_expr):
+    the :func:`splitmix64_cte_chain` integer normalized to [0, 1)."""
+    cte, prev = splitmix64_cte_chain(source, seed_expr, carry, out="s", prefix=prefix)
+    cols = ", ".join(carry) + (", " if carry else "")
+    final = f"{prefix}_out"
+    return (
+        f"{cte}, {final} AS (SELECT {cols}(s::DOUBLE / {dlit(_NORM)}) AS {out} FROM {prev})",
+        final,
+    )

@@ -540,18 +540,18 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     The expression-based :func:`simhash` builds 64 interpreted CASE
     branches per token; at scan scale that burns ~100× the CPU of this
-    batch kernel (crc32+SplitMix64 token hash, ``unpackbits`` →
-    ``add.reduceat`` per-doc bit counters, ``packbits`` reassembly).
-    Token hash is crc32 folded through SplitMix64 — any deterministic
-    64-bit hash serves; SimHash only needs hash-bit independence.
+    batch kernel (``unpackbits`` → ``add.reduceat`` per-doc bit
+    counters, ``packbits`` reassembly). Token hash is the first 8 bytes
+    (big-endian) of md5 — any deterministic 64-bit hash serves SimHash,
+    and this one is reproducible in plain SQL
+    (``('0x' || substr(md5(tok),1,16))::UBIGINT``), which is what makes
+    the operator oracle-checkable end-to-end.
     """
     import numpy as np
     import pandas as pd
 
-    from sdvg_spark.core.rng import splitmix64_np
-
     def kernel(batches):
-        import zlib
+        import hashlib
 
         for pdf in batches:
             texts = pdf[text_col]
@@ -564,12 +564,14 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             nonempty = np.flatnonzero(lens > 0)
             if len(nonempty):
                 flat = [tok for i in nonempty for tok in tok_lists[i]]
-                crc = np.fromiter(
-                    (zlib.crc32(t.encode("utf-8")) for t in flat),
+                h = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                        for t in flat
+                    ),
                     count=len(flat),
                     dtype=np.uint64,
                 )
-                h = splitmix64_np(crc)
                 # (n_tokens, 64) ±1 contributions, summed per doc
                 bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)
                 contrib = bits.astype(np.int32) * 2 - 1
@@ -635,23 +637,94 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+) -> str:
+    """DuckDB SQL reproducing :func:`simhash_pairs` value-for-value.
+
+    Re-derives every 64-bit SimHash in SQL — whitespace tokenization
+    (Python ``str.split`` ≡ regex ``\\s+`` split with empties dropped),
+    md5-based token hash, per-bit ±1 majority — then emits all pairs
+    with Hamming ≤ max_distance that share an equal 16-bit quarter (the
+    pigeonhole blocking constraint is part of the operator's contract:
+    it guarantees recall only for distance ≤ 3).
+    """
+    bit_aggs = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(64)
+    )
+    sim_u = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    quarter_ok = " OR ".join(
+        f"((xu // {1 << (16 * q)}) % 65536 = 0)" for q in range(4)
+    )
+    return f"""
+WITH base AS (SELECT {id_col} AS did, {text_col} AS txt FROM {table} WHERE {text_col} IS NOT NULL),
+toks AS (
+  SELECT did, unnest(list_filter(string_split_regex(lower(txt), '\\s+'), x -> x <> '')) AS tok
+  FROM base),
+th AS (SELECT did, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+bits AS (SELECT did,
+    {bit_aggs}
+  FROM th GROUP BY did),
+persig AS (SELECT did, ({sim_u}) AS simu FROM bits),
+sims AS (
+  SELECT b.did, coalesce(p.simu, 0::HUGEINT) AS simu
+  FROM base b LEFT JOIN persig p USING (did)),
+pairs AS (
+  SELECT a.did AS id_a, b.did AS id_b,
+    {_sql_xor_name('a.simu', 'b.simu')} AS xu
+  FROM sims a JOIN sims b ON a.did < b.did)
+SELECT id_a, id_b,
+  bit_count(((xu // 4294967296)::BIGINT))::INTEGER + bit_count((xu % 4294967296)::BIGINT)::INTEGER AS hamming
+FROM pairs
+WHERE (bit_count(((xu // 4294967296)::BIGINT)) + bit_count((xu % 4294967296)::BIGINT)) <= {max_distance}
+  AND ({quarter_ok})"""
+
+
+def _sql_xor_name(a: str, b: str) -> str:
+    """xor of two HUGEINT expressions in [0, 2^64) via 32-bit halves
+    (DuckDB xor() is BIGINT-only)."""
+    t = 1 << 32
+    return (
+        f"(xor((({a}) // {t})::BIGINT, (({b}) // {t})::BIGINT)::HUGEINT * {t} + "
+        f"xor((({a}) % {t})::BIGINT, (({b}) % {t})::BIGINT)::HUGEINT)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays — native zip_with/aggregate."""
+    """Cosine similarity of two float arrays — native zip_with/aggregate.
+
+    Elements are cast to double BEFORE multiplying: a float32 product
+    loses ~3 decimal digits per term, enough to flip ranking order
+    against a float64 oracle; the all-double form matches numpy / DuckDB
+    sequential accumulation.
+    """
     dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, v: s + v)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: (x * x).cast("double")), F.lit(0.0), lambda s, v: s + v)
-    )
+
+    def sq_norm(v: Column) -> Column:
+        return F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    na = F.sqrt(sq_norm(a))
+    nb = F.sqrt(sq_norm(b))
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
@@ -719,11 +792,23 @@ def embedding_dup_pairs(
     else:
         if dims is None:
             dims = _infer_dims(df, vec_col)
-        sig = _hyperplane_signature(F.col(vec_col), n_planes, seed, dims)
-        s = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__sig"))
-        sa = s.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__sig")
-        sb = s.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__sig")
-        cand = sa.join(sb, "__sig").where(F.col("id_a") < F.col("id_b")).drop("__sig")
+        from sdvg_spark.ops.similarity import hyperplane_sigs_df
+
+        # single-table signatures from the vectorized matmul kernel;
+        # the bucket self-join moves ids+signature only — vectors
+        # re-attach to the (much smaller) candidate set afterwards
+        sig = hyperplane_sigs_df(
+            df, id_col, vec_col, n_planes=n_planes, n_tables=1, seed=seed, dims=dims
+        ).drop("__t")
+        sa = sig.select(F.col("__id").alias("id_a"), "__sig")
+        sb = sig.select(F.col("__id").alias("id_b"), "__sig")
+        cand = (
+            sa.join(sb, "__sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, "id_b")
+        )
     return (
         cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= F.lit(threshold))
@@ -737,31 +822,6 @@ def _infer_dims(df: DataFrame, vec_col: str) -> int:
     return int(row.n) if row else 0
 
 
-def _hyperplane_signature(vec: Column, n_planes: int, seed: int, dims: int) -> Column:
-    """Sign signature under seeded pseudo-random hyperplanes.
-
-    Plane p's weight for dimension i is a deterministic hash of (p, i)
-    mapped to [-1, 1) — no stored plane matrix, identical across
-    executors. Dot products index the vector directly (element_at) so
-    the work is exactly n_planes×dims multiply-adds per row.
-    """
-    import numpy as np
-
-    from sdvg_spark.core.rng import splitmix64_np
-
-    def weights(p: int) -> np.ndarray:
-        ks = np.arange(dims, dtype=np.uint64) + np.uint64(seed + p * 1_000_003)
-        return splitmix64_np(ks) / float(1 << 64) * 2.0 - 1.0
-
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        w = weights(p)
-        dot = F.aggregate(
-            F.zip_with(vec, F.lit(w.tolist()), lambda x, y: (x * y).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+# (the interpreted expression-based hyperplane signature was replaced by
+# sdvg_spark.ops.similarity.hyperplane_sigs_df — one numpy matmul per
+# Arrow batch instead of n_planes×dims interpreted lambda ops per row)

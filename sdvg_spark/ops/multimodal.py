@@ -196,6 +196,8 @@ def synth_media(
     height: int = 16,
     channels: int = 3,
     payload_bytes: int = 256,
+    duration_ms: int = 1000,
+    sample_rate: int = 16000,
 ) -> DataFrame:
     """Deterministic synthetic media table (id -> payload+meta): the
     binary-column generator used by tests and demos; payload bytes are
@@ -222,13 +224,96 @@ def synth_media(
                         "width": width,
                         "height": height,
                         "channels": channels,
-                        "duration_ms": 1000,
-                        "sample_rate": 16000,
+                        "duration_ms": duration_ms,
+                        "sample_rate": sample_rate,
                     }
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads, "meta": metas})
 
     return df_ids.select(F.col(id_col)).mapInPandas(run, out_schema)
+
+
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_U64 = 1 << 64
+
+
+def _payload_hash_ctes(n_ids: int, payload_bytes: int) -> tuple[str, str]:
+    """DuckDB CTE fragment computing, per synthetic media_id, the content
+    hash ``h`` that the fake decoders seed from: the first 8 payload
+    bytes little-endian, xor the payload length.
+
+    Mirrors :func:`synth_media` (byte j = splitmix64(j + id*GAMMA) & 255)
+    + the ``h`` derivation shared by :func:`fake_image_decode` /
+    :func:`fake_audio_decode`. Returns (cte_sql, final_cte) where the
+    final CTE has columns (media_id HUGEINT, h HUGEINT).
+    """
+    from sdvg_spark.core.rng import _sql_xor, splitmix64_cte_chain
+
+    chain, fin = splitmix64_cte_chain(
+        "__hdr", f"(j + media_id * {_SM_GAMMA}) % {_U64}", ["media_id", "j"], prefix="__hb"
+    )
+    pow_case = "CASE " + " ".join(f"WHEN j = {j} THEN {256**j}::HUGEINT" for j in range(8)) + " END"
+    return (
+        f"""__ids AS (SELECT range::HUGEINT AS media_id FROM range(0, {n_ids})),
+__hdr AS (SELECT media_id, jj.range::HUGEINT AS j FROM __ids CROSS JOIN range(0, 8) jj),
+{chain},
+__h0 AS (SELECT media_id, sum((s % 256) * {pow_case})::HUGEINT AS h0 FROM {fin} GROUP BY media_id),
+__h AS (SELECT media_id, {_sql_xor('h0', str(payload_bytes))} AS h FROM __h0)""",
+        "__h",
+    )
+
+
+def image_features_oracle_sql(
+    n_ids: int,
+    width: int = 8,
+    height: int = 8,
+    channels: int = 3,
+    payload_bytes: int = 256,
+) -> str:
+    """DuckDB SQL reproducing ``image_features(synth_media(range(n)))``
+    value-for-value: the fake decoder's splitmix64-seeded pixels are
+    re-derived in SQL, so mean_intensity is an exact integer-sum / n."""
+    from sdvg_spark.core.rng import splitmix64_cte_chain
+
+    n_px = width * height * channels
+    hcte, hfin = _payload_hash_ctes(n_ids, payload_bytes)
+    chain, fin = splitmix64_cte_chain(
+        "__px", f"(k + h) % {_U64}", ["media_id"], prefix="__pv"
+    )
+    return f"""WITH {hcte},
+__px AS (SELECT media_id, h, kk.range::HUGEINT AS k FROM {hfin} CROSS JOIN range(0, {n_px}) kk),
+{chain}
+SELECT media_id::BIGINT AS media_id, {width}::INTEGER AS width, {height}::INTEGER AS height,
+  {channels}::INTEGER AS channels,
+  round(sum(s % 256)::DOUBLE / {n_px}, 6) AS mean_intensity
+FROM {fin} GROUP BY media_id"""
+
+
+def audio_features_oracle_sql(
+    n_ids: int,
+    duration_ms: int = 1000,
+    sample_rate: int = 16000,
+    payload_bytes: int = 256,
+) -> str:
+    """DuckDB SQL reproducing ``audio_features(synth_media(range(n)))``:
+    re-derives the fake int16 waveform and counts sign flips exactly."""
+    from sdvg_spark.core.rng import splitmix64_cte_chain
+
+    n = max(sample_rate * duration_ms // 1000, 1)
+    out_dur = n * 1000 // max(sample_rate, 1)
+    hcte, hfin = _payload_hash_ctes(n_ids, payload_bytes)
+    chain, fin = splitmix64_cte_chain(
+        "__smp", f"(k + h) % {_U64}", ["media_id", "k"], prefix="__wv"
+    )
+    return f"""WITH {hcte},
+__smp AS (SELECT media_id, h, kk.range::HUGEINT AS k FROM {hfin} CROSS JOIN range(0, {n}) kk),
+{chain},
+__sgn AS (SELECT media_id, k, ((s % 65536) >= 32768)::INT AS sg FROM {fin}),
+__lag AS (SELECT media_id, sg, lag(sg) OVER (PARTITION BY media_id ORDER BY k) AS pv FROM __sgn)
+SELECT media_id::BIGINT AS media_id, {n}::BIGINT AS n_samples, {out_dur}::BIGINT AS duration_ms,
+  round(sum(CASE WHEN pv IS NOT NULL AND pv != sg THEN 1 ELSE 0 END)::DOUBLE / {max(n - 1, 1)}, 6)
+    AS zero_crossing_rate
+FROM __lag GROUP BY media_id"""
 
 
 def fake_audio_decode(payload: bytes, meta: dict[str, Any]) -> np.ndarray:

@@ -18,7 +18,79 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sdvg_spark.ops.dedup import _hyperplane_signature, cosine
+from sdvg_spark.ops.dedup import cosine
+
+
+def hyperplane_weights(n_planes: int, n_tables: int, seed: int, dims: int):
+    """Seeded hyperplane weight tensor, shape (n_tables, n_planes, dims).
+
+    Weight (t, p, i) = splitmix64(i + (seed + 7919*t) + p*1000003)
+    mapped to [-1, 1) — no stored state, identical on driver, executors,
+    and in the DuckDB oracle mirror.
+    """
+    import numpy as np
+
+    from sdvg_spark.core.rng import splitmix64_np
+
+    w = np.empty((n_tables, n_planes, dims), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            ks = np.arange(dims, dtype=np.uint64) + np.uint64(
+                (seed + 7919 * t + p * 1_000_003) & ((1 << 64) - 1)
+            )
+            w[t, p] = splitmix64_np(ks) / float(1 << 64) * 2.0 - 1.0
+    return w
+
+
+def hyperplane_sigs_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dims: int,
+    out_id: str = "__id",
+) -> DataFrame:
+    """(id, __t, __sig): per-table sign signatures via one Arrow-batched
+    numpy matmul per partition — map-only, no shuffle.
+
+    Replaces the expression form (``F.aggregate``/``zip_with`` lambdas,
+    which Spark evaluates interpreted at n_tables × n_planes × dims ops
+    per row — ~6k interpreted mul-adds per corpus row at the entry's
+    settings) with a single (batch × dims) @ (dims × tables·planes)
+    float64 matmul. Bit p of table t's signature = dot(vec, w[t,p]) ≥ 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = hyperplane_weights(n_planes, n_tables, seed, dims)
+    w_flat = w.reshape(n_tables * n_planes, dims)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (M @ w_flat.T) >= 0  # (n, T*P)
+            sigs = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for p in range(n_planes):
+                    sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, n_tables),
+                    "__t": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "__sig": sigs.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{out_id} long, __t int, __sig long"
+    )
 
 
 def brute_force_topk(
@@ -150,29 +222,20 @@ def lsh_topk(
         dims = _infer_dims(corpus, corpus_vec)
     from sdvg_spark.ops.dedup import widen
 
-    # per-table signatures; table t uses its own seeded hyperplane set
-    def sigs_for(vec_col: str) -> Column:
-        return F.array(
-            *[
-                _hyperplane_signature(
-                    F.col(vec_col), n_planes, seed + 7919 * t, dims
-                )
-                for t in range(n_tables)
-            ]
-        )
-
-    # the bucketing join moves ONLY (id, table, signature) — exploding
-    # the vector payload n_tables× would multiply shuffle volume by L;
-    # vectors re-attach after the candidate set is deduped
+    # per-table signatures from the vectorized matmul kernel (table t
+    # uses its own seeded hyperplane set). The bucketing join moves ONLY
+    # (id, table, signature) — exploding the vector payload n_tables×
+    # would multiply shuffle volume by L; vectors re-attach after the
+    # candidate set is deduped
     wide = widen(corpus)
-    c = wide.select(
-        F.col(corpus_id).alias("c_id"),
-        F.posexplode(sigs_for(corpus_vec)).alias("__t", "__sig"),
+    c = hyperplane_sigs_df(
+        wide, corpus_id, corpus_vec,
+        n_planes=n_planes, n_tables=n_tables, seed=seed, dims=dims, out_id="c_id",
     )
-    q = queries.select(
-        F.col(query_id).alias("q_id"),
-        F.posexplode(sigs_for(query_vec)).alias("__t", "__qsig"),
-    )
+    q = hyperplane_sigs_df(
+        queries, query_id, query_vec,
+        n_planes=n_planes, n_tables=n_tables, seed=seed, dims=dims, out_id="q_id",
+    ).withColumnRenamed("__sig", "__qsig")
     # probe signatures per table: original + single-bit flips (+ pairs)
     probes = [F.col("__qsig")]
     if multiprobe >= 1:
@@ -205,3 +268,68 @@ def lsh_topk(
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
     ).where(F.col("rank") <= k)
     return final.select("q_id", "c_id", "cosine", "rank")
+
+
+def lsh_topk_oracle_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id % 50 = 0",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    multiprobe: int = 1,
+    seed: int = 7,
+    dims: int = 64,
+) -> str:
+    """DuckDB SQL reproducing :func:`lsh_topk` value-for-value.
+
+    The hyperplane weights are deterministic (splitmix64-seeded), so the
+    oracle embeds them as literals and re-derives every signature with
+    ``list_dot_product`` — only the SIGN of each dot product is
+    consumed, so float64 accumulation-order differences between numpy's
+    matmul and DuckDB's sequential dot cannot flip a bucket except for
+    dots within ~1e-15 of zero. Probing, candidate dedup, exact cosine
+    scoring, and the (cosine DESC, id) ranking all mirror the Spark op.
+    """
+    w = hyperplane_weights(n_planes, n_tables, seed, dims)
+    rows = ",\n    ".join(
+        f"({t}, {p}, [{', '.join(repr(float(x)) for x in w[t, p])}]::DOUBLE[])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    probe_exprs = ["sig"]
+    if multiprobe >= 1:
+        probe_exprs += [f"xor(sig, {1 << b})" for b in range(n_planes)]
+    if multiprobe >= 2:
+        probe_exprs += [
+            f"xor(xor(sig, {1 << b1}), {1 << b2})"
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        ]
+    return f"""
+WITH w(t, p, wv) AS (VALUES
+    {rows}),
+sigs AS (
+  SELECT e.{id_col} AS vid, w.t,
+    sum(CASE WHEN list_dot_product(e.{vec_col}::DOUBLE[], w.wv) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+  FROM {table} e CROSS JOIN w GROUP BY e.{id_col}, w.t),
+qp AS (
+  SELECT vid AS q_id, t, unnest([{', '.join(probe_exprs)}]) AS psig
+  FROM sigs WHERE {query_filter.replace(id_col, 'vid')}),
+cand AS (
+  SELECT DISTINCT qp.q_id, c.vid AS c_id
+  FROM qp JOIN sigs c ON c.t = qp.t AND c.sig = qp.psig),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+    list_cosine_similarity(qe.{vec_col}::DOUBLE[], ce.{vec_col}::DOUBLE[]) AS cos
+  FROM cand
+  JOIN {table} qe ON qe.{id_col} = cand.q_id
+  JOIN {table} ce ON ce.{id_col} = cand.c_id),
+r AS (
+  SELECT q_id, c_id,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, rank FROM r WHERE rank <= {k}"""
