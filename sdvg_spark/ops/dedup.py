@@ -29,10 +29,18 @@ def widen(df: DataFrame) -> DataFrame:
 
     A small parquet input arrives as 1-2 partitions, which would run a
     whole shingle/signature/feature pipeline on one core; at real scale
-    inputs are already wide and this is a no-op (no shuffle inserted).
+    inputs are already wide and this is a no-op (no shuffle inserted —
+    an unconditional ``repartition`` would re-shuffle a 100 TB corpus
+    just in case). The partition probe reads the JVM plan directly:
+    ``df.rdd`` would additionally build the Python-serializer RDD
+    wrapper on every op call.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        parts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - connect-style sessions
+        parts = df.rdd.getNumPartitions()
+    if parts < target:
         return df.repartition(target)
     return df
 
@@ -208,7 +216,7 @@ def minhash_lsh_pairs(
     use_word_shingles: bool = False,
     est_margin: float = 0.1,
     mode: str = "auto",
-    broadcast_max_docs: int = 2_000_000,
+    broadcast_max_bytes: int = 200_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact-verified Jaccard ≥
     threshold) via MinHash-LSH.
@@ -228,14 +236,23 @@ def minhash_lsh_pairs(
     joins of heavyweight arrays. Two physical strategies, chosen like
     Spark chooses broadcast-vs-shuffle joins:
 
-    * ``broadcast`` (corpus ≤ ``broadcast_max_docs``): the signature
-      matrix (n_docs × n_hashes int64) and xxhash64'd shingle sets ride
-      one broadcast; a single ``mapInPandas`` pass over the candidate
-      pairs does the numpy estimate filter AND the exact set
-      intersection — zero extra shuffles.
+    * ``broadcast``: the signature matrix (n_docs × n_hashes int64) and
+      xxhash64'd shingle sets ride one broadcast; a single
+      ``mapInPandas`` pass over the candidate pairs does the numpy
+      estimate filter AND the exact set intersection — zero extra
+      shuffles.
     * ``join`` (cluster-scale corpus): estimate via zip_with on a
       signature equi-join, then exact verification joining shingle
       arrays for near-threshold survivors only.
+
+    ``mode="auto"`` picks the tier from a BYTE estimate, not a row
+    count: one column-pruned scan of ``sum(length(text))`` bounds the
+    driver-side shingle-hash footprint at 8 bytes per character
+    (distinct shingles ≤ characters), and the broadcast tier engages
+    only below ``broadcast_max_bytes`` (default 200 MB — a 16 GB
+    surprise at 2M × 1k-shingle docs is exactly what a row cap allows).
+    Callers at known scale pass ``mode`` explicitly and skip the
+    estimate job entirely.
     """
     rows_per_band = n_hashes // bands
     sh = (
@@ -245,7 +262,9 @@ def minhash_lsh_pairs(
     )
     shingled = widen(df).select(F.col(id_col).alias("__id"), sh.alias("__sh"))
     if mode == "auto":
-        mode = "broadcast" if df.count() <= broadcast_max_docs else "join"
+        est = df.select(F.sum(F.length(F.col(text_col))).alias("c")).first()
+        est_bytes = 8 * int(est["c"] or 0)
+        mode = "broadcast" if est_bytes <= broadcast_max_bytes else "join"
     if mode == "broadcast":
         return _minhash_pairs_broadcast(
             shingled,
@@ -702,6 +721,39 @@ def _sql_xor_name(a: str, b: str) -> str:
 # embedding near-dup
 
 
+def bounded_local_vectors(
+    df: DataFrame, id_col: str, vec_col: str, max_bytes: int
+):
+    """Materialize an (ids, float64 matrix) pair on the driver, guarded
+    by a pre-flight byte estimate — the driver-OOM-safe replacement for
+    a bare ``collect()``.
+
+    One cheap aggregate (count + max vector length, column-pruned)
+    bounds the Arrow transfer at ``n × (8·dims + 8)`` bytes BEFORE any
+    data moves; returns ``None`` when the estimate exceeds
+    ``max_bytes`` so callers can fall back to a distributed strategy.
+    Ids are returned sorted ascending with the matrix re-ordered to
+    match (callers binary-search them).
+    """
+    import numpy as np
+
+    est = df.select(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n = int(est["n"] or 0)
+    d = int(est["d"] or 0)
+    if n * (8 * d + 8) > max_bytes:
+        return None
+    pdf = df.select(id_col, vec_col).toPandas()  # Arrow-batched
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    if n == 0:
+        return ids, np.empty((0, d), dtype=np.float64)
+    mat = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+    return ids, mat
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — native zip_with/aggregate.
 
@@ -738,6 +790,8 @@ def embedding_dup_pairs(
     seed: int = 7,
     exact: bool = False,
     dims: int | None = None,
+    exact_max_bytes: int = 1 << 30,
+    on_exact_overflow: str = "fallback",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -745,10 +799,16 @@ def embedding_dup_pairs(
     embedding matrix and a blocked numpy matmul per partition — each
     task computes its row-block × corpusᵀ, so the O(n²) similarity work
     is distributed and vectorized, never an interpreted per-pair
-    expression. Otherwise: random-hyperplane LSH — sign signature over
-    ``n_planes`` seeded pseudo-random hyperplanes (deterministic,
-    derived from the vector itself via per-dimension hashed weights),
-    block on the signature, verify cosine within blocks.
+    expression. The broadcast build is guarded by
+    :func:`bounded_local_vectors` (``exact_max_bytes``, default 1 GiB):
+    above the cap the corpus doesn't fit any executor's broadcast
+    either, so the call falls back to the LSH tier
+    (``on_exact_overflow="fallback"``, logged) or raises
+    (``"error"``) — no unbounded driver materialization on any path.
+
+    Otherwise: random-hyperplane LSH — sign signature over ``n_planes``
+    seeded hyperplanes (vectorized matmul kernel), block on the
+    signature, verify cosine within blocks.
     """
     df = widen(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -758,57 +818,69 @@ def embedding_dup_pairs(
         import pandas as pd
 
         spark = df.sparkSession
-        rows = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).collect()
-        ids = np.array([r["__id"] for r in rows], dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.array([rows[i]["__v"] for i in order], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        bc = spark.sparkContext.broadcast((ids, mat))
-        thr = float(threshold)
-
-        def block_pairs(batches):
-            b_ids, b_mat = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(dtype=np.int64))
-                sims = b_mat[ia] @ b_mat.T  # (batch, n)
-                ra, cb = np.nonzero(sims >= thr)
-                keep = b_ids[ia[ra]] < b_ids[cb]
-                yield pd.DataFrame(
-                    {
-                        "id_a": b_ids[ia[ra[keep]]],
-                        "id_b": b_ids[cb[keep]],
-                        "cosine": sims[ra[keep], cb[keep]],
-                    }
+        loc = bounded_local_vectors(df, id_col, vec_col, exact_max_bytes)
+        if loc is None:
+            if on_exact_overflow == "error":
+                raise ValueError(
+                    f"embedding corpus exceeds exact_max_bytes={exact_max_bytes}; "
+                    "use exact=False (LSH) or raise the cap"
                 )
+            import warnings
 
-        return df.select(F.col(id_col).alias("id_a")).mapInPandas(
-            block_pairs, "id_a long, id_b long, cosine double"
-        )
-    else:
-        if dims is None:
-            dims = _infer_dims(df, vec_col)
-        from sdvg_spark.ops.similarity import hyperplane_sigs_df
+            warnings.warn(
+                "embedding_dup_pairs: corpus too large for the exact broadcast "
+                "tier; falling back to LSH (approximate recall)",
+                stacklevel=2,
+            )
+            exact = False
+        else:
+            ids, mat = loc
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            bc = spark.sparkContext.broadcast((ids, mat))
+            thr = float(threshold)
 
-        # single-table signatures from the vectorized matmul kernel;
-        # the bucket self-join moves ids+signature only — vectors
-        # re-attach to the (much smaller) candidate set afterwards
-        sig = hyperplane_sigs_df(
-            df, id_col, vec_col, n_planes=n_planes, n_tables=1, seed=seed, dims=dims
-        ).drop("__t")
-        sa = sig.select(F.col("__id").alias("id_a"), "__sig")
-        sb = sig.select(F.col("__id").alias("id_b"), "__sig")
-        cand = (
-            sa.join(sb, "__sig")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .join(a, "id_a")
-            .join(b, "id_b")
-        )
+            def block_pairs(batches):
+                b_ids, b_mat = bc.value
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(dtype=np.int64))
+                    sims = b_mat[ia] @ b_mat.T  # (batch, n)
+                    ra, cb = np.nonzero(sims >= thr)
+                    keep = b_ids[ia[ra]] < b_ids[cb]
+                    yield pd.DataFrame(
+                        {
+                            "id_a": b_ids[ia[ra[keep]]],
+                            "id_b": b_ids[cb[keep]],
+                            "cosine": sims[ra[keep], cb[keep]],
+                        }
+                    )
+
+            return df.select(F.col(id_col).alias("id_a")).mapInPandas(
+                block_pairs, "id_a long, id_b long, cosine double"
+            )
+    # LSH tier (also the exact-overflow fallback)
+    if dims is None:
+        dims = _infer_dims(df, vec_col)
+    from sdvg_spark.ops.similarity import hyperplane_sigs_df
+
+    # single-table signatures from the vectorized matmul kernel;
+    # the bucket self-join moves ids+signature only — vectors
+    # re-attach to the (much smaller) candidate set afterwards
+    sig = hyperplane_sigs_df(
+        df, id_col, vec_col, n_planes=n_planes, n_tables=1, seed=seed, dims=dims
+    ).drop("__t")
+    sa = sig.select(F.col("__id").alias("id_a"), "__sig")
+    sb = sig.select(F.col("__id").alias("id_b"), "__sig")
+    cand = (
+        sa.join(sb, "__sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+    )
     return (
         cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= F.lit(threshold))

@@ -212,9 +212,10 @@ def synth_media(
             payloads = []
             metas = []
             for i in ids:
-                ks = np.arange(payload_bytes, dtype=np.uint64) + np.uint64(i) * np.uint64(
-                    0x9E3779B97F4A7C15
-                )
+                with np.errstate(over="ignore"):  # uint64 wrap intended
+                    ks = np.arange(payload_bytes, dtype=np.uint64) + np.uint64(
+                        i
+                    ) * np.uint64(0x9E3779B97F4A7C15)
                 payloads.append(
                     (splitmix64_np(ks) & np.uint64(0xFF)).astype(np.uint8).tobytes()
                 )

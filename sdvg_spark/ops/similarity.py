@@ -102,6 +102,7 @@ def brute_force_topk(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     k: int = 10,
+    max_query_bytes: int = 256_000_000,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
@@ -111,22 +112,34 @@ def brute_force_topk(
     and emits only its partition-local top-k per query, so the final
     reduce shuffles O(q·k·partitions) rows, not O(q·corpus).
 
+    The query matrix rides through :func:`bounded_local_vectors`
+    (pre-flight byte estimate, ``max_query_bytes``) — a query set too
+    big to broadcast raises instead of OOMing the driver.
+
     Ties broken by corpus id ascending (deterministic).
     """
     import numpy as np
 
-    from sdvg_spark.ops.dedup import widen
+    from sdvg_spark.ops.dedup import bounded_local_vectors, widen
 
     spark = corpus.sparkSession
-    q_rows = queries.select(
-        F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")
-    ).collect()
-    if not q_rows:
+    loc = bounded_local_vectors(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+        "q_id",
+        "__qv",
+        max_query_bytes,
+    )
+    if loc is None:
+        raise ValueError(
+            f"query set exceeds max_query_bytes={max_query_bytes}; brute-force "
+            "top-k broadcasts the query matrix — shrink the query set, raise "
+            "the cap, or use lsh_topk"
+        )
+    q_ids, q_mat = loc
+    if len(q_ids) == 0:
         return spark.createDataFrame(
             [], "q_id long, c_id long, cosine double, rank int"
         )
-    q_ids = np.array([r["q_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["__qv"] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(q_mat, axis=1)
     qn[qn == 0] = 1.0
     q_mat = q_mat / qn[:, None]

@@ -88,9 +88,10 @@ def _coalesce_for_rotation(df: DataFrame, model: ModelSpec) -> DataFrame:
     target = -(-model.rows_count // model.rows_per_file)
     floor_tasks = -(-model.rows_count // _ROWS_PER_TASK_CAP)
     want = max(target, floor_tasks)
-    if want < df.rdd.getNumPartitions():
-        df = df.coalesce(want)
-    return df
+    # coalesce() can only reduce partition count (no-op when want >=
+    # current), so no partition probe is needed — probing via df.rdd
+    # forced a physical-plan build per write call.
+    return df.coalesce(want)
 
 
 _PART_PREFIX = "__part_"

@@ -265,3 +265,73 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+# ---------------------------------------------------------------------------
+# scale guards: no unbounded driver materialization reachable from ops
+
+
+def test_no_bare_collect_in_ops():
+    """Grep-gate: ops/ must never .collect() — every driver
+    materialization goes through bounded_local_vectors (byte-capped) or
+    an estimate-guarded toPandas."""
+    import pathlib
+
+    ops_dir = pathlib.Path(__file__).parent.parent / "sdvg_spark" / "ops"
+    offenders = [
+        p.name for p in ops_dir.glob("*.py") if ".collect(" in p.read_text()
+    ]
+    assert offenders == []
+
+
+def test_minhash_auto_tier_is_byte_capped(spark):
+    from sdvg_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark)
+    # tiny cap -> auto must choose the distributed join tier
+    small = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.7, broadcast_max_bytes=64
+    )
+    assert "Join" in small._jdf.queryExecution().optimizedPlan().toString()
+    # ample cap -> broadcast tier (driver numpy, local relation plan)
+    big = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.7, broadcast_max_bytes=1 << 30
+    )
+    assert "Join" not in big._jdf.queryExecution().optimizedPlan().toString()
+    assert {(r.id_a, r.id_b) for r in small.collect()} == {
+        (r.id_a, r.id_b) for r in big.collect()
+    }
+
+
+def test_embedding_exact_cap_fallback_and_error(spark):
+    import warnings
+
+    from sdvg_spark.ops.dedup import embedding_dup_pairs
+
+    emb = _embeddings(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.99, exact=True, exact_max_bytes=64
+        ).collect()
+        assert any("falling back to LSH" in str(x.message) for x in w)
+    # the LSH fallback still finds the exact-duplicate pair
+    assert (500, 501) in {(r.id_a, r.id_b) for r in out}
+    with pytest.raises(ValueError, match="exact_max_bytes"):
+        embedding_dup_pairs(
+            emb,
+            "vec_id",
+            "embedding",
+            exact=True,
+            exact_max_bytes=64,
+            on_exact_overflow="error",
+        )
+
+
+def test_brute_force_query_cap(spark):
+    from sdvg_spark.ops.similarity import brute_force_topk
+
+    emb = _embeddings(spark)
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    with pytest.raises(ValueError, match="max_query_bytes"):
+        brute_force_topk(emb, q, k=3, max_query_bytes=64)
