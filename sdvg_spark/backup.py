@@ -41,15 +41,17 @@ def backup_path(out_dir: str) -> str:
     return os.path.join(out_dir, BACKUP_FILE)
 
 
-def save_backup(out_dir: str, raw: dict[str, Any]) -> None:
+def save_backup(
+    out_dir: str, raw: dict[str, Any], resolved_seed: int | None = None
+) -> None:
+    """``resolved_seed`` records the wall-clock seed an unseeded config
+    resolved to, so --continue-generation resumes the same stream."""
     os.makedirs(out_dir, exist_ok=True)
+    payload: dict[str, Any] = {"fingerprint": config_fingerprint(raw), "config": raw}
+    if resolved_seed is not None:
+        payload["resolved_seed"] = int(resolved_seed)
     with open(backup_path(out_dir), "w", encoding="utf-8") as f:
-        json.dump(
-            {"fingerprint": config_fingerprint(raw), "config": raw},
-            f,
-            indent=2,
-            default=str,
-        )
+        json.dump(payload, f, indent=2, default=str)
 
 
 def load_backup(out_dir: str) -> dict[str, Any] | None:
@@ -98,11 +100,17 @@ def clean_outputs(out_dir: str, model_dirs: list[str]) -> None:
         pass
 
 
-def rows_on_disk(path: str, fmt: str) -> int:
+def rows_on_disk(
+    path: str, fmt: str, *, header: bool = True, delimiter: str = ","
+) -> int:
     """Rows already written for a model (the resume point).
 
     Reads sink metadata with DuckDB — parquet row counts come from
-    footers (no scan); CSV needs a line pass. Missing dir -> 0.
+    footers (no scan); CSV needs a line pass. CSV layout (header,
+    delimiter) comes from the OUTPUT CONFIG, never from sniffing:
+    auto-detection can mistake the first data row of an all-string
+    headerless file for a header, undercounting by one per file and
+    making resume duplicate those rows. Missing dir -> 0.
     """
     import duckdb
 
@@ -124,7 +132,9 @@ def rows_on_disk(path: str, fmt: str) -> int:
             return 0
         con = duckdb.connect()
         (n,) = con.execute(
-            "SELECT count(*) FROM read_csv_auto($1, union_by_name=true)", [files]
+            "SELECT count(*) FROM read_csv($1, union_by_name=true, "
+            "header=$2, delim=$3, all_varchar=true)",
+            [files, bool(header), delimiter],
         ).fetchone()
         return int(n or 0)
     return 0

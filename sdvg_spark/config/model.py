@@ -464,6 +464,9 @@ class OutputConfig:
 @dataclass
 class GenerationConfig:
     random_seed: int = 0
+    # True when the config omitted random_seed (or set 0): the stored
+    # seed was derived from the wall clock at parse time.
+    seed_autogenerated: bool = False
     workers_count: int = 0  # advisory; Spark manages parallelism
     batch_size: int = 0  # advisory; Arrow batch sizing
     output: OutputConfig = field(default_factory=OutputConfig)
@@ -604,14 +607,25 @@ def parse_config(raw: dict[str, Any]) -> GenerationConfig:
             if hasattr(output, k):
                 setattr(output, k, v)
 
+    seed = int(raw.get("random_seed", 0))
+    seed_auto = seed == 0
+    if seed_auto:
+        # Reference semantics: seed 0 means "seed from the wall clock"
+        # (an unseeded config must NOT produce identical data every
+        # run). The resolved seed is recorded in backup.json so
+        # --continue-generation resumes with the SAME data stream.
+        import time
+
+        seed = time.time_ns() & ((1 << 64) - 1) or 1
     cfg = GenerationConfig(
-        random_seed=int(raw.get("random_seed", 0)),
+        random_seed=seed,
         workers_count=int(raw.get("workers_count", 0)),
         batch_size=int(raw.get("batch_size", 0)),
         output=output,
         models_to_ignore=list(raw.get("models_to_ignore", []) or []),
         permutation=str(raw.get("permutation", "auto")),
     )
+    cfg.seed_autogenerated = seed_auto
     for mname, mraw in (raw.get("models") or {}).items():
         model = ModelSpec(
             name=mname,

@@ -49,8 +49,9 @@ def derive_seed(base_seed: int, key: str) -> int:
 
     ``key`` is ``"model.column"``. Mirrors reference getSeed
     (generator/utils.go:80-90). ``base_seed == 0`` means
-    non-deterministic in the reference; callers should resolve 0 to a
-    wall-clock seed *before* calling (we keep this pure).
+    non-deterministic in the reference; ``parse_config`` resolves 0 to
+    a wall-clock seed at parse time (recorded in backup.json for
+    resume), so engine callers always hand this a concrete seed.
     """
     s = base_seed & MASK64
     for b in hashlib.sha1(key.encode("utf-8")).digest():

@@ -156,6 +156,21 @@ def resolve_mode(n: int, mode: str) -> str:
     return mode
 
 
+def range_perm_mode(col_mode: str, distinct: int) -> str:
+    """Permutation tier for ONE range's draw sequencer.
+
+    The column tier is resolved from the column-sequencer domain, but a
+    range's domain is its own ``distinct`` — a small child model whose
+    FK references a >cap parent must not try to build a parity table for
+    the parent-sized range (it would raise); that range alone falls back
+    to feistel. Both the engine kernel and the DuckDB oracle route
+    through this function so the tiers can never disagree.
+    """
+    if col_mode == "lfsr" and distinct <= LFSR_TABLE_CAP:
+        return "lfsr"
+    return "feistel"
+
+
 # ---------------------------------------------------------------------------
 # Ordered sequencer
 

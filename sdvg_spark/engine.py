@@ -200,6 +200,14 @@ def _make_sequencer(plan: ColumnPlan, spark: SparkSession):
     range dispatch, the per-range draw number, and the frf hash draw
     (jitter/null source). LFSR parity tables ride a Spark broadcast so
     executors get them once; feistel mode needs none (100 TB path).
+
+    Accepted deviation (multi-range columns only): the per-range draw
+    is derived from the permuted generator number (k = gnum - off), not
+    from the reference's stateful hit-count pull order — same value
+    multiset and multiplicities, permuted row order; ``ordered`` ranges
+    inside multi-range columns are monotone per block. A row-order-
+    exact replay would need a global hit rank (shuffle) and break pure
+    f(id). See SURVEY §7.
     """
     rows = plan.rows
     data_seed = plan.data_seed
@@ -212,14 +220,17 @@ def _make_sequencer(plan: ColumnPlan, spark: SparkSession):
     order_seeds = np.array([r.order_seed for r in plan.ranges], dtype=np.uint64)
     bounds = np.cumsum(cnts)  # dispatch boundaries (exclusive)
 
-    # Ship parity tables via broadcast (they can be MBs); feistel needs none.
+    # Ship parity tables via broadcast (they can be MBs); feistel needs
+    # none. A range whose distinct exceeds the parity cap (e.g. an FK
+    # into a >cap parent from a small child) gets no table and falls
+    # back to feistel per-range (range_perm_mode).
     tables_bc = None
     if mode == "lfsr" and not single_ordered:
-        from sdvg_spark.core.sequence import lfsr_walk
+        from sdvg_spark.core.sequence import lfsr_walk, range_perm_mode
 
         tables = {"col": np.asarray(lfsr_walk(rows, data_seed))}
         for r in plan.ranges:
-            if not r.ordered:
+            if not r.ordered and range_perm_mode(mode, r.distinct) == "lfsr":
                 tables[r.index] = np.asarray(lfsr_walk(r.distinct, int(r.order_seed)))
         tables_bc = spark.sparkContext.broadcast(tables)
 
@@ -245,11 +256,12 @@ def _make_sequencer(plan: ColumnPlan, spark: SparkSession):
                     continue
                 if ordereds[j]:
                     num[m] = ordered_np(k[m], int(distincts[j]), int(cnts[j]))
-                elif tables_bc is not None:
-                    tab = tables_bc.value[j]
-                    num[m] = tab[(k[m] % distincts[j]).astype(np.int64)]
                 else:
-                    num[m] = perm_np(k[m], int(distincts[j]), int(order_seeds[j]), "feistel")
+                    tab = tables_bc.value.get(j) if tables_bc is not None else None
+                    if tab is not None:
+                        num[m] = tab[(k[m] % distincts[j]).astype(np.int64)]
+                    else:
+                        num[m] = perm_np(k[m], int(distincts[j]), int(order_seeds[j]), "feistel")
         r01 = frf_np(num + np.uint64(data_seed))
         return ridx, num, r01
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from sdvg_spark.config.model import GenerationConfig
 from sdvg_spark.core.rng import dlit, frf_cte_chain
-from sdvg_spark.core.sequence import feistel_np, lfsr_walk, ordered_sql
+from sdvg_spark.core.sequence import feistel_np, lfsr_walk, ordered_sql, range_perm_mode
 from sdvg_spark.engine import ColumnPlan, plan_column
 from sdvg_spark.generators.values import EnumGen
 
@@ -75,7 +75,7 @@ def column_oracle_sql(
             if r.ordered:
                 ne = ordered_sql(k, r.distinct, r.cnt)
             else:
-                rp = _perm_array_sql(r.distinct, int(r.order_seed), "lfsr" if plan.perm_mode == "lfsr" else "feistel")
+                rp = _perm_array_sql(r.distinct, int(r.order_seed), range_perm_mode(plan.perm_mode, r.distinct))
                 if rp is None:
                     return None
                 ne = f"(__rp{j}[(({k}) % {r.distinct}) + 1])"
@@ -90,7 +90,7 @@ def column_oracle_sql(
             )
         # per-range permutation literals ride in a one-row cross-joined CTE
         rp_cols = ", ".join(
-            f"{_perm_array_sql(r.distinct, int(r.order_seed), 'lfsr' if plan.perm_mode == 'lfsr' else 'feistel')} AS __rp{j}"
+            f"{_perm_array_sql(r.distinct, int(r.order_seed), range_perm_mode(plan.perm_mode, r.distinct))} AS __rp{j}"
             for j, r in enumerate(plan.ranges)
             if not r.ordered
         )

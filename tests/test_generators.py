@@ -250,3 +250,35 @@ def test_seed_changes_data(spark):
     a = [r.i_rand for r in base.model_df(spark, "m").collect()]
     b = [r.i_rand for r in eng2.model_df(spark, "m").collect()]
     assert a != b
+
+
+def test_fk_into_oversized_parent_falls_back_to_feistel_per_range(spark):
+    """A small child whose FK references a parent with rows_count above
+    the LFSR parity cap must generate (the oversized RANGE falls back to
+    feistel even though the column tier resolved to lfsr)."""
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    big = 5_000_000  # > LFSR_TABLE_CAP (1<<22)
+    cfg = parse_config(
+        {
+            "random_seed": 11,
+            "models": {
+                "p": {
+                    "rows_count": big,
+                    "columns": [
+                        {"name": "pid", "type": "integer",
+                         "type_params": {"bit_width": 64, "from": 1, "to": 10**12}}
+                    ],
+                },
+                "c": {
+                    "rows_count": 2000,
+                    "columns": [{"name": "ref", "foreign_key": "p.pid"}],
+                },
+            },
+            "models_to_ignore": ["p"],
+        }
+    )
+    rows = Engine(cfg).model_df(spark, "c").collect()
+    assert len(rows) == 2000
+    assert all(1 <= r.ref <= 10**12 for r in rows)
