@@ -94,10 +94,48 @@ def check_output_conflicts(out_dir: str, model_dirs: list[str]) -> list[str]:
 def clean_outputs(out_dir: str, model_dirs: list[str]) -> None:
     for d in model_dirs:
         shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+        try:
+            os.remove(checkpoint_path(out_dir, d))
+        except FileNotFoundError:
+            pass
     try:
         os.remove(backup_path(out_dir))
     except FileNotFoundError:
         pass
+
+
+def checkpoint_path(out_dir: str, model_dir: str) -> str:
+    return os.path.join(out_dir, f"{model_dir}.checkpoint")
+
+
+def save_checkpoint(out_dir: str, model_dir: str, saved_rows: int) -> None:
+    """Commit the per-model resume point (reference {model}.checkpoint,
+    model_writer.go:120-164). Written atomically (tmp + rename) AFTER
+    the corresponding Spark write action committed, so the counter never
+    over-reports."""
+    p = checkpoint_path(out_dir, model_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"saved_rows": int(saved_rows)}, f)
+    os.replace(tmp, p)
+
+
+def load_checkpoint(out_dir: str, model_dir: str) -> int | None:
+    p = checkpoint_path(out_dir, model_dir)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, encoding="utf-8") as f:
+            return int(json.load(f)["saved_rows"])
+    except (ValueError, KeyError, OSError):
+        return None
+
+
+def _committed(files: list[str]) -> list[str]:
+    """Drop files under Spark's in-flight ``_temporary`` staging dirs —
+    a killed job leaves them behind and they are NOT committed output."""
+    sep = os.sep
+    return [f for f in files if f"{sep}_temporary{sep}" not in f]
 
 
 def rows_on_disk(
@@ -117,7 +155,7 @@ def rows_on_disk(
     if not os.path.isdir(path):
         return 0
     if fmt == "parquet":
-        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        files = _committed(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not files:
             return 0
         con = duckdb.connect()
@@ -127,7 +165,7 @@ def rows_on_disk(
         ).fetchone()
         return int(n or 0)
     if fmt == "csv":
-        files = glob.glob(os.path.join(path, "**", "*.csv"), recursive=True)
+        files = _committed(glob.glob(os.path.join(path, "**", "*.csv"), recursive=True))
         if not files:
             return 0
         con = duckdb.connect()

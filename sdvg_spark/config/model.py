@@ -440,6 +440,12 @@ class OutputConfig:
     # parquet
     compression: str = "snappy"
     timestamp_unit: str = "micros"  # millis | micros
+    # file sinks: commit a {model}.checkpoint after every this-many rows
+    # (0 = one checkpoint per model, written after the model completes).
+    # The reference ticks its checkpoint on a 5 s timer
+    # (model_writer.go:120-164); a Spark write is one atomic job, so
+    # mid-run checkpoints come from slicing the job instead.
+    checkpoint_rows: int = 0
     # http / tcs
     endpoint: str = ""
     headers: dict[str, str] = field(default_factory=dict)
@@ -450,6 +456,11 @@ class OutputConfig:
 
     SUPPORTED = ("devnull", "csv", "parquet", "http", "tcs")
 
+    # codecs Spark's parquet writer handles natively in this build
+    SPARK_PARQUET_CODECS = ("uncompressed", "none", "snappy", "gzip", "lz4", "zstd")
+    # reference codecs Spark lacks; routed to the pyarrow writer path
+    PYARROW_ONLY_CODECS = ("brotli", "lz4raw", "lz4_raw")
+
     def validate(self) -> list[str]:
         errs = []
         if self.type not in self.SUPPORTED:
@@ -458,6 +469,16 @@ class OutputConfig:
             errs.append(f"{self.type} output requires an endpoint")
         if self.timestamp_unit not in ("millis", "micros"):
             errs.append(f"timestamp_unit must be millis|micros: {self.timestamp_unit}")
+        if self.type == "parquet":
+            codec = self.compression.lower()
+            if codec == "lzo":
+                errs.append(
+                    "parquet codec 'lzo' is not available in this engine "
+                    "(neither Spark nor pyarrow ships an LZO codec); use "
+                    "lz4 or zstd"
+                )
+            elif codec not in self.SPARK_PARQUET_CODECS + self.PYARROW_ONLY_CODECS:
+                errs.append(f"unknown parquet codec {self.compression!r}")
         return errs
 
 

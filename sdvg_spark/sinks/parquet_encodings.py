@@ -41,10 +41,12 @@ _ENCODING_MAP = {
 # reference codec names (models/generator_output.go) -> pyarrow
 _CODEC_MAP = {
     "uncompressed": "none",
+    "none": "none",
     "snappy": "snappy",
     "gzip": "gzip",
     "lz4": "lz4",
     "lz4raw": "lz4",
+    "lz4_raw": "lz4",
     "zstd": "zstd",
     "brotli": "brotli",
 }

@@ -191,8 +191,14 @@ def write_model(
         return path
 
     if out.type == "parquet":
-        if any(c.parquet is not None and c.parquet.encoding != "PLAIN"
-               for c in model.columns):
+        # pyarrow path when per-column encodings are configured OR the
+        # codec is one Spark's writer can't produce (BROTLI / LZ4_RAW,
+        # reference writer/parquet/parquet.go:34-43)
+        if (
+            out.compression.lower() in OutputConfig.PYARROW_ONLY_CODECS
+            or any(c.parquet is not None and c.parquet.encoding != "PLAIN"
+                   for c in model.columns)
+        ):
             from sdvg_spark.sinks.parquet_encodings import write_parquet_encoded
 
             write_parquet_encoded(

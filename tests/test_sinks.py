@@ -328,3 +328,47 @@ def test_csv_resume_append_with_null_partition_dirs(spark, tmp_path):
     assert n == 300
     dirs = {os.path.basename(p) for p in glob.glob(f"{tmp_path}/csvres/t/tag=*")}
     assert dirs == {"tag=x", "tag=null"}
+
+
+# ---------------------------------------------------------------------------
+# parquet codec routing
+
+
+@pytest.mark.parametrize(
+    "codec", ["uncompressed", "snappy", "gzip", "zstd", "lz4", "brotli", "lz4raw"]
+)
+def test_parquet_codec_matrix(spark, tmp_path, codec):
+    """Every reference codec either writes through Spark natively or is
+    routed to the pyarrow writer (brotli / lz4raw); all read back."""
+    import duckdb
+
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.jobs import run_generate
+
+    out = tmp_path / codec
+    raw = {
+        "random_seed": 9,
+        "output": {"type": "parquet", "dir": str(out), "compression": codec},
+        "models": {"m": {"rows_count": 50, "columns": [
+            {"name": "x", "type": "integer", "type_params": {"from": 0, "to": 100}}]}},
+    }
+    parse_config(raw)
+    run_generate(raw, spark=spark)
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/m/**/*.parquet')"
+    ).fetchone()
+    assert n == 50
+
+
+@pytest.mark.parametrize("codec,msg", [("lzo", "lzo"), ("sna ppy", "unknown parquet codec")])
+def test_parquet_codec_rejected(codec, msg):
+    from sdvg_spark.config.model import ConfigError, parse_config
+
+    raw = {
+        "output": {"type": "parquet", "compression": codec},
+        "models": {"m": {"rows_count": 5, "columns": [
+            {"name": "x", "type": "integer", "type_params": {"from": 0, "to": 1}}]}},
+    }
+    with pytest.raises(ConfigError, match=msg):
+        parse_config(raw)

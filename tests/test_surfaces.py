@@ -394,3 +394,52 @@ def test_unseeded_config_draws_wall_clock_seed_and_resume_reuses_it(spark, tmp_p
     a = con.execute(f"SELECT k, v FROM read_parquet('{out}/t/*.parquet') ORDER BY k").fetchall()
     b = con.execute(f"SELECT k, v FROM read_parquet('{tmp_path}/ws2/t/*.parquet') ORDER BY k").fetchall()
     assert a == b
+
+
+def test_checkpointed_resume_skips_output_scan(spark, tmp_path, monkeypatch):
+    """Kill-and-resume via {model}.checkpoint: restart must read the
+    checkpoint counter, never re-scan the output (O(output) on a 10-hour
+    job). rows_on_disk is poisoned to prove it isn't called."""
+    from sdvg_spark import jobs
+    from sdvg_spark.backup import load_checkpoint, save_backup
+    from sdvg_spark.jobs import run_generate
+
+    out = tmp_path / "ck"
+    raw = _raw_cfg(out, rows=400)
+    raw["output"]["checkpoint_rows"] = 100  # slice into 4 jobs
+    partial = json.loads(json.dumps(raw))
+    partial["models"]["t"]["generate_to"] = 200
+    run_generate(partial, spark=spark)
+    assert load_checkpoint(str(out), "t") == 200
+    save_backup(str(out), raw)  # as if the full run died mid-way
+
+    def boom(*a, **k):
+        raise AssertionError("resume re-scanned the output instead of reading the checkpoint")
+
+    monkeypatch.setattr(jobs, "rows_on_disk", boom)
+    run_generate(raw, spark=spark, continue_generation=True)
+    assert load_checkpoint(str(out), "t") == 400
+    con = duckdb.connect()
+    n, distinct = con.execute(
+        f"SELECT count(*), count(DISTINCT k) FROM read_parquet('{out}/t/*.parquet')"
+    ).fetchone()
+    assert (n, distinct) == (400, 400)
+
+
+def test_stale_checkpoint_with_deleted_output_recounts(spark, tmp_path):
+    import shutil
+
+    from sdvg_spark.backup import load_checkpoint
+    from sdvg_spark.jobs import run_generate
+
+    out = tmp_path / "stale"
+    raw = _raw_cfg(out, rows=300)
+    run_generate(raw, spark=spark)
+    assert load_checkpoint(str(out), "t") == 300
+    shutil.rmtree(out / "t")  # user nuked the data, checkpoint remains
+    run_generate(raw, spark=spark, continue_generation=True)
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/t/*.parquet')"
+    ).fetchone()
+    assert n == 300
