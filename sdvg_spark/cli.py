@@ -21,21 +21,52 @@ def _load_raw(path: str) -> dict:
     return load_raw_config(path)
 
 
+class ProgressBar:
+    """Terminal progress bars, one per model (reference
+    cli/progress/bar.go). On a TTY each update redraws the current
+    model's bar in place (``\\r``); on a pipe it degrades to one line
+    per update so logs stay readable."""
+
+    WIDTH = 32
+
+    def __init__(self, stream=None, isatty: bool | None = None):
+        self.stream = stream if stream is not None else sys.stderr
+        self.isatty = (
+            isatty if isatty is not None else getattr(self.stream, "isatty", lambda: False)()
+        )
+        self._last_model: str | None = None
+
+    def update(self, model: str, frac: float) -> None:
+        frac = min(max(frac, 0.0), 1.0)
+        filled = int(self.WIDTH * frac)
+        bar = "#" * filled + "-" * (self.WIDTH - filled)
+        line = f"{model:<16} [{bar}] {frac * 100:5.1f}%"
+        if self.isatty:
+            if self._last_model not in (None, model):
+                self.stream.write("\n")  # finish the previous model's bar
+            self.stream.write("\r" + line)
+            if frac >= 1.0:
+                self.stream.write("\n")
+                model = None  # type: ignore[assignment]
+            self.stream.flush()
+        else:
+            self.stream.write(line + "\n")
+        self._last_model = model
+
+
 def cmd_generate(args: argparse.Namespace) -> int:
     from sdvg_spark.backup import ConflictError
     from sdvg_spark.jobs import run_generate
 
     raw = _load_raw(args.config)
-
-    def progress(model: str, frac: float) -> None:
-        print(f"[{model}] {frac * 100:5.1f}%", file=sys.stderr)
+    bar = ProgressBar()
 
     try:
         written = run_generate(
             raw,
             force=args.force,
             continue_generation=args.continue_generation,
-            on_progress=progress,
+            on_progress=bar.update,
         )
     except ConflictError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -59,10 +90,75 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def interactive_config(ask=None, say=print) -> dict:
+    """Prompt-driven config builder (reference's interactive
+    generate-config flow). Injectable ``ask``/``say`` keep it testable
+    and reusable from other frontends."""
+    if ask is None:
+        ask = input  # resolved at call time (test monkeypatching works)
+
+    def ask_default(prompt: str, default: str) -> str:
+        v = ask(f"{prompt} [{default}]: ").strip()
+        return v or default
+
+    raw: dict = {"models": {}}
+    seed = ask_default("random seed (0 = from clock)", "0")
+    raw["random_seed"] = int(seed or 0)
+    out_type = ask_default("output type (devnull/csv/parquet)", "parquet")
+    raw["output"] = {"type": out_type}
+    if out_type in ("csv", "parquet"):
+        raw["output"]["dir"] = ask_default("output dir", "output")
+    while True:
+        mname = ask("model name (empty to finish): ").strip()
+        if not mname:
+            break
+        rows = int(ask_default(f"{mname}: rows_count", "1000"))
+        columns: list[dict] = []
+        while True:
+            cname = ask(f"{mname}: column name (empty to finish): ").strip()
+            if not cname:
+                break
+            fk = ask(f"{mname}.{cname}: foreign key (model.column, empty for none): ").strip()
+            if fk:
+                columns.append({"name": cname, "foreign_key": fk})
+                continue
+            ctype = ask_default(
+                f"{mname}.{cname}: type (integer/float/string/datetime/uuid)", "integer"
+            )
+            col: dict = {"name": cname, "type": ctype}
+            if ctype in ("integer", "float"):
+                lo = ask_default(f"{mname}.{cname}: from", "0")
+                hi = ask_default(f"{mname}.{cname}: to", "1000000")
+                col["type_params"] = {
+                    "from": float(lo) if ctype == "float" else int(lo),
+                    "to": float(hi) if ctype == "float" else int(hi),
+                }
+            elif ctype == "string":
+                logical = ask(
+                    f"{mname}.{cname}: logical type (first_name/last_name/phone/text, "
+                    "empty for plain): "
+                ).strip()
+                if logical:
+                    col["type_params"] = {"logical_type": logical}
+            columns.append(col)
+        raw["models"][mname] = {"rows_count": rows, "columns": columns}
+    say(f"built config with {len(raw['models'])} model(s)")
+    return raw
+
+
 def cmd_generate_config(args: argparse.Namespace) -> int:
     from sdvg_spark import config_synth
 
-    if args.mode == "sql-query":
+    if args.mode == "interactive":
+        raw = interactive_config()
+        from sdvg_spark.config.model import ConfigError, parse_config
+
+        try:
+            parse_config(raw)
+        except ConfigError as e:
+            print(f"invalid: {e}", file=sys.stderr)
+            return 1
+    elif args.mode == "sql-query":
         raw = config_synth.ddl_to_config(open(args.input, encoding="utf-8").read())
     elif args.mode == "data-sample":
         raw = config_synth.sample_to_config(open(args.input, encoding="utf-8").read())
@@ -104,8 +200,15 @@ def build_parser() -> argparse.ArgumentParser:
     v.set_defaults(fn=cmd_validate)
 
     gc = sub.add_parser("generate-config", help="synthesize a generation config")
-    gc.add_argument("mode", choices=["description", "sql-query", "data-sample"])
-    gc.add_argument("input", help="input file (text / SQL DDL / CSV sample)")
+    gc.add_argument(
+        "mode", choices=["description", "sql-query", "data-sample", "interactive"]
+    )
+    gc.add_argument(
+        "input",
+        nargs="?",
+        default="",
+        help="input file (text / SQL DDL / CSV sample); omitted for interactive",
+    )
     gc.add_argument("-o", "--output", default="")
     gc.set_defaults(fn=cmd_generate_config)
 

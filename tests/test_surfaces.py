@@ -443,3 +443,75 @@ def test_stale_checkpoint_with_deleted_output_recounts(spark, tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/t/*.parquet')"
     ).fetchone()
     assert n == 300
+
+
+# ---------------------------------------------------------------------------
+# CLI progress bars + interactive config
+
+
+def test_progress_bar_tty_and_pipe_modes():
+    import io
+
+    from sdvg_spark.cli import ProgressBar
+
+    tty = io.StringIO()
+    bar = ProgressBar(stream=tty, isatty=True)
+    bar.update("users", 0.0)
+    bar.update("users", 0.5)
+    bar.update("users", 1.0)
+    out = tty.getvalue()
+    assert "\r" in out and "#" * 16 in out and "100.0%" in out
+    assert out.endswith("\n")  # completed bar closes its line
+
+    pipe = io.StringIO()
+    bar = ProgressBar(stream=pipe, isatty=False)
+    bar.update("users", 0.25)
+    assert pipe.getvalue().count("\n") == 1  # line mode, no \r redraws
+    assert "\r" not in pipe.getvalue()
+
+
+def test_interactive_config_builds_valid_config(tmp_path):
+    from sdvg_spark.cli import interactive_config
+
+    answers = iter(
+        [
+            "7",          # seed
+            "parquet",    # output type
+            str(tmp_path / "o"),  # output dir
+            "user",       # model name
+            "500",        # rows
+            "uid",        # column
+            "",           # no fk
+            "integer",    # type
+            "1", "500",   # from/to
+            "name",       # column
+            "",           # no fk
+            "string",     # type
+            "first_name", # logical
+            "",           # end columns
+            "order",      # model 2
+            "800",
+            "user_id",
+            "user.uid",   # fk
+            "",           # end columns
+            "",           # end models
+        ]
+    )
+    raw = interactive_config(ask=lambda prompt: next(answers), say=lambda *a: None)
+    assert set(raw["models"]) == {"user", "order"}
+    assert raw["random_seed"] == 7
+    assert raw["models"]["order"]["columns"][0]["foreign_key"] == "user.uid"
+    parse_config(raw)  # validates
+
+
+def test_cli_generate_config_interactive(tmp_path, monkeypatch, capsys):
+    import builtins
+
+    from sdvg_spark.cli import main
+
+    answers = iter(["3", "devnull", "m", "100", "x", "", "integer", "0", "9", "", ""])
+    monkeypatch.setattr(builtins, "input", lambda prompt="": next(answers))
+    out_file = tmp_path / "cfg.json"
+    assert main(["generate-config", "interactive", "-o", str(out_file)]) == 0
+    raw = json.loads(out_file.read_text())
+    assert raw["models"]["m"]["rows_count"] == 100
