@@ -209,6 +209,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "c_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sdvg_spark.ops.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4).select("q_id", "c_id", "rank")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (lineitem scan shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -393,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding": q_dedup_embedding,
             "ann_topk": q_ann_topk,
             "ann_lsh": q_ann_lsh,
+            "ann_ivf": q_ann_ivf,
             "pricing_summary": q_pricing_summary,
             "top_revenue": q_top_revenue,
             "events_sessionize": q_events_sessionize,
@@ -458,11 +470,12 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""
 
-    from sdvg_spark.ops.similarity import lsh_topk_oracle_sql
+    from sdvg_spark.ops.similarity import ivf_topk_oracle_sql, lsh_topk_oracle_sql
 
     out["ann_lsh"] = lsh_topk_oracle_sql(
         k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64
     )
+    out["ann_ivf"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)
 
     out["ann_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),

@@ -87,6 +87,7 @@ def main() -> None:
         "dedup_simhash",
         "ann_topk",
         "ann_lsh",
+        "ann_ivf",
         "pricing_summary",
         "top_revenue",
         "events_sessionize",

@@ -283,6 +283,163 @@ def lsh_topk(
     return final.select("q_id", "c_id", "cosine", "rank")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dims: int | None = None,
+    centroid_max_bytes: int = 64_000_000,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) cell bucketing —
+    the second scale path next to :func:`lsh_topk`.
+
+    Structure: ``n_cells`` centroids; every corpus vector is assigned to
+    its nearest centroid (one map-only Arrow matmul pass); a query
+    probes its ``n_probe`` nearest cells and scores ONLY the vectors in
+    those cells — a ~``n_probe/n_cells`` fraction of the corpus per
+    query instead of a full scan.
+
+    Centroid selection is deterministic and oracle-mirrorable: the
+    ``n_cells`` corpus rows with the smallest ids (ids are uncorrelated
+    with embedding content, so this is an unbiased sample). In a
+    production deployment you would Lloyd-train the centroids on a
+    sample and persist the assignment partitioned by cell
+    (``write.partitionBy("cell")``) so probes prune at the file level;
+    the seed-sample centroids keep every downstream stage identical
+    while making the whole operator reproducible in plain SQL.
+
+    At 100 TB: assignment is embarrassingly parallel (centroid matrix
+    broadcast, one matmul per Arrow batch); the probe join moves only
+    (q_id, cell) × (cell, c_id); scoring joins attach vectors to the
+    candidate subset only. Ties everywhere break by id/cell ascending.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sdvg_spark.ops.dedup import _infer_dims, bounded_local_vectors, widen
+
+    if dims is None:
+        dims = _infer_dims(corpus, corpus_vec)
+    loc = bounded_local_vectors(
+        corpus.orderBy(F.col(corpus_id)).limit(n_cells),
+        corpus_id,
+        corpus_vec,
+        centroid_max_bytes,
+    )
+    if loc is None:  # n_cells rows alone exceeded the cap
+        raise ValueError("n_cells × dims exceeds centroid_max_bytes")
+    _, cent = loc  # ids sorted ascending -> cell index = rank of id
+    cnorm = np.linalg.norm(cent, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cent = cent / cnorm[:, None]
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_kernel(id_name: str, top: int):
+        def run(batches):
+            c = bc.value
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                M = np.array(list(pdf["__v"]), dtype=np.float64)
+                nrm = np.linalg.norm(M, axis=1)
+                nrm[nrm == 0] = 1.0
+                sims = (M / nrm[:, None]) @ c.T  # (n, n_cells)
+                ids = pdf[id_name].to_numpy(dtype=np.int64)
+                if top == 1:
+                    cells = np.argmax(sims, axis=1)  # first max = lowest cell
+                    yield pd.DataFrame({id_name: ids, "cell": cells.astype(np.int32)})
+                else:
+                    # stable top-`top` cells per row: (-sim, cell) lexsort
+                    order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+                    yield pd.DataFrame(
+                        {
+                            id_name: np.repeat(ids, top),
+                            "cell": order.ravel().astype(np.int32),
+                        }
+                    )
+
+        return run
+
+    wide = widen(corpus)
+    assign = wide.select(
+        F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v")
+    ).mapInPandas(assign_kernel("c_id", 1), "c_id long, cell int")
+    probes = queries.select(
+        F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
+    ).mapInPandas(assign_kernel("q_id", n_probe), "q_id long, cell int")
+
+    cv = wide.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
+    scored = (
+        probes.join(assign, "cell")
+        .select("q_id", "c_id")
+        .join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    )
+    final = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
+    ).where(F.col("rank") <= k)
+    return final.select("q_id", "c_id", "cosine", "rank")
+
+
+def ivf_topk_oracle_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id % 50 = 0",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB SQL reproducing :func:`ivf_topk` value-for-value: same
+    smallest-id centroids, same nearest-cell assignment (ties -> lowest
+    cell), same n_probe probing, same (cosine DESC, id) ranking."""
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell, {vec_col} AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {n_cells})),
+asgn AS (
+  SELECT vid AS c_id, cell FROM (
+    SELECT e.{id_col} AS vid, c.cell,
+      row_number() OVER (PARTITION BY e.{id_col}
+        ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                 c.cell) AS rn
+    FROM {table} e CROSS JOIN cent c)
+  WHERE rn = 1),
+qprobe AS (
+  SELECT vid AS q_id, cell FROM (
+    SELECT e.{id_col} AS vid, c.cell,
+      row_number() OVER (PARTITION BY e.{id_col}
+        ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                 c.cell) AS rn
+    FROM {table} e CROSS JOIN cent c
+    WHERE {query_filter.replace(id_col, f'e.{id_col}')})
+  WHERE rn <= {n_probe}),
+cand AS (SELECT DISTINCT q.q_id, a.c_id FROM qprobe q JOIN asgn a USING (cell)),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+    list_cosine_similarity(qe.{vec_col}::DOUBLE[], ce.{vec_col}::DOUBLE[]) AS cos
+  FROM cand
+  JOIN {table} qe ON qe.{id_col} = cand.q_id
+  JOIN {table} ce ON ce.{id_col} = cand.c_id),
+r AS (SELECT q_id, c_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored)
+SELECT q_id, c_id, rank FROM r WHERE rank <= {k}"""
+
+
 def lsh_topk_oracle_sql(
     *,
     table: str = "embeddings",

@@ -335,3 +335,25 @@ def test_brute_force_query_cap(spark):
     q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     with pytest.raises(ValueError, match="max_query_bytes"):
         brute_force_topk(emb, q, k=3, max_query_bytes=64)
+
+
+def test_ivf_topk_self_and_recall(spark):
+    from sdvg_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = _embeddings(spark, n=120, dims=16)
+    q = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_id, r.rank): r.c_id for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).collect()
+    got = {(r.q_id, r.rank): r.c_id for r in approx}
+    # self-recall: a corpus point queried against the corpus is its own
+    # rank-1 neighbor (its cell is always probed first)
+    for (qid, rank), cid in got.items():
+        if rank == 1:
+            assert cid == qid
+    # probing half the cells must recover most of the exact top-5
+    hits = sum(1 for key, cid in got.items() if exact.get(key) == cid)
+    assert hits / len(exact) >= 0.6
