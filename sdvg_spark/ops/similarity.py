@@ -269,7 +269,9 @@ def lsh_topk(
         .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    cv = wide.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    # raw corpus for the re-attach: widen()'s repartition would shuffle
+    # every vector once more for no benefit (the join shuffles on c_id)
+    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
     qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
     scored = (
         cand.join(cv, "c_id")
@@ -377,7 +379,10 @@ def ivf_topk(
         F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
     ).mapInPandas(assign_kernel("q_id", n_probe), "q_id long, cell int")
 
-    cv = wide.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    # vector re-attach reads the RAW corpus: routing it through widen()
+    # would shuffle every vector a second time just to feed a join that
+    # re-shuffles on c_id anyway
+    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
     qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
     scored = (
         probes.join(assign, "cell")

@@ -143,3 +143,60 @@ def test_no_query_uses_cartesian_or_bnl_joins(spark, entry):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_hyperplane_sigs_kernel_is_map_only(spark):
+    """Signature computation must be a map-only Arrow stage: no exchange
+    between the scan and the mapInPandas kernel (at 100 TB an extra
+    shuffle there would move the whole corpus once more)."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.ops.similarity import hyperplane_sigs_df
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sig = hyperplane_sigs_df(
+        emb, "vec_id", "embedding", n_planes=6, n_tables=4, seed=7, dims=64
+    )
+    plan = _plan(sig)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # scan -> kernel, nothing in between
+
+
+def test_ann_scoring_broadcasts_queries(spark, entry):
+    """lsh/ivf scoring joins must broadcast the (small) query side and
+    never fall back to a sort-merge join against the corpus."""
+    for name in ("ann_lsh", "ann_ivf"):
+        plan = _plan(entry.queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_auto_estimate_prunes_columns(spark):
+    """The auto-tier byte estimate reads ONLY the text column length —
+    the scan must not materialize other columns (column pruning reaches
+    the parquet reader)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    est = docs.select(F.sum(F.length(F.col("text"))).alias("c"))
+    plan = _plan(est)
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_ivf_vector_reattach_skips_widen_shuffle(spark):
+    """The candidate-scoring join attaches vectors from the RAW corpus
+    scan: exactly one repartition (the assignment kernel's widen) may
+    touch the full vector payload — pin the exchange budget so a
+    refactor can't silently re-shuffle the corpus twice."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    plan = _plan(ivf_topk(emb, q, k=5, n_cells=8, n_probe=2))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange RoundRobinPartitioning") <= 1
+    assert "CartesianProduct" not in plan
