@@ -150,6 +150,11 @@ class StringParams:
 class DateTimeParams:
     from_: datetime | None = None
     to: datetime | None = None
+    # "us" (default) -> Spark TIMESTAMP (µs, the reference's ns tail
+    # truncated); "ns" -> BIGINT epoch-nanoseconds, lossless parity with
+    # the reference's nanosecond datetimes (value/datetime.go:29-50) at
+    # the cost of the column surfacing as an integer.
+    unit: str = "us"
 
     def fill_defaults(self) -> None:
         if self.from_ is None:
@@ -158,9 +163,12 @@ class DateTimeParams:
             self.to = DEFAULT_DATETIME_TO
 
     def validate(self) -> list[str]:
+        errs = []
         if self.from_ > self.to:
-            return [f"'from' ({self.from_}) must be before 'to' ({self.to})"]
-        return []
+            errs.append(f"'from' ({self.from_}) must be before 'to' ({self.to})")
+        if self.unit not in ("us", "ns"):
+            errs.append(f"datetime unit must be us|ns, got {self.unit!r}")
+        return errs
 
 
 @dataclass
@@ -228,6 +236,7 @@ class ParamsSpec:
             self.type_params = DateTimeParams(
                 from_=None if tp.get("from") is None else parse_datetime(tp["from"]),
                 to=None if tp.get("to") is None else parse_datetime(tp["to"]),
+                unit=str(tp.get("unit", "us")),
             )
         elif t == "uuid":
             self.type_params = None
@@ -363,6 +372,17 @@ class ColumnSpec:
             total += r.range_percentage
         if abs(total - 1.0) > 1e-9:
             errs.append(f"sum of range percentages must be 1: got {total}")
+        if self.type == "datetime":
+            units = {
+                getattr(r.type_params, "unit", "us")
+                for r in self.ranges
+                if r.type_params is not None
+            }
+            if len(units) > 1:
+                errs.append(
+                    "datetime ranges must share one unit (us|ns); "
+                    f"got {sorted(units)}"
+                )
         if self.parquet is not None:
             errs.extend(self.parquet.validate())
         return errs

@@ -185,7 +185,12 @@ def _column_dtype(data_column: ColumnSpec, plans: list[RangePlan]) -> str:
                 width = max(width, r.type_params.bit_width)
         return "float" if width == 32 else "double"
     if t == "datetime":
-        return "timestamp"
+        units = {
+            getattr(r.type_params, "unit", "us")
+            for r in data_column.ranges
+            if r.type_params is not None
+        }
+        return "bigint" if units == {"ns"} else "timestamp"
     return "string"  # string / uuid
 
 

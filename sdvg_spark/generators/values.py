@@ -172,9 +172,10 @@ class FloatGen:
 
 class DateTimeGen:
     """Seconds and nanoseconds interpolated independently (reference
-    value/datetime.go:29-67); emitted at microsecond precision — Spark
-    timestamps are µs, so the reference's nanosecond tail is truncated
-    (documented deviation, SURVEY.md §7)."""
+    value/datetime.go:29-67). Default unit "us" emits a Spark TIMESTAMP
+    (µs — the reference's nanosecond tail truncated, documented
+    deviation, SURVEY.md §7); unit "ns" emits BIGINT epoch-nanoseconds,
+    lossless parity with the reference's nanosecond carry."""
 
     def __init__(self, params: DateTimeParams):
         self.p = params
@@ -182,9 +183,13 @@ class DateTimeGen:
         self.from_sec, self.from_nsec = _unix_sec_nsec(params.from_)
         self.to_sec, to_nsec = _unix_sec_nsec(params.to)
         self.to_nsec = to_nsec + (1_000_000_000 if to_nsec < self.from_nsec else 0)
+        self.ns_unit = getattr(params, "unit", "us") == "ns"
 
-    spark_dtype = "timestamp"
     is_native = True
+
+    @property
+    def spark_dtype(self) -> str:
+        return "bigint" if self.ns_unit else "timestamp"
 
     def values_count(self) -> float:
         sec_count = float(self.to_sec - self.from_sec) + 1
@@ -194,19 +199,24 @@ class DateTimeGen:
     def set_total(self, total: int) -> None:
         self.total = max(total, 1)
 
-    def _micros_col(self, number: Column) -> Column:
+    def _sec_nsec_cols(self, number: Column) -> tuple[Column, Column]:
         vsec = _ordered_int64_col(self.from_sec, self.to_sec, number, self.total)
         vnsec = _ordered_int64_col(self.from_nsec, self.to_nsec, number, self.total)
         vnsec = F.when(vnsec > F.lit(1_000_000_000), vnsec - F.lit(1_000_000_000)).otherwise(vnsec)
-        return vsec * F.lit(1_000_000) + (vnsec / F.lit(1000)).cast("long")
+        return vsec, vnsec
 
     def expr(self, number: Column, num: Column) -> Column:
-        return F.timestamp_micros(self._micros_col(number))
+        vsec, vnsec = self._sec_nsec_cols(number)
+        if self.ns_unit:
+            return vsec * F.lit(1_000_000_000) + vnsec
+        return F.timestamp_micros(vsec * F.lit(1_000_000) + (vnsec / F.lit(1000)).cast("long"))
 
     def np_value(self, number: np.ndarray) -> np.ndarray:
         vsec = _ordered_int64_np(self.from_sec, self.to_sec, number, self.total)
         vnsec = _ordered_int64_np(self.from_nsec, self.to_nsec, number, self.total)
         vnsec = np.where(vnsec > 1_000_000_000, vnsec - 1_000_000_000, vnsec)
+        if self.ns_unit:
+            return vsec * 1_000_000_000 + vnsec  # int64 nanos
         return vsec * 1_000_000 + vnsec // 1000  # int64 micros
 
     def sql(self, number_expr: str) -> str | None:
@@ -218,6 +228,8 @@ class DateTimeGen:
             f"(CASE WHEN {vnsec_raw} > 1000000000 THEN {vnsec_raw} - 1000000000 "
             f"ELSE {vnsec_raw} END)"
         )
+        if self.ns_unit:
+            return f"CAST({vsec} * 1000000000 + {vnsec} AS BIGINT)"
         return f"make_timestamp({vsec} * 1000000 + {vnsec} // 1000)"
 
 

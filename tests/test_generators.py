@@ -282,3 +282,49 @@ def test_fk_into_oversized_parent_falls_back_to_feistel_per_range(spark):
     rows = Engine(cfg).model_df(spark, "c").collect()
     assert len(rows) == 2000
     assert all(1 <= r.ref <= 10**12 for r in rows)
+
+
+def test_datetime_ns_unit_lossless_and_oracle_exact(spark):
+    """unit: ns emits bigint epoch-nanos carrying the full nanosecond
+    interpolation (the reference's datetime precision); truncating to
+    micros reproduces the default timestamp column exactly, and the
+    DuckDB oracle mirrors the bigint values bit-for-bit."""
+    import duckdb
+
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+    from sdvg_spark.oracle import column_oracle_sql
+
+    def cfg(unit):
+        return parse_config(
+            {
+                "random_seed": 13,
+                "models": {
+                    "m": {
+                        "rows_count": 4000,
+                        "columns": [
+                            {"name": "t", "type": "datetime", "type_params": {
+                                "from": "2020-01-01T00:00:00.000001Z",
+                                "to": "2020-01-01T00:00:00.999999Z",
+                                "unit": unit}}],
+                    }
+                },
+            }
+        )
+
+    c_ns, c_us = cfg("ns"), cfg("us")
+    ns = {r.id: r.t for r in Engine(c_ns).column_df(spark, "m", "t").collect()}
+    us = {r.id: r.t for r in Engine(c_us).column_df(spark, "m", "t").collect()}
+    assert len(ns) == 4000
+    # some values must carry a sub-microsecond tail, else ns adds nothing
+    assert any(v % 1000 for v in ns.values())
+    from datetime import timezone
+
+    for i, v in ns.items():
+        micros = us[i].replace(tzinfo=timezone.utc).timestamp()
+        assert v // 1000 == round(micros * 1_000_000)
+
+    sql = column_oracle_sql(c_ns, "m", "t")
+    assert sql is not None
+    oracle = {int(i): int(v) for i, v in duckdb.connect().execute(sql).fetchall()}
+    assert oracle == {int(i): int(v) for i, v in ns.items()}
