@@ -176,6 +176,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_distance=6)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: connected components over the (recall-certain)
+    minhash pair graph; every doc labeled with its cluster's min id —
+    the actual keep/drop decision of a dedup pipeline."""
+    from sdvg_spark.ops.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, bands=21)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import embedding_dup_pairs
 
@@ -401,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_jaccard": q_dedup_jaccard,
             "dedup_minhash": q_dedup_minhash,
             "dedup_simhash": q_dedup_simhash,
+            "dedup_components": q_dedup_components,
             "dedup_embedding": q_dedup_embedding,
             "ann_topk": q_ann_topk,
             "ann_lsh": q_ann_lsh,
@@ -460,9 +472,16 @@ WHERE a.doc_id < b.doc_id
     # the LSH pipeline dropped or fabricated a pair.
     out["dedup_minhash"] = _jacc
 
-    from sdvg_spark.ops.dedup import simhash_pairs_oracle_sql
+    from sdvg_spark.ops.dedup import (
+        connected_components_oracle_sql,
+        simhash_pairs_oracle_sql,
+    )
 
     out["dedup_simhash"] = simhash_pairs_oracle_sql(max_distance=6)
+    out["dedup_components"] = connected_components_oracle_sql(
+        nodes_sql="SELECT doc_id FROM documents",
+        edges_sql=_jacc,
+    )
 
     out["dedup_embedding"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -656,6 +656,85 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, rep): connected components of the near-duplicate pair graph
+    — every node labeled with the smallest id reachable from it. This is
+    the step that turns PAIRS into dedup decisions (keep ``rep``, drop
+    the rest), and the reason pair ops alone aren't a dedup pipeline.
+
+    Algorithm: min-label propagation. Each round every node takes the
+    minimum label among itself and its neighbors; convergence needs
+    O(graph diameter) rounds, and duplicate clusters are near-cliques
+    (diameter ≤ ~3), so 3-4 rounds settle real corpora. Each round is
+    one join + one min-aggregate — both shuffles on the node id, which
+    AQE coalesces; labels persist per round with the previous round
+    explicitly unpersisted, and convergence is detected by the sum of
+    labels (strictly decreasing until fixpoint — one cheap agg action,
+    no row-wise diff join).
+
+    At 100 TB: rounds × (join + agg) is the textbook distributed CC
+    cost; for adversarially long chains switch to large-star/small-star
+    (same primitive ops, O(log n) rounds) — near-dup graphs never need
+    it.
+    """
+    lab = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("rep"))
+    und = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    und = und.persist()
+    prev_sum = None
+    prev_lab = None
+    for _ in range(max_iter):
+        msg = und.join(lab, und.s == lab.v).select(F.col("d").alias("v"), "rep")
+        new = (
+            lab.unionByName(msg)
+            .groupBy("v")
+            .agg(F.min("rep").alias("rep"))
+            .persist()
+        )
+        total = new.agg(F.sum("rep").alias("t")).first()["t"]
+        if prev_lab is not None:
+            prev_lab.unpersist()
+        prev_lab = new
+        lab = new
+        if total == prev_sum:
+            break
+        prev_sum = total
+    und.unpersist()
+    return lab.select(F.col("v").alias(id_col), F.col("rep").alias("rep"))
+
+
+def connected_components_oracle_sql(
+    *,
+    nodes_sql: str,
+    edges_sql: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`connected_components`: a recursive
+    transitive-closure walk, then min reachable id per node. Closure
+    size is O(Σ cluster²) — fine at oracle scale, which is the point of
+    the Spark implementation existing."""
+    return f"""
+WITH RECURSIVE nodes AS ({nodes_sql}),
+e0 AS ({edges_sql}),
+edges AS (SELECT s, d FROM (
+    SELECT id_a AS s, id_b AS d FROM e0
+    UNION SELECT id_b AS s, id_a AS d FROM e0)),
+walk(v, m) AS (
+  SELECT n.{id_col}, n.{id_col} FROM nodes n
+  UNION
+  SELECT e.d, w.m FROM walk w JOIN edges e ON e.s = w.v)
+SELECT v AS {id_col}, min(m) AS rep FROM walk GROUP BY v"""
+
+
 def simhash_pairs_oracle_sql(
     *,
     table: str = "documents",

@@ -1,0 +1,76 @@
+"""Skew-mitigation helpers.
+
+Spark's own defenses cover most skew: hash aggregation does map-side
+partial aggregation (a hot key collapses to one row per input
+partition before the shuffle), and AQE splits skewed JOIN partitions
+(``spark.sql.adaptive.skewJoin.enabled``, on via
+:func:`sdvg_spark.session.configure_session`). The residual case is an
+aggregate whose per-key state is NOT constant-size — ``collect_list``,
+``collect_set``, large HLL/sketch buffers, or windowed accumulations —
+where every row of a hot key still lands on one reducer. Salting fixes
+that: shard each key across ``n_salts`` sub-keys, aggregate partially
+per shard, then combine the (now n_salts-bounded) shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# out-of-the-box decomposable aggregates: (partial fn, final combine fn)
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "collect_set": (F.collect_set, None),  # final = flatten+distinct
+    "collect_list": (F.collect_list, None),  # final = flatten
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str | Column]],
+    n_salts: int = 64,
+) -> DataFrame:
+    """Two-stage aggregation sharding hot keys over ``n_salts`` salts.
+
+    ``aggs`` maps output name -> (fn, column) with fn one of ``sum``,
+    ``count``, ``min``, ``max``, ``collect_set``, ``collect_list``.
+    Stage 1 groups by (keys, salt) — a hot key's rows spread over
+    ``n_salts`` reducers; stage 2 groups by keys alone and combines the
+    at-most-``n_salts`` partial rows per key. Compose ``avg`` from
+    sum + count.
+
+    The salt is ``monotonically_increasing_id() % n_salts``: which rows
+    land in which shard varies with partitioning, but every listed
+    aggregate is shard-order-insensitive, so the final result is
+    deterministic (collect_* outputs are sorted for that reason).
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(
+                f"{name}: {fn!r} is not decomposable; supported: "
+                f"{sorted(_DECOMPOSABLE)}"
+            )
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partials = [
+        _DECOMPOSABLE[fn][0](col).alias(f"__p_{name}")
+        for name, (fn, col) in aggs.items()
+    ]
+    stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
+    finals = []
+    for name, (fn, _col) in aggs.items():
+        p = F.col(f"__p_{name}")
+        if fn == "collect_set":
+            finals.append(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(p)))).alias(name)
+            )
+        elif fn == "collect_list":
+            finals.append(F.array_sort(F.flatten(F.collect_list(p))).alias(name))
+        else:
+            finals.append(_DECOMPOSABLE[fn][1](p).alias(name))
+    return stage1.groupBy(*keys).agg(*finals)

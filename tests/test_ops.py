@@ -357,3 +357,18 @@ def test_ivf_topk_self_and_recall(spark):
     # probing half the cells must recover most of the exact top-5
     hits = sum(1 for key, cid in got.items() if exact.get(key) == cid)
     assert hits / len(exact) >= 0.6
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Chain (propagation depth > 1), clique, and singleton topologies
+    all resolve to min-id representatives."""
+    from sdvg_spark.ops.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 0-1-2-3, clique {5,6,7}, pair (8,9); 4 is a singleton
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (5, 6), (5, 7), (6, 7), (8, 9)],
+        "id_a long, id_b long",
+    )
+    rep = {r.doc_id: r.rep for r in connected_components(nodes, edges).collect()}
+    assert rep == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
