@@ -528,8 +528,8 @@ g AS (SELECT user_id, event_id, ts, value,
         CASE WHEN lag(ts) OVER w IS NULL
              OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM g)
 SELECT user_id, session_seq, count(*) AS n_events, {_SQL_VSUM} AS session_value
 FROM s GROUP BY user_id, session_seq"""
 
@@ -545,8 +545,8 @@ g AS (SELECT user_id, ts, value,
         CASE WHEN lag(ts) OVER w IS NULL
              OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g)
 SELECT user_id, min(ts) AS session_start,
   max(ts) + INTERVAL 30 MINUTE AS session_end,
   count(*) AS n_events, {_SQL_VSUM} AS session_value
