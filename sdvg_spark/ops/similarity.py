@@ -384,8 +384,13 @@ def ivf_topk(
     # re-shuffles on c_id anyway
     cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
     qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
+    # probes is tiny (queries × n_probe rows) but emerges from
+    # mapInPandas, so Spark has no stats to auto-broadcast it; without
+    # the hint a shuffle join would repartition the whole corpus-side
+    # assignment on a `n_cells`-cardinality key (max parallelism
+    # n_cells, guaranteed skew at scale)
     scored = (
-        probes.join(assign, "cell")
+        F.broadcast(probes).join(assign, "cell")
         .select("q_id", "c_id")
         .join(cv, "c_id")
         .join(F.broadcast(qv), "q_id")

@@ -200,3 +200,8 @@ def test_ivf_vector_reattach_skips_widen_shuffle(spark):
     assert "MapInPandas" in plan
     assert plan.count("Exchange RoundRobinPartitioning") <= 1
     assert "CartesianProduct" not in plan
+    # the probe->assign join must broadcast the tiny probe side: a
+    # shuffle join here would hash-partition the full corpus assignment
+    # on the n_cells-cardinality `cell` key (parallelism collapses to
+    # n_cells and the hot cells skew at 100x)
+    assert "Exchange hashpartitioning(cell" not in plan
