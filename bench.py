@@ -46,6 +46,28 @@ GEN_BENCH_CFG = {
 }
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def calibrate_cpu() -> float:
+    """Fixed single-thread numpy microbench (frf kernel on 1e8 u64) so a
+    host-speed change is visible in the report instead of masquerading
+    as a code regression: compare `calibration_sec` across rounds before
+    comparing query times."""
+    import numpy as np
+
+    from sdvg_spark.core.rng import frf_np
+
+    x = np.arange(100_000_000, dtype=np.uint64)
+    frf_np(x[:1_000_000])  # warm caches / lazy imports
+    t0 = time.time()
+    frf_np(x)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,19 +81,27 @@ def main() -> None:
 
     spark = get_spark(app_name="sdvg-bench", master=f"local[{cpus}]")
     times: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    runs: dict[str, list[float]] = {}
+
+    extra["calibration_sec"] = calibrate_cpu()
 
     # -- generation throughput (devnull sink = count action) ----------------
     cfg = parse_config(GEN_BENCH_CFG)
     eng = Engine(cfg)
     # Protocol mirrors the reference CI (Makefile:22-23): Go's testing.B
     # loops the op and excludes setup, so we compile + warm on run 1 and
-    # report run 2 (steady-state throughput, not codegen latency).
+    # report the median of 3 steady-state runs (not codegen latency, not
+    # a single sample a noisy host can distort).
     df = eng.model_df(spark, "bench", num_partitions=int(cpus) * 2)
     df.write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
+    gruns = []
+    for _ in range(3):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        gruns.append(round(time.time() - t0, 3))
+    dt = _median(gruns)
+    runs["generate_mixed_2m"] = gruns
     times["generate_mixed_2m"] = round(dt, 3)
     extra["gen_rows_per_s"] = round(GEN_BENCH_ROWS / dt)
     extra["gen_values_per_s"] = round(GEN_BENCH_ROWS * 8 / dt)
@@ -94,15 +124,20 @@ def main() -> None:
         "user_running_value",
     ]
     for name in bench_queries:
-        # two full runs (construction + action: some operators do their
-        # heavy work while building the DataFrame); report the warm one
-        best = float("inf")
-        for _ in range(2):
+        # three full runs (construction + action: some operators do
+        # their heavy work while building the DataFrame); report the
+        # median so one noisy sample can't swing the round-over-round
+        # comparison. Run 1 still absorbs codegen warmup — the median
+        # discounts it when the other two agree.
+        samples = []
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            samples.append(round(time.time() - t0, 3))
+        runs[name] = samples
+        times[name] = round(_median(samples), 3)
 
+    extra["runs"] = runs
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
