@@ -732,6 +732,217 @@ _RU_PHONE_PATTERNS = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Morphological expansion to reference-scale cardinality.
+#
+# The reference ships ~10k words and ~9k first names per locale as flat
+# data files (locale/en/strings.yml, locale/ru/strings.yml). Rather than
+# paste a dictionary, we expand the curated base lists above with
+# ordinary productive morphology (inflection, diminutives, surname
+# suffixation) — deterministic, original lists whose cardinality is in
+# the reference's range, so distinct-heavy configs stop clamping early.
+# Derived forms are ordinary-looking inflected words/names; perfect
+# dictionary membership is not required for synthetic values, only
+# determinism + plausibility.
+
+_EN_VOWELS = "aeiou"
+
+
+def _expand_en_words(base: list[str]) -> list[str]:
+    out = set(base)
+    for w in base:
+        if not w.isalpha() or not w.islower() or not (3 <= len(w) <= 12):
+            continue
+        # plural / 3rd-person -s
+        if w.endswith(("s", "x", "z", "ch", "sh")):
+            out.add(w + "es")
+        elif w.endswith("y") and w[-2] not in _EN_VOWELS:
+            out.add(w[:-1] + "ies")
+        else:
+            out.add(w + "s")
+        # past -ed
+        if w.endswith("e"):
+            out.add(w + "d")
+        elif w.endswith("y") and w[-2] not in _EN_VOWELS:
+            out.add(w[:-1] + "ied")
+        else:
+            out.add(w + "ed")
+        # progressive -ing (drop silent e)
+        if w.endswith("e") and not w.endswith("ee"):
+            out.add(w[:-1] + "ing")
+        else:
+            out.add(w + "ing")
+        # agent / comparative -er
+        if w.endswith("e"):
+            out.add(w + "r")
+        elif not w.endswith("y"):
+            out.add(w + "er")
+        # adverb -ly
+        if not w.endswith(("ly", "y", "e")):
+            out.add(w + "ly")
+    return sorted(out)
+
+
+# Compact original stem × ending composition for given names (the
+# productive Germanic/Romance patterns behind most English first names).
+_EN_NAME_STEMS = """
+Ald Alv Ans Arn Bald Bart Beck Bell Ben Bern Bert Brad Bram Brock Burt
+Cal Carl Ced Clem Cort Dav Del Den Dor Ed Eld Elm Erv Ev Farr Fel Ferd
+Gar Gil God Grah Hal Ham Har Hild Hol Hug Irv Jar Jer Jor Kell Ken Kerw
+Lam Lan Laur Lem Len Leon Lor Mal Marl Marv Mel Mer Mort Ned Nel New Norb
+Norm Od Orl Orv Os Ran Ray Reg Rod Rol Rup Sand Sel Stan Ted Thur Tor Ulr
+Vern Vin Wald Walt Ward Wend Wes Wilf Wilm Win Wood Wyn
+""".split()
+
+_EN_MALE_ENDINGS = ["an", "ard", "bert", "den", "don", "er", "ford", "in",
+                    "is", "ley", "mond", "on", "son", "ton", "us", "win"]
+_EN_FEMALE_ENDINGS = ["a", "ia", "ina", "ine", "elle", "ette", "een",
+                      "issa", "lyn", "ara", "anne", "ora", "ella", "etta",
+                      "ilda", "inda", "lene", "lisa", "mara", "nora",
+                      "rose", "lia"]
+_EN_FEMALE_COMPOUND = ["belle", "lee", "lynn", "rose", "mae"]
+
+
+def _expand_en_names(
+    base: list[str], endings: list[str], compounds: list[str] = []
+) -> list[str]:
+    out = set(base)
+    for n in base:
+        if not n.isalpha() or len(n) < 3:
+            continue
+        # diminutives: Rob -> Robbie / Robby, Juli(a) -> Julie
+        if n[-1].lower() not in _EN_VOWELS + "y":
+            out.add(n + "ie")
+            out.add(n + "y")
+            if compounds:
+                out.add(n + "a")  # Kathryn -> Kathryna
+        elif n.endswith("a") and len(n) >= 4:
+            out.add(n[:-1] + "ie")
+        # compound female names: Anna + belle -> Annabelle
+        if compounds and len(n) <= 5 and n[-1].lower() in "ae":
+            for c in compounds:
+                if n[-1].lower() != c[0]:
+                    out.add(n + c)
+    for stem in _EN_NAME_STEMS:
+        for end in endings:
+            if stem[-1].lower() == end[0]:  # avoid doubled letter seams
+                continue
+            out.add(stem + end)
+    return sorted(out)
+
+
+_RU_HUSHING = "жчшщц"
+_RU_VOWELS = "аеёиоуыэюя"
+
+
+def _ru_stem(word: str) -> str:
+    """Strip trailing vowels / soft signs to the consonant stem."""
+    w = word
+    while w and w[-1] in _RU_VOWELS + "ьй":
+        w = w[:-1]
+    return w
+
+
+def _expand_ru_words(base: list[str]) -> list[str]:
+    out = set(base)
+    for w in base:
+        if not (3 <= len(w) <= 12):
+            continue
+        if w.endswith(("ый", "ой")):  # adjective: gender/number/case forms
+            st = w[:-2]
+            out.update({st + "ая", st + "ое", st + "ые", st + "ых", st + "ым",
+                        st + "ому", st + "о", "не" + w})
+        elif w.endswith("ий") and len(w) >= 5:
+            st = w[:-2]
+            if st and st[-1] in _RU_HUSHING + "гкх":
+                out.update({st + "ая", st + "ое", st + "ие", st + "их"})
+            else:
+                out.update({st + "яя", st + "ее", st + "ие", st + "их"})
+        elif w.endswith("ть") and len(w) >= 5:  # verb: past/present + prefix
+            st = w[:-2]
+            out.update({st + "л", st + "ла", st + "ли",
+                        "по" + w, "за" + w, "пере" + w})
+            if w.endswith(("ать", "ять")):
+                out.update({st + "ет", st + "ют"})  # делает, делают
+            elif w.endswith("ить"):
+                out.update({st[:-1] + "ит", st[:-1] + "ят"})  # говорит, -ят
+        elif w.endswith(("а", "я")) and len(w) >= 4:  # a-stem noun: cases
+            st, soft = w[:-1], w[-1] == "я"
+            if st and st[-1] in _RU_HUSHING + "гкх":
+                out.add(st + "и")
+            else:
+                out.add(st + ("и" if soft else "ы"))
+            out.update({st + ("ями" if soft else "ами"), st + "е",
+                        st + ("ю" if soft else "у"),
+                        st + ("ей" if soft else "ой")})
+            if not soft and st[-1] not in _RU_HUSHING + "гкх":
+                out.add(st + "ка")  # diminutive: гора -> горка
+        elif w[-1] not in _RU_VOWELS + "ьй":  # consonant-stem noun: cases
+            if w[-1] in _RU_HUSHING + "гкх":
+                out.update({w + "и", w + "ей" if w[-1] in _RU_HUSHING else w + "ов"})
+            else:
+                out.update({w + "ы", w + "ов", w + "ик"})
+            out.update({w + "е", w + "ами", w + "ом", w + "у", w + "ах"})
+    return sorted(w for w in out if all("Ѐ" <= ch <= "ӿ" for ch in w))
+
+
+def _expand_ru_first(male: list[str], female: list[str]) -> tuple[list[str], list[str]]:
+    m, f = set(male), set(female)
+    for n in male:
+        if n[-1] not in _RU_VOWELS + "ьй":
+            m.add(n + "ий")   # church/full variant: Антон -> Антоний
+            m.add(n + "ушка")  # diminutive: Иван -> Иванушка
+    for n in female:
+        if n.endswith(("а", "я")) and len(n) >= 4:
+            f.add(n[:-1] + "ка")     # Светлана -> Светланка
+            f.add(n[:-1] + "очка")   # Анна -> Анночка
+    return sorted(m), sorted(f)
+
+
+def _expand_ru_last(last: list[str], male_first: list[str], words: list[str]) -> list[str]:
+    out = set(last)
+    roots: set[str] = set()
+    for src in (male_first, words):
+        for w in src:
+            st = _ru_stem(w.lower())
+            if 3 <= len(st) <= 9 and st[-1] not in _RU_VOWELS:
+                roots.add(st)
+    for st in sorted(roots):
+        cap = st.capitalize()
+        soft = st[-1] in _RU_HUSHING
+        ov = cap + ("ев" if soft else "ов")
+        out.add(ov)
+        out.add(cap + "ин")
+        out.add(cap + ("евский" if soft else "овский"))
+        out.add(cap + "енко")
+        out.add(cap + ("юк" if st[-1] in "ль" else "ук"))
+        if len(st) >= 4:
+            out.add(cap + "ский")
+    # feminine surname forms (-ов -> -ова, -ин -> -ина, -ский -> -ская)
+    fem = set()
+    for s in out:
+        if s.endswith(("ов", "ев", "ин", "ын")):
+            fem.add(s + "а")
+        elif s.endswith("ский"):
+            fem.add(s[:-2] + "ая")
+        elif s.endswith("цкий"):
+            fem.add(s[:-2] + "ая")
+    out |= fem
+    return sorted(s for s in out if all("Ѐ" <= ch <= "ӿ" for ch in s))
+
+
+_EN_WORDS = _expand_en_words(_EN_WORDS)
+_EN_MALE_FIRST = _expand_en_names(_EN_MALE_FIRST, _EN_MALE_ENDINGS)
+_EN_FEMALE_FIRST = _expand_en_names(
+    _EN_FEMALE_FIRST, _EN_FEMALE_ENDINGS, _EN_FEMALE_COMPOUND
+)
+# surnames derive from the *base* name/word lists (expanding first would
+# suffix diminutive forms into surname roots)
+_RU_LAST = _expand_ru_last(_RU_LAST, _RU_MALE_FIRST + _RU_FEMALE_FIRST, _RU_WORDS)
+_RU_MALE_FIRST, _RU_FEMALE_FIRST = _expand_ru_first(_RU_MALE_FIRST, _RU_FEMALE_FIRST)
+_RU_WORDS = _expand_ru_words(_RU_WORDS)
+
+
 @dataclass(frozen=True)
 class LocalePack:
     locale: str

@@ -424,19 +424,42 @@ class StringGen:
                 f"no phone patterns with length in [{p.min_length}, {p.max_length}]"
             )
         if p.logical_type == "text":
+            # length-bucketed word tables: the unranking picks a word
+            # LENGTH first (≤ ~13 buckets), then indexes into the
+            # bucket — O(#lengths) per pick on both the numpy and SQL
+            # paths instead of an O(#words) scan (the distinction is a
+            # pure re-enumeration of the same value space: comp[] totals
+            # are identical, only the rank→text bijection differs).
+            by_len: dict[int, list[str]] = {}
+            for w in self.pack.words:
+                by_len.setdefault(len(w) + 1, []).append(w)
+            self.text_wlens = sorted(by_len)
+            self.text_by_len = [by_len[L] for L in self.text_wlens]
             self.completions = self._calc_completions(p.max_length + 1)
+            # cums[rem] = 0-prepended prefix sums over length buckets of
+            # cnt_L * comp[rem - L]; zero blocks (inadmissible lengths)
+            # are skipped by upper-bound search automatically
+            max_pre = len(self.completions) - 1
+            self.text_cums = []
+            for rem in range(max_pre + 1):
+                acc, row = 0, [0]
+                for L, bucket in zip(self.text_wlens, self.text_by_len):
+                    if L <= rem:
+                        acc += len(bucket) * self.completions[rem - L]
+                    row.append(acc)
+                self.text_cums.append(row)
 
     # -- completions DP for text unranking (reference value/string.go:129-171)
     def _calc_completions(self, length: int) -> list[int]:
-        words = self.pack.words
         comp = [0] * (length + 2)
         comp[0] = 1
-        comp[1] = sum(1 for w in words if len(w) == 1)
+        # comp[1]: a 1-char terminal word with no trailing delimiter
+        # (L buckets key on len(w)+1, so 1-char words live in L == 2)
+        comp[1] = len(self.text_by_len[self.text_wlens.index(2)]) if 2 in self.text_wlens else 0
         for l in range(2, length + 1):
-            for w in words:
-                wlen = len(w) + 1  # word + delimiter
-                if wlen <= l:
-                    comp[l] += comp[l - wlen]
+            for L, bucket in zip(self.text_wlens, self.text_by_len):
+                if L <= l:
+                    comp[l] += len(bucket) * comp[l - L]
         out = []
         for c in comp[: length + 1]:
             if c > (1 << 63) - 1:
@@ -713,6 +736,8 @@ class StringGen:
         words = list(self.pack.words)
         one_letter = self.pack.one_letter_words()
         comp = self.completions
+        wlens, by_len, cums = self.text_wlens, self.text_by_len, self.text_cums
+        n_lens = len(wlens)
         max_pre = len(comp) - 1
         n_words = len(words)
         n_len = p.max_length - p.min_length + 1
@@ -722,20 +747,21 @@ class StringGen:
             return "'" + s.replace("'", "''") + "'"
 
         words_lit = "[" + ", ".join(slit(w) for w in words) + "]"
-        wlens_lit = "[" + ", ".join(str(len(w) + 1) for w in words) + "]"
         onelet_lit = "[" + ", ".join(slit(w) for w in one_letter) + "]"
-        # cumz[rem][i] (1-indexed): 0-prepended prefix sums of
-        # comp[rem - wlen_w] over words admissible at that rem
-        outer = []
-        for rem in range(max_pre + 1):
-            acc, row = 0, [0]
-            for w in words:
-                wlen = len(w) + 1
-                if wlen <= rem:
-                    acc += comp[rem - wlen]
-                row.append(acc)
-            outer.append("[" + ",".join(str(v) for v in row) + "]")
-        cumz_lit = "[" + ", ".join(outer) + "]"
+        # length-bucket tables (see __init__): per-pick search is over
+        # ≤ ~13 length blocks, never the full word list
+        wlens_lit = "[" + ",".join(str(L) for L in wlens) + "]"
+        compl_lit = "[" + ",".join(str(c) for c in comp) + "]"
+        bl_lit = (
+            "["
+            + ", ".join("[" + ", ".join(slit(w) for w in b) + "]" for b in by_len)
+            + "]"
+        )
+        cums_lit = (
+            "["
+            + ", ".join("[" + ",".join(str(v) for v in row) + "]" for row in cums)
+            + "]"
+        )
 
         # bulky lookup literals live in a one-row CTE; scalar subqueries
         # of it are uncorrelated, so DuckDB evaluates them once, and the
@@ -745,13 +771,16 @@ class StringGen:
             (
                 vt,
                 f"SELECT {words_lit} AS w, {wlens_lit} AS wl, "
-                f"{onelet_lit} AS ol, {cumz_lit} AS cz",
+                f"{onelet_lit} AS ol, {compl_lit} AS cp, "
+                f"{bl_lit} AS bl, {cums_lit} AS cm",
             )
         ]
         W = f"(SELECT w FROM {vt})"
         WL = f"(SELECT wl FROM {vt})"
         OL = f"(SELECT ol FROM {vt})"
-        CZ = f"(SELECT cz FROM {vt})"
+        CP = f"(SELECT cp FROM {vt})"
+        BL = f"(SELECT bl FROM {vt})"
+        CM = f"(SELECT cm FROM {vt})"
         lat: list[tuple[str, str]] = [
             (f"{prefix}ni", f"CAST(trunc({number_expr}) AS BIGINT)"),
         ]
@@ -777,15 +806,38 @@ class StringGen:
             act = f"({P}ok{s} AND {P}rem{s} > 0)"
             term = f"({act} AND {P}rem{s} = 1)"
             mid = f"({act} AND {P}rem{s} > 1)"
-            cum = f"({CZ}[{P}rem{s} + 1])"
-            # j0 = count of prefix-sum entries <= k, minus the leading 0
+            cum = f"({CM}[{P}rem{s} + 1])"
+            # j = index of the length block containing k: count of
+            # prefix-sum entries <= k minus the leading 0 (zero-width
+            # blocks collapse to equal entries, so the upper bound
+            # skips them); the list is ≤ #distinct-lengths long
             lat.append(
                 (
                     f"{P}j{s}",
-                    f"(CASE WHEN {mid} THEN len(list_filter({cum}, c -> c <= {P}k{s})) - 1 ELSE 0 END)",
+                    f"(CASE WHEN {mid} THEN len(list_filter({cum}, c -> c <= {P}k{s})) - 1 ELSE {n_lens} END)",
                 )
             )
-            found = f"({P}j{s} < {n_words})"
+            found = f"({P}j{s} < {n_lens})"
+            # block geometry: word length, per-word completion count,
+            # offset within block -> (word index, next k)
+            lat.append(
+                (
+                    f"{P}wl{s}",
+                    f"(CASE WHEN {mid} AND {found} THEN {WL}[CAST({P}j{s} AS INTEGER) + 1] ELSE 2 END)",
+                )
+            )
+            lat.append(
+                (
+                    f"{P}c{s}",
+                    f"(CASE WHEN {mid} AND {found} THEN {CP}[CAST({P}rem{s} - {P}wl{s} AS INTEGER) + 1] ELSE 1 END)",
+                )
+            )
+            lat.append(
+                (
+                    f"{P}of{s}",
+                    f"(CASE WHEN {mid} AND {found} THEN {P}k{s} - {cum}[CAST({P}j{s} AS INTEGER) + 1] ELSE 0 END)",
+                )
+            )
             lat.append(
                 (
                     f"{P}ok{s+1}",
@@ -799,7 +851,7 @@ class StringGen:
                     f"(CASE WHEN {term} AND {P}k{s} <= {len(one_letter) - 1} "
                     f"THEN {P}t{s} || {OL}[CAST({P}k{s} AS INTEGER) + 1] "
                     f"WHEN {mid} AND {found} "
-                    f"THEN {P}t{s} || {W}[CAST({P}j{s} AS INTEGER) + 1] || {slit(delim)} "
+                    f"THEN {P}t{s} || {BL}[CAST({P}j{s} AS INTEGER) + 1][CAST({P}of{s} // {P}c{s} AS INTEGER) + 1] || {slit(delim)} "
                     f"ELSE {P}t{s} END)",
                 )
             )
@@ -807,7 +859,7 @@ class StringGen:
                 (
                     f"{P}tl{s+1}",
                     f"(CASE WHEN {term} THEN {P}tl{s} + 1 "
-                    f"WHEN {mid} AND {found} THEN {P}tl{s} + {WL}[CAST({P}j{s} AS INTEGER) + 1] "
+                    f"WHEN {mid} AND {found} THEN {P}tl{s} + {P}wl{s} "
                     f"ELSE {P}tl{s} END)",
                 )
             )
@@ -815,14 +867,14 @@ class StringGen:
                 (
                     f"{P}rem{s+1}",
                     f"(CASE WHEN {term} THEN 0 "
-                    f"WHEN {mid} AND {found} THEN {P}rem{s} - {WL}[CAST({P}j{s} AS INTEGER) + 1] "
+                    f"WHEN {mid} AND {found} THEN {P}rem{s} - {P}wl{s} "
                     f"ELSE {P}rem{s} END)",
                 )
             )
             lat.append(
                 (
                     f"{P}k{s+1}",
-                    f"(CASE WHEN {mid} AND {found} THEN {P}k{s} - {cum}[CAST({P}j{s} AS INTEGER) + 1] "
+                    f"(CASE WHEN {mid} AND {found} THEN {P}of{s} % {P}c{s} "
                     f"ELSE {P}k{s} END)",
                 )
             )
@@ -990,11 +1042,16 @@ class StringGen:
 
     def _text_np(self, number: np.ndarray) -> np.ndarray:
         """Combinatorial unranking of word sequences (reference text,
-        value/string.go:239-324). Per-row; words are few hundred."""
+        value/string.go:239-324, re-enumerated by length bucket so each
+        pick is O(#distinct word lengths), not O(#words))."""
+        from bisect import bisect_right
+
         p = self.p
         words = list(self.pack.words)
         one_letter = self.pack.one_letter_words()
         comp = self.completions
+        wlens, by_len, cums = self.text_wlens, self.text_by_len, self.text_cums
+        n_lens = len(wlens)
         max_pre = len(comp) - 1
         n_len = p.max_length - p.min_length + 1
         out = np.empty(len(number), dtype=object)
@@ -1014,23 +1071,19 @@ class StringGen:
                     parts.append(one_letter[k])
                     text_len += 1
                     break
-                found = False
-                for w in words:
-                    wlen = len(w) + 1
-                    if wlen > remaining:
-                        continue
-                    cnt = comp[remaining - wlen]
-                    if k < cnt:
-                        parts.append(w)
-                        parts.append(locales.WORDS_DELIMITER)
-                        text_len += wlen
-                        remaining -= wlen
-                        found = True
-                        break
-                    k -= cnt
-                if not found:
+                row = cums[remaining]
+                t = bisect_right(row, k) - 1
+                if t >= n_lens:  # k beyond every block: no completion
                     ok = False
                     break
+                L = wlens[t]
+                c = comp[remaining - L]
+                off = k - row[t]
+                parts.append(by_len[t][off // c])
+                parts.append(locales.WORDS_DELIMITER)
+                k = off % c
+                text_len += L
+                remaining -= L
             if not ok:
                 out[r] = ""
                 continue

@@ -25,6 +25,18 @@ _DECOMPOSABLE = {
     "max": (F.max, F.max),
     "collect_set": (F.collect_set, None),  # final = flatten+distinct
     "collect_list": (F.collect_list, None),  # final = flatten
+    # composed in-line rather than via the table:
+    #   avg                   -> sum partial + count partial, sum/sum final
+    #   approx_count_distinct -> hll_sketch_agg partial, hll_union_agg +
+    #                            hll_sketch_estimate final (DataSketches
+    #                            HLL is union-mergeable, so sharding is
+    #                            lossless: estimate(union(shards)) ==
+    #                            estimate(whole)). Exact count_distinct
+    #                            is NOT decomposable over salts (distinct
+    #                            sets overlap across shards) — use the
+    #                            sketch or a two-phase distinct instead.
+    "avg": (None, None),
+    "approx_count_distinct": (None, None),
 }
 
 
@@ -37,11 +49,13 @@ def salted_agg(
     """Two-stage aggregation sharding hot keys over ``n_salts`` salts.
 
     ``aggs`` maps output name -> (fn, column) with fn one of ``sum``,
-    ``count``, ``min``, ``max``, ``collect_set``, ``collect_list``.
-    Stage 1 groups by (keys, salt) — a hot key's rows spread over
-    ``n_salts`` reducers; stage 2 groups by keys alone and combines the
-    at-most-``n_salts`` partial rows per key. Compose ``avg`` from
-    sum + count.
+    ``count``, ``min``, ``max``, ``avg``, ``approx_count_distinct``,
+    ``collect_set``, ``collect_list``. Stage 1 groups by (keys, salt) —
+    a hot key's rows spread over ``n_salts`` reducers; stage 2 groups by
+    keys alone and combines the at-most-``n_salts`` partial rows per
+    key. ``avg`` is composed as sum+count partials;
+    ``approx_count_distinct`` shards DataSketches HLL sketches and
+    unions them (lossless under union).
 
     The salt is ``monotonically_increasing_id() % n_salts``: which rows
     land in which shard varies with partitioning, but every listed
@@ -57,10 +71,15 @@ def salted_agg(
     salted = df.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
-    partials = [
-        _DECOMPOSABLE[fn][0](col).alias(f"__p_{name}")
-        for name, (fn, col) in aggs.items()
-    ]
+    partials = []
+    for name, (fn, col) in aggs.items():
+        if fn == "avg":
+            partials.append(F.sum(col).alias(f"__p_{name}_s"))
+            partials.append(F.count(col).alias(f"__p_{name}_c"))
+        elif fn == "approx_count_distinct":
+            partials.append(F.hll_sketch_agg(col).alias(f"__p_{name}"))
+        else:
+            partials.append(_DECOMPOSABLE[fn][0](col).alias(f"__p_{name}"))
     stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
     finals = []
     for name, (fn, _col) in aggs.items():
@@ -71,6 +90,12 @@ def salted_agg(
             )
         elif fn == "collect_list":
             finals.append(F.array_sort(F.flatten(F.collect_list(p))).alias(name))
+        elif fn == "avg":
+            finals.append(
+                (F.sum(f"__p_{name}_s") / F.sum(f"__p_{name}_c")).alias(name)
+            )
+        elif fn == "approx_count_distinct":
+            finals.append(F.hll_sketch_estimate(F.hll_union_agg(p)).alias(name))
         else:
             finals.append(_DECOMPOSABLE[fn][1](p).alias(name))
     return stage1.groupBy(*keys).agg(*finals)

@@ -155,7 +155,11 @@ def column_oracle_sql(
             nxt = f"lat{i}"
             stages.append(f"{nxt} AS (SELECT *, {e} AS {n} FROM {rel})")
             rel = nxt
-        cte_sql = "".join(f"{n} AS ({s}), " for n, s in extra_ctes)
+        # MATERIALIZED: DuckDB inlines plain CTEs at every reference
+        # site, re-constant-folding the bulky lookup literals once per
+        # referencing stage (~20s of planner time with a 10k-word
+        # pack); materializing pins one evaluation
+        cte_sql = "".join(f"{n} AS MATERIALIZED ({s}), " for n, s in extra_ctes)
         return (
             f"WITH {pre}, {chain}, {cte_sql}{', '.join(stages)} "
             f"SELECT id, CAST({val_expr} AS {cast}) AS {column_name} FROM {rel}"

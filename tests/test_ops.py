@@ -372,3 +372,79 @@ def test_connected_components_chain_clique_singleton(spark):
     )
     rep = {r.doc_id: r.rep for r in connected_components(nodes, edges).collect()}
     assert rep == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    """Every decomposable aggregate through the salt shards must equal
+    the single-stage groupBy result, independent of n_salts."""
+    from sdvg_spark.ops.skew import salted_agg
+
+    rows = [(i % 3, i % 7, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v int, x double")
+    got = {
+        r.k: r
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": ("sum", "x"),
+                "n": ("count", "x"),
+                "lo": ("min", "x"),
+                "hi": ("max", "x"),
+                "mean": ("avg", "x"),
+                "vals": ("collect_set", "v"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("x").alias("total"),
+            F.count("x").alias("n"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.avg("x").alias("mean"),
+            F.array_sort(F.collect_set("v")).alias("vals"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("total", "n", "lo", "hi", "vals"):
+            assert got[k][f] == want[k][f], (k, f)
+        assert math.isclose(got[k]["mean"], want[k]["mean"], rel_tol=1e-12)
+
+
+def test_salted_agg_hll_sharding_is_lossless(spark):
+    """DataSketches HLL is union-mergeable: the sharded estimate must be
+    IDENTICAL (not merely close) to the unsharded hll estimate, and
+    within the sketch's error bound of the true distinct count."""
+    from sdvg_spark.ops.skew import salted_agg
+
+    rows = [(i % 2, i % 400) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r.k: r.nd
+        for r in salted_agg(
+            df, ["k"], {"nd": ("approx_count_distinct", "v")}, n_salts=16
+        ).collect()
+    }
+    want = {
+        r.k: r.nd
+        for r in df.groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("nd"))
+        .collect()
+    }
+    assert got == want
+    for k, est in got.items():
+        assert abs(est - 200) / 200 < 0.05
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    from sdvg_spark.ops.skew import salted_agg
+
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_agg(df, ["k"], {"bad": ("count_distinct", "v")})
