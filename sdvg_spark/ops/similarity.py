@@ -285,6 +285,44 @@ def lsh_topk(
     return final.select("q_id", "c_id", "cosine", "rank")
 
 
+def _centroid_assign_kernel(bc, id_name: str, top: int, vec_out: str | None = None):
+    """mapInPandas kernel: nearest-`top` centroid cells per vector via
+    one matmul per Arrow batch against the broadcast centroid matrix.
+    Ties break to the lowest cell (stable argsort). With ``vec_out`` the
+    input vector is passed through (index-build path)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        c = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (M / nrm[:, None]) @ c.T  # (n, n_cells)
+            ids = pdf[id_name].to_numpy(dtype=np.int64)
+            if top == 1:
+                cells = np.argmax(sims, axis=1)  # first max = lowest cell
+                out = {id_name: ids, "cell": cells.astype(np.int32)}
+                if vec_out is not None:
+                    out[vec_out] = pdf["__v"]
+                yield pd.DataFrame(out)
+            else:
+                # stable top-`top` cells per row: (-sim, cell) lexsort
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+                yield pd.DataFrame(
+                    {
+                        id_name: np.repeat(ids, top),
+                        "cell": order.ravel().astype(np.int32),
+                    }
+                )
+
+    return run
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -344,40 +382,13 @@ def ivf_topk(
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cent)
 
-    def assign_kernel(id_name: str, top: int):
-        def run(batches):
-            c = bc.value
-            for pdf in batches:
-                n = len(pdf)
-                if n == 0:
-                    continue
-                M = np.array(list(pdf["__v"]), dtype=np.float64)
-                nrm = np.linalg.norm(M, axis=1)
-                nrm[nrm == 0] = 1.0
-                sims = (M / nrm[:, None]) @ c.T  # (n, n_cells)
-                ids = pdf[id_name].to_numpy(dtype=np.int64)
-                if top == 1:
-                    cells = np.argmax(sims, axis=1)  # first max = lowest cell
-                    yield pd.DataFrame({id_name: ids, "cell": cells.astype(np.int32)})
-                else:
-                    # stable top-`top` cells per row: (-sim, cell) lexsort
-                    order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
-                    yield pd.DataFrame(
-                        {
-                            id_name: np.repeat(ids, top),
-                            "cell": order.ravel().astype(np.int32),
-                        }
-                    )
-
-        return run
-
     wide = widen(corpus)
     assign = wide.select(
         F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v")
-    ).mapInPandas(assign_kernel("c_id", 1), "c_id long, cell int")
+    ).mapInPandas(_centroid_assign_kernel(bc, "c_id", 1), "c_id long, cell int")
     probes = queries.select(
         F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
-    ).mapInPandas(assign_kernel("q_id", n_probe), "q_id long, cell int")
+    ).mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
 
     # vector re-attach reads the RAW corpus: routing it through widen()
     # would shuffle every vector a second time just to feed a join that
@@ -513,3 +524,136 @@ r AS (
     row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
   FROM scored)
 SELECT q_id, c_id, rank FROM r WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: Lloyd-trained centroids + partitionBy("cell")
+# layout. The production-scale complement to :func:`ivf_topk` (which
+# stays the deterministic seed-sample/oracle path): training happens
+# once offline, the assignment is persisted partitioned by cell, and a
+# probe prunes unprobed cells at the FILE level — a 4/16-probe search
+# reads 1/4 of the index bytes before any compute runs.
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 8,
+    dims: int | None = None,
+    sample_max_bytes: int = 64_000_000,
+):
+    """Spherical k-means centroids, Lloyd-trained on a deterministic
+    sample (``id % stride == 0`` with stride sized so the sample fits
+    ``sample_max_bytes``), seeded from the ``n_cells`` smallest-id
+    sample rows — same seeding rule as :func:`ivf_topk`, so n_iters=0
+    degenerates to the oracle path's centroids (over the sample).
+
+    Training is driver-local numpy over a byte-capped sample — the same
+    strategy FAISS-style ANN libraries use (train on sample, apply to
+    corpus). The corpus itself is never collected. One count() job sizes
+    the stride; index building is an offline operation, so an extra
+    metadata-cheap job is acceptable there (unlike in ``queries()``
+    paths, which must not trigger extra actions).
+
+    Returns a unit-normalized (n_cells, dims) float64 matrix.
+    """
+    import numpy as np
+
+    from sdvg_spark.ops.dedup import _infer_dims, bounded_local_vectors
+
+    if dims is None:
+        dims = _infer_dims(corpus, corpus_vec)
+    n = corpus.count()
+    stride = max(1, -(-(n * (8 * dims + 8)) // sample_max_bytes))
+    sample = corpus.where((F.col(corpus_id) % stride) == 0)
+    loc = bounded_local_vectors(sample, corpus_id, corpus_vec, sample_max_bytes)
+    if loc is None:  # stride estimate was off (skewed id space): halve again
+        sample = corpus.where((F.col(corpus_id) % (stride * 2)) == 0)
+        loc = bounded_local_vectors(sample, corpus_id, corpus_vec, sample_max_bytes)
+        if loc is None:
+            raise ValueError("sample exceeds sample_max_bytes even at 2x stride")
+    ids, M = loc
+    if len(ids) < n_cells:
+        raise ValueError(f"sample has {len(ids)} rows < n_cells={n_cells}")
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0] = 1.0
+    M = M / nrm[:, None]
+    cent = M[:n_cells].copy()  # ids sorted ascending -> smallest-id seed
+    for _ in range(n_iters):
+        assign = np.argmax(M @ cent.T, axis=1)  # first max = lowest cell
+        for c in range(n_cells):
+            members = M[assign == c]
+            if len(members):  # empty cell keeps its previous centroid
+                v = members.mean(axis=0)
+                l2 = np.linalg.norm(v)
+                if l2 > 0:
+                    cent[c] = v / l2
+    return cent
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Assign every corpus vector to its nearest centroid (one map-only
+    Arrow matmul pass) and persist ``(c_id, vec, cell)`` partitioned by
+    cell — probes then prune at the file level. The vector rides through
+    the kernel, so the write needs no join back to the corpus."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    vec_type = dict(corpus.dtypes)[corpus_vec]
+    assigned = corpus.select(
+        F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v")
+    ).mapInPandas(
+        _centroid_assign_kernel(bc, "c_id", 1, vec_out="vec"),
+        f"c_id long, cell int, vec {vec_type}",
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    path: str,
+    centroids,
+    *,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.
+
+    The probed cell set (≤ n_cells values by construction — it is a
+    subset of the centroid count, not data-sized) is materialized and
+    pushed into the parquet scan as a partition filter, so unprobed
+    cells are pruned before any bytes are read. Candidates then come
+    out of the scan WITH their vectors (the layout stores them), so
+    scoring needs only the broadcast query-vector join — no corpus
+    re-attach shuffle at all.
+    """
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    probes = queries.select(
+        F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
+    ).mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
+    # tiny by construction: distinct over ≤ n_cells values
+    cells = sorted(int(c) for c in probes.select("cell").distinct().toPandas()["cell"])
+    index = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
+    scored = (
+        F.broadcast(probes).join(index, "cell")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("vec")).alias("cosine"))
+    )
+    final = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
+    ).where(F.col("rank") <= k)
+    return final.select("q_id", "c_id", "cosine", "rank")

@@ -205,3 +205,30 @@ def test_ivf_vector_reattach_skips_widen_shuffle(spark):
     # on the n_cells-cardinality `cell` key (parallelism collapses to
     # n_cells and the hot cells skew at 100x)
     assert "Exchange hashpartitioning(cell" not in plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted-index search must push the probed cell set into the
+    parquet scan as a PARTITION filter (file-level pruning: unprobed
+    cells are never read), and the probe/query joins must broadcast."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.ops.similarity import (
+        ivf_index_topk,
+        ivf_train_centroids,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = ivf_train_centroids(emb, n_cells=8, n_iters=2)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, cent)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    plan = _plan(ivf_index_topk(q, path, cent, k=5, n_probe=2))
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in scan  # probed cells reached the scan as partition filters
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(cell" not in plan
+    assert "CartesianProduct" not in plan
