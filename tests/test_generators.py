@@ -328,3 +328,37 @@ def test_datetime_ns_unit_lossless_and_oracle_exact(spark):
     assert sql is not None
     oracle = {int(i): int(v) for i, v in duckdb.connect().execute(sql).fetchall()}
     assert oracle == {int(i): int(v) for i, v in ns.items()}
+
+
+def test_text_unranking_is_injective(spark):
+    """The length-bucketed text unranking must stay a bijection over
+    rank space: a distinct-heavy text column produces all-unique values
+    (what distinct_percentage configs rely on)."""
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    cfg = parse_config(
+        {
+            "random_seed": 11,
+            "models": {
+                "m": {
+                    "rows_count": 4000,
+                    "columns": [
+                        {
+                            "name": "t",
+                            "type": "string",
+                            "type_params": {
+                                "logical_type": "text",
+                                "min_length": 20,
+                                "max_length": 60,
+                            },
+                            "distinct_percentage": 1.0,
+                        }
+                    ],
+                }
+            },
+        }
+    )
+    vals = [r.t for r in Engine(cfg).model_df(spark, "m").collect()]
+    assert all(v for v in vals)  # every rank decodes (no dead "" ranks)
+    assert len(set(vals)) == len(vals)
