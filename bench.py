@@ -106,6 +106,22 @@ def main() -> None:
     extra["gen_rows_per_s"] = round(GEN_BENCH_ROWS / dt)
     extra["gen_values_per_s"] = round(GEN_BENCH_ROWS * 8 / dt)
 
+    # scale point: the same mix at 10x rows (outside the headline sum).
+    # 2M-row jobs are overhead-bound (every column type measures ~0.8s
+    # solo); per-row cost falls with row count, and this records it.
+    big_cfg = dict(GEN_BENCH_CFG)
+    big_cfg["models"] = {
+        "bench": {**GEN_BENCH_CFG["models"]["bench"], "rows_count": GEN_BENCH_ROWS * 10}
+    }
+    bdf = Engine(parse_config(big_cfg)).model_df(
+        spark, "bench", num_partitions=int(cpus) * 4
+    )
+    t0 = time.time()
+    bdf.write.format("noop").mode("overwrite").save()
+    bdt = time.time() - t0
+    extra["gen20m_sec"] = round(bdt, 3)
+    extra["gen20m_values_per_s"] = round(GEN_BENCH_ROWS * 10 * 8 / bdt)
+
     # -- pipeline + analytics at sf ----------------------------------------
     # warm the scan path (parquet reader init, codegen infra) so the
     # first query doesn't absorb session boot costs
