@@ -544,6 +544,9 @@ class StringGen:
         return None  # text / simple string -> UDF
 
     def _list_pick_col(self, items: list[str], number: Column) -> Column:
+        """n-th element of a sorted name list (reference firstName/
+        lastName, value/string.go:203-219) as a native array-literal
+        lookup — stays inside whole-stage codegen."""
         pos = _ordered_int64_col(0, len(items) - 1, number, self.total)
         return F.element_at(F.lit(items), pos.cast("int") + F.lit(1))
 
@@ -945,6 +948,8 @@ class StringGen:
         return arr[pos.astype(np.int64)]
 
     def _phone_np(self, number: np.ndarray) -> np.ndarray:
+        """Pattern pick + zero-padded digit fill (reference phone,
+        value/string.go:221-237)."""
         pats = self.pack.phone_patterns_filtered(self.p.min_length, self.p.max_length)
         pos = _ordered_int64_np(0, len(pats) - 1, number, self.total)
         out = np.empty(len(number), dtype=object)
@@ -965,6 +970,8 @@ class StringGen:
         return out
 
     def _template_np(self, number: np.ndarray) -> np.ndarray:
+        """Digit-chain fill of A/a/0/# template slots (reference
+        templateString, value/string.go:174-201)."""
         pack = self.pack
         tmpl = self.p.template
         idx = number / float(self.total)
