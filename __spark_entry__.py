@@ -349,6 +349,38 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "session_end", "n_events", "session_value")
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregates routed through the two-stage salted
+    aggregation (ops/skew.py): salting is pure execution strategy, so
+    the result must equal a plain GROUP BY — this row proves it against
+    an independent engine. Sums ride in integer micro-units (exact,
+    order-independent); avg is one bigint/bigint division on both sides.
+    """
+    from sdvg_spark.ops.skew import salted_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn("vu", _value_micros())
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": ("count", "vu"),
+            "sum_micros": ("sum", "vu"),
+            "avg_micros": ("avg", "vu"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=32,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("sum_micros").cast("double") / F.lit(1000000.0)).alias("sum_value"),
+        (F.col("avg_micros") / F.lit(1000000.0)).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize binary payloads + metadata, then
     Arrow-batched decode + image statistics. The fake decoder is
@@ -425,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_features": q_media_features,
             "media_audio_features": q_media_audio_features,
             "user_running_value": q_user_running_value,
+            "skew_salted_agg": q_skew_salted_agg,
         }
     )
     return out
@@ -532,6 +565,16 @@ s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event
         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM g)
 SELECT user_id, session_seq, count(*) AS n_events, {_SQL_VSUM} AS session_value
 FROM s GROUP BY user_id, session_seq"""
+
+    out["skew_salted_agg"] = """
+WITH e AS (SELECT user_id, round(value * 1000000)::BIGINT AS vu, value FROM events)
+SELECT user_id,
+  count(vu) AS n_events,
+  (CAST(sum(vu) AS DOUBLE) / 1000000.0) AS sum_value,
+  ((CAST(sum(vu) AS DOUBLE) / count(vu)) / 1000000.0) AS avg_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM e GROUP BY user_id"""
 
     out["events_hourly"] = f"""
 WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events)
