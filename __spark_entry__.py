@@ -349,6 +349,19 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "session_end", "n_events", "session_value")
 
 
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the events table
+    (ops/sampling.py): pure function of (event_id, seed) via the synced
+    frf chain — map-only, reproducible across partitionings, and
+    value-exact against the DuckDB mirror of the same chain."""
+    from sdvg_spark.ops.sampling import hash_split
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    return hash_split(
+        ev, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user aggregates routed through the two-stage salted
     aggregation (ops/skew.py): salting is pure execution strategy, so
@@ -458,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_audio_features": q_media_audio_features,
             "user_running_value": q_user_running_value,
             "skew_salted_agg": q_skew_salted_agg,
+            "data_split": q_data_split,
         }
     )
     return out
@@ -565,6 +579,15 @@ s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event
         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM g)
 SELECT user_id, session_seq, count(*) AS n_events, {_SQL_VSUM} AS session_value
 FROM s GROUP BY user_id, session_seq"""
+
+    from sdvg_spark.ops.sampling import hash_split_oracle_sql
+
+    out["data_split"] = hash_split_oracle_sql(
+        table="events",
+        id_col="event_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42,
+    )
 
     out["skew_salted_agg"] = """
 WITH e AS (SELECT user_id, round(value * 1000000)::BIGINT AS vu, value FROM events)

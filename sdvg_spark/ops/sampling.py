@@ -1,0 +1,132 @@
+"""Deterministic splitting & sampling for training-data pipelines.
+
+Train/val/test assignment and (stratified) subsampling are the first
+operations a 100 TB corpus hits after dedup. Both are expressed as pure
+functions of (id, seed) via the engine's synced fastRandomFloat
+(SplitMix64+XorShift64, `sdvg_spark/core/rng.py`), NOT `F.rand()`:
+
+* map-only — no shuffle, no state, native Column expressions inside
+  whole-stage codegen; the scan's partitioning is preserved;
+* reproducible — the same row lands in the same split on every run,
+  every retry, any partitioning, and any engine (the same chain exists
+  as numpy kernel, Column expression, and DuckDB SQL);
+* stable under corpus growth — adding rows never reassigns existing
+  ids (unlike `randomSplit`, which reflows with partition layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sdvg_spark.core.rng import frf_col
+
+
+def _unit_draw(id_col: Column, seed: int) -> Column:
+    return frf_col(id_col.cast("long") + F.lit(int(seed)))
+
+
+def _cumulative(fractions: dict[str, float]) -> list[tuple[str, float]]:
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    out, acc = [], 0.0
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"negative fraction for {name!r}")
+        acc += frac
+        out.append((name, acc))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    *,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split label drawn from frf(id + seed).
+
+    ``fractions`` maps label -> share (must sum to 1; dict order defines
+    the threshold order, so the same dict always produces the same
+    assignment). Expected shares hold in distribution; exact per-label
+    counts are not forced (same contract as hash-based splits in
+    feature stores).
+    """
+    cum = _cumulative(fractions)
+    u = _unit_draw(F.col(id_col), seed)
+    if len(cum) == 1:
+        return df.withColumn(out_col, F.lit(cum[0][0]))
+    case = F.when(u < F.lit(cum[0][1]), F.lit(cum[0][0]))
+    for name, bound in cum[1:-1]:
+        case = case.when(u < F.lit(bound), F.lit(name))
+    return df.withColumn(out_col, case.otherwise(F.lit(cum[-1][0])))
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, *, seed: int = 0
+) -> DataFrame:
+    """Keep each row iff frf(id + seed) < fraction — a deterministic,
+    partitioning-independent Bernoulli sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_unit_draw(F.col(id_col), seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict,
+    *,
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep a row of
+    stratum s iff frf(id + seed) < fractions[s] (``default`` for
+    unlisted strata). The fraction map is a literal CASE chain — no join
+    against a fractions table, so the plan stays map-only."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1]")
+    thresh: Column = F.lit(float(default))
+    items = list(fractions.items())
+    if items:
+        case = F.when(F.col(strata_col) == F.lit(items[0][0]), F.lit(float(items[0][1])))
+        for k, v in items[1:]:
+            case = case.when(F.col(strata_col) == F.lit(k), F.lit(float(v)))
+        thresh = case.otherwise(F.lit(float(default)))
+    return df.where(_unit_draw(F.col(id_col), seed) < thresh)
+
+
+def hash_split_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`hash_split`: the same frf chain on the
+    same ids compared against the same Python-computed cumulative
+    thresholds (bit-identical doubles on both sides)."""
+    from sdvg_spark.core.rng import dlit, frf_cte_chain
+
+    cum = _cumulative(fractions)
+    chain, final = frf_cte_chain(
+        "src", f"{id_col} + {int(seed)}", carry=[id_col], out="u"
+    )
+    if len(cum) == 1:
+        case = f"'{cum[0][0]}'"
+    else:
+        whens = " ".join(
+            f"WHEN u < {dlit(bound)} THEN '{name}'" for name, bound in cum[:-1]
+        )
+        case = f"CASE {whens} ELSE '{cum[-1][0]}' END"
+    return (
+        f"WITH src AS (SELECT {id_col} FROM {table}), {chain} "
+        f"SELECT {id_col}, {case} AS split FROM {final}"
+    )

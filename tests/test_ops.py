@@ -483,3 +483,64 @@ def test_ivf_index_roundtrip_recall(spark, tmp_path):
     assert (cent == cent2).all()
     got2 = ivf_index_topk(q, path, cent2, k=5, n_probe=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_hash_split_shares_and_partition_independence(spark):
+    from sdvg_spark.ops.sampling import hash_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "rid")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "rid", fr, seed=3)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(fr)
+    for name, frac in fr.items():
+        assert abs(counts[name] / 20000 - frac) < 0.02, name
+    # identical assignment under a different partitioning
+    a = {(r.rid, r.split) for r in out.collect()}
+    b = {
+        (r.rid, r.split)
+        for r in hash_split(df.repartition(17), "rid", fr, seed=3).collect()
+    }
+    assert a == b
+    # growth-stable: the first 20k ids keep their split in a bigger corpus
+    big = hash_split(
+        spark.range(0, 40000).withColumnRenamed("id", "rid"), "rid", fr, seed=3
+    )
+    sub = {(r.rid, r.split) for r in big.where(F.col("rid") < 20000).collect()}
+    assert sub == a
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    from sdvg_spark.ops.sampling import sample_fraction, stratified_sample
+
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = stratified_sample(
+        df, "rid", "s", {"0": 0.5, "1": 0.1}, default=0.0, seed=9
+    ).groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    got = {r.s: r.n for r in out}
+    assert abs(got.get("0", 0) / 10000 - 0.5) < 0.03
+    assert abs(got.get("1", 0) / 10000 - 0.1) < 0.03
+    assert "2" not in got  # default 0.0 drops unlisted strata
+    # plain fraction: subset of the full draw, deterministic
+    s1 = {r.rid for r in sample_fraction(df, "rid", 0.2, seed=9).collect()}
+    s2 = {r.rid for r in sample_fraction(df, "rid", 0.5, seed=9).collect()}
+    assert s1 <= s2  # nested samples: same draw, wider threshold
+
+
+def test_sampling_is_map_only(spark):
+    """Split/sample must add no exchange: pure projection/filter over
+    the scan (at 100 TB a shuffle here would move the whole corpus)."""
+    from sdvg_spark.ops.sampling import hash_split, stratified_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 2).cast("string").alias("s")
+    )
+    for out in (
+        hash_split(df, "rid", {"a": 0.5, "b": 0.5}),
+        stratified_sample(df, "rid", "s", {"0": 0.5}),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
