@@ -138,6 +138,8 @@ def main() -> None:
         "top_revenue",
         "events_sessionize",
         "user_running_value",
+        "skew_salted_agg",
+        "data_split",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do
