@@ -362,6 +362,19 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split keyed on the STRING `source` column: every row
+    of a source shares one label (md5-fold draw), so near-duplicates
+    within a source cannot straddle train/test — the leakage-safe split
+    for web-crawl-style corpora."""
+    from sdvg_spark.ops.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user aggregates routed through the two-stage salted
     aggregation (ops/skew.py): salting is pure execution strategy, so
@@ -472,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_running_value": q_user_running_value,
             "skew_salted_agg": q_skew_salted_agg,
             "data_split": q_data_split,
+            "data_split_by_source": q_data_split_by_source,
         }
     )
     return out
@@ -587,6 +601,14 @@ FROM s GROUP BY user_id, session_seq"""
         id_col="event_id",
         fractions={"train": 0.8, "val": 0.1, "test": 0.1},
         seed=42,
+    )
+    out["data_split_by_source"] = hash_split_oracle_sql(
+        table="documents",
+        id_col="source",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+        id_is_string=True,
+        carry=["doc_id", "source"],
     )
 
     out["skew_salted_agg"] = """

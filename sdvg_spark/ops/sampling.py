@@ -26,6 +26,24 @@ def _unit_draw(id_col: Column, seed: int) -> Column:
     return frf_col(id_col.cast("long") + F.lit(int(seed)))
 
 
+def _string_key_draw(c: Column, seed: int) -> Column:
+    """Unit draw for STRING keys: md5 → first 15 hex chars → 60-bit int
+    → frf. Mirrorable exactly in DuckDB (same md5, same fold). Keying a
+    split on a string GROUP column (source/domain/author) is the
+    leakage-safe form: every row of a group lands in the same split, so
+    near-duplicates within a group can't straddle train/test."""
+    h = F.conv(F.substring(F.md5(F.coalesce(c, F.lit(""))), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return frf_col(h + F.lit(int(seed)))
+
+
+def _draw(df: DataFrame, id_col: str, seed: int) -> Column:
+    if dict(df.dtypes).get(id_col) == "string":
+        return _string_key_draw(F.col(id_col), seed)
+    return _unit_draw(F.col(id_col), seed)
+
+
 def _cumulative(fractions: dict[str, float]) -> list[tuple[str, float]]:
     if not fractions:
         raise ValueError("fractions must be non-empty")
@@ -56,9 +74,14 @@ def hash_split(
     assignment). Expected shares hold in distribution; exact per-label
     counts are not forced (same contract as hash-based splits in
     feature stores).
+
+    ``id_col`` may be numeric (row id) or string. Passing a string
+    GROUP column (source/domain) gives a group-aware split: all rows of
+    a group share one label, so near-duplicates inside the group cannot
+    leak across train/test.
     """
     cum = _cumulative(fractions)
-    u = _unit_draw(F.col(id_col), seed)
+    u = _draw(df, id_col, seed)
     if len(cum) == 1:
         return df.withColumn(out_col, F.lit(cum[0][0]))
     case = F.when(u < F.lit(cum[0][1]), F.lit(cum[0][0]))
@@ -74,7 +97,7 @@ def sample_fraction(
     partitioning-independent Bernoulli sample."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.where(_unit_draw(F.col(id_col), seed) < F.lit(float(fraction)))
+    return df.where(_draw(df, id_col, seed) < F.lit(float(fraction)))
 
 
 def stratified_sample(
@@ -100,7 +123,7 @@ def stratified_sample(
         for k, v in items[1:]:
             case = case.when(F.col(strata_col) == F.lit(k), F.lit(float(v)))
         thresh = case.otherwise(F.lit(float(default)))
-    return df.where(_unit_draw(F.col(id_col), seed) < thresh)
+    return df.where(_draw(df, id_col, seed) < thresh)
 
 
 def hash_split_oracle_sql(
@@ -109,15 +132,26 @@ def hash_split_oracle_sql(
     id_col: str,
     fractions: dict[str, float],
     seed: int = 0,
+    id_is_string: bool = False,
+    carry: list[str] | None = None,
 ) -> str:
     """DuckDB mirror of :func:`hash_split`: the same frf chain on the
     same ids compared against the same Python-computed cumulative
-    thresholds (bit-identical doubles on both sides)."""
+    thresholds (bit-identical doubles on both sides). With
+    ``id_is_string`` the seed expression folds the key through the same
+    md5-prefix integer as :func:`_string_key_draw`."""
     from sdvg_spark.core.rng import dlit, frf_cte_chain
 
     cum = _cumulative(fractions)
+    if id_is_string:
+        key = (
+            f"CAST(('0x' || substr(md5(coalesce({id_col}, '')), 1, 15))::UBIGINT"
+            f" AS BIGINT)"
+        )
+    else:
+        key = id_col
     chain, final = frf_cte_chain(
-        "src", f"{id_col} + {int(seed)}", carry=[id_col], out="u"
+        "src", f"{key} + {int(seed)}", carry=carry or [id_col], out="u"
     )
     if len(cum) == 1:
         case = f"'{cum[0][0]}'"
@@ -126,7 +160,8 @@ def hash_split_oracle_sql(
             f"WHEN u < {dlit(bound)} THEN '{name}'" for name, bound in cum[:-1]
         )
         case = f"CASE {whens} ELSE '{cum[-1][0]}' END"
+    cols = ", ".join(carry or [id_col])
     return (
-        f"WITH src AS (SELECT {id_col} FROM {table}), {chain} "
-        f"SELECT {id_col}, {case} AS split FROM {final}"
+        f"WITH src AS (SELECT {cols} FROM {table}), {chain} "
+        f"SELECT {cols}, {case} AS split FROM {final}"
     )

@@ -544,3 +544,26 @@ def test_sampling_is_map_only(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_hash_split_on_string_key_is_group_coherent(spark):
+    """String-keyed split: every row of a group gets the same label
+    (leakage-safe), groups spread over labels, and assignment is
+    independent of partitioning."""
+    from sdvg_spark.ops.sampling import hash_split
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("site-"), (F.col("id") % 200).cast("string")).alias("src"),
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "src", fr, seed=7)
+    per_group = out.groupBy("src").agg(
+        F.countDistinct("split").alias("k"), F.first("split").alias("lbl")
+    ).collect()
+    assert all(r.k == 1 for r in per_group)  # one label per group
+    labels = {r.lbl for r in per_group}
+    assert labels == set(fr)  # 200 groups hit every label
+    a = {(r.rid, r.split) for r in out.collect()}
+    b = {(r.rid, r.split) for r in hash_split(df.repartition(13), "src", fr, seed=7).collect()}
+    assert a == b
