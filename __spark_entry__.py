@@ -127,12 +127,15 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("__t"), T.tokens(F.col("text")).alias("__toks")
     )
     t, toks = F.col("__t"), F.col("__toks")
+    qf = T.quality_features(t, toks)
     return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         T.regex_token_count(t).alias("n_bpe_tokens"),
         T.detect_language(t, toks).alias("lang_pred"),
         F.round(T.quality_score(t, toks), 9).alias("quality"),
+        qf["dup_token_ratio"].alias("dup_token_ratio"),
+        qf["dup_line_ratio"].alias("dup_line_ratio"),
         T.fingerprint(t, toks).alias("fingerprint"),
     )
 
@@ -503,11 +506,14 @@ def oracle_sql() -> dict[str, str]:
         if sql is not None:
             out[name] = sql
 
+    _sqf = T.sql_quality_features("text")
     out["text_features"] = f"""SELECT doc_id,
   {T.sql_whitespace_token_count('text')} AS n_tokens,
   {T.sql_regex_token_count('text')} AS n_bpe_tokens,
   {T.sql_detect_language('text')} AS lang_pred,
   round({T.sql_quality_score('text')}, 9) AS quality,
+  {_sqf['dup_token_ratio']} AS dup_token_ratio,
+  {_sqf['dup_line_ratio']} AS dup_line_ratio,
   {T.sql_fingerprint('text')} AS fingerprint
 FROM documents"""
 

@@ -101,9 +101,23 @@ def quality_features(text: Column, toks: Column | None = None) -> dict[str, Colu
         n_tok > 0,
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
     ).otherwise(F.lit(0.0))
+    # Gopher/C4-style repetition signals: heavily duplicated tokens or
+    # lines mark boilerplate/spam. Both are per-row expressions (no
+    # shuffle) and exact: counts of distinct elements, order-free.
+    n_dtok = F.size(F.array_distinct(toks))
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tok.cast("long"),
+        "dup_token_ratio": F.when(
+            n_tok > 0, (n_tok - n_dtok).cast("double") / n_tok.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "dup_line_ratio": F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0)),
         "mean_word_len": mean_word_len,
         "punct_ratio": F.when(
             n_chars > 0, punct_chars.cast("double") / n_chars.cast("double")
@@ -212,9 +226,20 @@ def sql_detect_language(col: str) -> str:
 
 def sql_quality_features(col: str) -> dict[str, str]:
     toks = sql_tokens(col)
+    lines = f"list_filter(string_split({col}, chr(10)), x -> length(x) > 0)"
     return {
         "n_chars": f"length({col})::BIGINT",
         "n_tokens": f"len({toks})::BIGINT",
+        "dup_token_ratio": (
+            f"(CASE WHEN len({toks}) > 0 THEN "
+            f"(len({toks}) - len(list_distinct({toks})))::DOUBLE / len({toks}) "
+            f"ELSE 0.0 END)"
+        ),
+        "dup_line_ratio": (
+            f"(CASE WHEN len({lines}) > 0 THEN "
+            f"(len({lines}) - len(list_distinct({lines})))::DOUBLE / len({lines}) "
+            f"ELSE 0.0 END)"
+        ),
         "mean_word_len": (
             f"(CASE WHEN len({toks}) > 0 THEN "
             f"list_sum(list_transform({toks}, t -> length(t)))::DOUBLE / len({toks}) "

@@ -567,3 +567,31 @@ def test_hash_split_on_string_key_is_group_coherent(spark):
     a = {(r.rid, r.split) for r in out.collect()}
     b = {(r.rid, r.split) for r in hash_split(df.repartition(13), "src", fr, seed=7).collect()}
     assert a == b
+
+
+def test_repetition_quality_metrics(spark):
+    """Gopher-style repetition signals: duplicated tokens/lines raise
+    the ratios; clean text scores 0."""
+    from sdvg_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all tokens here are unique"),
+            (3, "line one\nline one\nline two"),
+        ],
+        "doc_id long, text string",
+    )
+    qf = T.quality_features(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            qf["dup_token_ratio"].alias("dt"),
+            qf["dup_line_ratio"].alias("dl"),
+        ).collect()
+    }
+    assert abs(got[1].dt - 0.75) < 1e-12  # 4 tokens, 1 distinct
+    assert got[2].dt == 0.0
+    assert abs(got[3].dl - (1 / 3)) < 1e-12  # 3 lines, 2 distinct
+    assert got[1].dl == 0.0  # single line
