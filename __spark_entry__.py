@@ -378,6 +378,28 @@ def q_data_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (ops/vectors.py) summarized to
+    scalar columns (scale, code min/max/sum, polynomial checksum over
+    the full code sequence) so the oracle compare proves every code
+    matches without hashing array cells."""
+    from sdvg_spark.ops.vectors import quantize_embeddings, qvec_checksum
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    qv = F.col("qvec")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias(
+            "q_sum"
+        ),
+        qvec_checksum(qv).alias("q_hash"),
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user aggregates routed through the two-stage salted
     aggregation (ops/skew.py): salting is pure execution strategy, so
@@ -489,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "skew_salted_agg": q_skew_salted_agg,
             "data_split": q_data_split,
             "data_split_by_source": q_data_split_by_source,
+            "embedding_quantize": q_embedding_quantize,
         }
     )
     return out
@@ -608,6 +631,10 @@ FROM s GROUP BY user_id, session_seq"""
         fractions={"train": 0.8, "val": 0.1, "test": 0.1},
         seed=42,
     )
+    from sdvg_spark.ops.vectors import quantize_oracle_sql
+
+    out["embedding_quantize"] = quantize_oracle_sql()
+
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",
         id_col="source",

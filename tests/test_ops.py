@@ -595,3 +595,35 @@ def test_repetition_quality_metrics(spark):
     assert got[2].dt == 0.0
     assert abs(got[3].dl - (1 / 3)) < 1e-12  # 3 lines, 2 distinct
     assert got[1].dl == 0.0  # single line
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """|dequant - orig| <= scale/2 elementwise; all-zero vectors get
+    scale 1.0 and all-zero codes; codes stay in [-127, 127]; the whole
+    pipeline is map-only (no exchange)."""
+    from sdvg_spark.ops.vectors import dequantize, quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ).selectExpr("vec_id", "cast(embedding as array<float>) embedding")
+    corpus = emb.unionByName(zero)
+    q = quantize_embeddings(corpus)
+    joined = q.join(corpus, "vec_id").select(
+        "vec_id", "scale", "qvec",
+        F.zip_with(
+            dequantize(F.col("qvec"), F.col("scale")),
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda a, b: F.abs(a - b),
+        ).alias("err"),
+    )
+    rows = joined.collect()
+    for r in rows:
+        assert max(r.qvec) <= 127 and min(r.qvec) >= -127
+        assert max(r.err) <= r.scale / 2 + 1e-12, r.vec_id
+    z = next(r for r in rows if r.vec_id == 99999)
+    assert z.scale == 1.0 and set(z.qvec) == {0}
+    plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
