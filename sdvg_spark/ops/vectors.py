@@ -29,23 +29,27 @@ def quantize_embeddings(
     *,
     out_scale: str = "scale",
     out_vec: str = "qvec",
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """(id, scale, qvec): symmetric per-vector int8 quantization.
+    """(id, [keep...], scale, qvec): symmetric per-vector int8
+    quantization.
 
     scale = max|x| / 127 (1.0 for all-zero vectors); code = round(x /
     scale) ∈ [-127, 127]. Reconstruction x̂ = code·scale satisfies
-    |x̂ - x| ≤ scale/2 elementwise.
+    |x̂ - x| ≤ scale/2 elementwise. ``keep`` columns ride through the
+    projection untouched (no join, stays map-only).
     """
+    keep = keep or []
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
     scale = F.when(amax > 0, amax / F.lit(float(Q_MAX))).otherwise(F.lit(1.0))
     # scale must be a named column (not re-derived per element) so the
     # codes divide by the exact same double the row reports
-    staged = df.select(F.col(id_col), v.alias("__v"), scale.alias(out_scale))
+    staged = df.select(F.col(id_col), *keep, v.alias("__v"), scale.alias(out_scale))
     qvec = F.transform(
         F.col("__v"), lambda x: F.round(x / F.col(out_scale)).cast("int")
     )
-    return staged.select(id_col, out_scale, qvec.alias(out_vec))
+    return staged.select(id_col, *keep, out_scale, qvec.alias(out_vec))
 
 
 def dequantize(qvec: Column, scale: Column) -> Column:

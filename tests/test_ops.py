@@ -627,3 +627,41 @@ def test_quantize_roundtrip_error_bound(spark):
     assert z.scale == 1.0 and set(z.qvec) == {0}
     plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivf_quantized_index_smaller_same_recall(spark, tmp_path):
+    """quantize=True shrinks the index files ~4x and keeps the search
+    results nearly identical (SQ8 error does not reorder cosine ranks
+    at this precision)."""
+    import pathlib
+
+    from sdvg_spark.ops.similarity import (
+        ivf_index_topk,
+        ivf_train_centroids,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent = ivf_train_centroids(emb, n_cells=8, n_iters=3)
+    raw_path, q_path = str(tmp_path / "raw"), str(tmp_path / "quant")
+    ivf_write_index(emb, raw_path, cent)
+    ivf_write_index(emb, q_path, cent, quantize=True)
+    size = lambda p: sum(
+        f.stat().st_size for f in pathlib.Path(p).rglob("*.parquet")
+    )
+    assert size(q_path) < size(raw_path) * 0.5  # ~4x raw, conservatively 2x
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.rank): r.c_id
+             for r in ivf_index_topk(q, raw_path, cent, k=5, n_probe=4).collect()}
+    approx = {(r.q_id, r.rank): r.c_id
+              for r in ivf_index_topk(q, q_path, cent, k=5, n_probe=4).collect()}
+    hits = sum(1 for key, cid in approx.items() if exact.get(key) == cid)
+    assert hits / len(exact) >= 0.9
+    # rank-1 self-recall survives quantization
+    for (qid, rank), cid in approx.items():
+        if rank == 1:
+            assert cid == qid
