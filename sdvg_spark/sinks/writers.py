@@ -201,10 +201,10 @@ def write_model(
         ):
             from sdvg_spark.sinks.parquet_encodings import write_parquet_encoded
 
-            write_parquet_encoded(
-                _coalesce_for_rotation(_parquet_rounded(df, out), model),
-                model, out, path, mode,
-            )
+            enc_df = _coalesce_for_rotation(_parquet_rounded(df, out), model)
+            if out.sort_by:
+                enc_df = enc_df.sortWithinPartitions(*out.sort_by)
+            write_parquet_encoded(enc_df, model, out, path, mode)
             return path
         spark.conf.set(
             "spark.sql.parquet.outputTimestampType",
@@ -213,6 +213,11 @@ def write_model(
         pdf, parts = _prepare_partitioning(
             _coalesce_for_rotation(_parquet_rounded(df, out), model), model
         )
+        if out.sort_by:
+            # task-local sort (no shuffle): each output file's row groups
+            # get tight, non-overlapping min/max stats on the sort keys,
+            # so a reader filtering on them skips whole row groups
+            pdf = pdf.sortWithinPartitions(*out.sort_by)
         w = (
             pdf.write.mode(mode)
             .option("compression", out.compression)

@@ -372,3 +372,68 @@ def test_parquet_codec_rejected(codec, msg):
     }
     with pytest.raises(ConfigError, match=msg):
         parse_config(raw)
+
+
+def test_parquet_sort_by_tightens_row_group_stats(spark, tmp_path):
+    """output.sort_by sorts within each write task: every output file is
+    internally sorted on the key and carries usable min/max statistics,
+    which is what lets a reader skip row groups at scale."""
+    import pyarrow.parquet as pq
+
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    d = str(tmp_path / "sorted")
+    cfg = parse_config(
+        {
+            "random_seed": 11,
+            "output": {"type": "parquet", "dir": d, "sort_by": ["v"]},
+            "models": {
+                "m": {
+                    "rows_count": 20000,
+                    "columns": [
+                        {"name": "v", "type": "integer",
+                         "type_params": {"bit_width": 64, "from": 0, "to": 10**9}},
+                        {"name": "u", "type": "uuid"},
+                    ],
+                }
+            },
+        }
+    )
+    Engine(cfg).run(spark)
+    import pathlib
+
+    files = list(pathlib.Path(d).rglob("*.parquet"))
+    assert files
+    for f in files:
+        pf = pq.ParquetFile(str(f))
+        vals = pf.read(columns=["v"]).column("v").to_pylist()
+        assert vals == sorted(vals)  # task-local sort reached the file
+        md = pf.metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "v"
+        )
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max  # row groups don't overlap
+            prev_max = st.max
+
+
+def test_sort_by_rejected_for_non_parquet():
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.config.model import ConfigError
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="sort_by"):
+        parse_config(
+            {
+                "random_seed": 1,
+                "output": {"type": "csv", "dir": "/tmp/x", "sort_by": ["v"]},
+                "models": {"m": {"rows_count": 10, "columns": [
+                    {"name": "v", "type": "integer"}]}},
+            }
+        )
