@@ -193,3 +193,80 @@ def test_stream_running_totals(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """The watermark contract end-to-end: an event arriving after the
+    watermark passed its window is DROPPED (visible both in the closed
+    window's count and in the numRowsDroppedByWatermark state metric),
+    and a still-open window is withheld in append mode.
+
+    Note the micro-batch layout: Spark applies the late-input filter
+    with the watermark as planned at the START of a batch, which lags
+    the reported (end-of-batch) watermark by one batch — so the late
+    event must arrive >= 2 batches after the event that advanced the
+    watermark past its window, or it silently merges. That lag is why
+    this test ships four files, not two.
+    """
+    from datetime import datetime as dt
+
+    from sdvg_spark.streaming import windowed_agg
+
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "late_src")
+    batches = [
+        # batch 0: three on-time 10:xx events
+        [(1, dt(2024, 1, 1, 10, 0), 1.0),
+         (1, dt(2024, 1, 1, 10, 10), 1.0),
+         (1, dt(2024, 1, 1, 10, 20), 1.0)],
+        # batch 1: advances max event time to 12:00 (watermark: 11:50)
+        [(1, dt(2024, 1, 1, 12, 0), 1.0)],
+        # batch 2: filler so the 11:50 watermark reaches the input filter
+        [(1, dt(2024, 1, 1, 12, 5), 1.0)],
+        # batch 3: a LATE 10:30 event (past the closed [10:00, 11:00)
+        # window) plus an on-time 12:30 event
+        [(1, dt(2024, 1, 1, 10, 30), 100.0),
+         (1, dt(2024, 1, 1, 12, 30), 1.0)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)  # distinct mtimes -> deterministic file order
+
+    sdf = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    out = windowed_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        {"n": F.count(F.lit(1)), "total": F.sum("value")},
+        keys=["user_id"],
+        watermark="10 minutes",
+    )
+    name = f"late_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q, timeout=90)
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the late 10:30 event
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    by_hour = {r.window_start.hour: r for r in rows}
+    # the 10:00 window closed with ONLY the on-time events: the late
+    # value-100 event was neither merged nor re-emitted
+    assert 10 in by_hour
+    assert by_hour[10].n == 3
+    assert by_hour[10].total == 3.0
+    # the 12:00 window is still open (watermark < 13:00), so append
+    # mode withholds it
+    assert 12 not in by_hour
