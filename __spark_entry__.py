@@ -378,6 +378,23 @@ def q_data_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8-code shortlist over the whole corpus
+    (reads 1/4 of the float bytes), exact-cosine rescore of only the
+    shortlisted candidates. Integer dot products are exact in float64,
+    so the SHORTLIST itself — not just the final ranking — is
+    value-exact against the DuckDB mirror."""
+    from sdvg_spark.ops.similarity import quantized_rescore_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return quantized_rescore_topk(emb, q, k=10, shortlist=4).select(
+        "q_id", "c_id", "rank"
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (ops/vectors.py) summarized to
     scalar columns (scale, code min/max/sum, polynomial checksum over
@@ -512,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "data_split": q_data_split,
             "data_split_by_source": q_data_split_by_source,
             "embedding_quantize": q_embedding_quantize,
+            "ann_quantized": q_ann_quantized,
         }
     )
     return out
@@ -634,6 +652,10 @@ FROM s GROUP BY user_id, session_seq"""
     from sdvg_spark.ops.vectors import quantize_oracle_sql
 
     out["embedding_quantize"] = quantize_oracle_sql()
+
+    from sdvg_spark.ops.similarity import quantized_rescore_oracle_sql
+
+    out["ann_quantized"] = quantized_rescore_oracle_sql(k=10, shortlist=4)
 
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",

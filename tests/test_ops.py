@@ -665,3 +665,27 @@ def test_ivf_quantized_index_smaller_same_recall(spark, tmp_path):
     for (qid, rank), cid in approx.items():
         if rank == 1:
             assert cid == qid
+
+
+def test_quantized_rescore_recall(spark):
+    """Two-stage retrieval: the int8 shortlist + exact rescore recovers
+    nearly all of the exact brute-force top-k, and rank-1 self-recall
+    is perfect (a query's own vector survives any quantization)."""
+    from sdvg_spark.ops.similarity import brute_force_topk, quantized_rescore_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.rank): r.c_id for r in brute_force_topk(emb, q, k=5).collect()}
+    got = {
+        (r.q_id, r.rank): r.c_id
+        for r in quantized_rescore_topk(emb, q, k=5, shortlist=4).collect()
+    }
+    for (qid, rank), cid in got.items():
+        if rank == 1:
+            assert cid == qid
+    hits = sum(1 for key, cid in got.items() if exact.get(key) == cid)
+    assert hits / len(exact) >= 0.95
