@@ -134,6 +134,7 @@ def main() -> None:
         "ann_topk",
         "ann_lsh",
         "ann_ivf",
+        "ann_quantized",
         "pricing_summary",
         "top_revenue",
         "events_sessionize",
