@@ -29,6 +29,7 @@ QUERIES = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_quantized",
     "pricing_summary",
     "top_revenue",
     "events_sessionize",
