@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,12 +45,6 @@ GEN_BENCH_CFG = {
         }
     },
 }
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def calibrate_cpu() -> float:
@@ -100,7 +95,7 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         gruns.append(round(time.time() - t0, 3))
-    dt = _median(gruns)
+    dt = statistics.median(gruns)
     runs["generate_mixed_2m"] = gruns
     times["generate_mixed_2m"] = round(dt, 3)
     extra["gen_rows_per_s"] = round(GEN_BENCH_ROWS / dt)
@@ -154,7 +149,7 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
         runs[name] = samples
-        times[name] = round(_median(samples), 3)
+        times[name] = round(statistics.median(samples), 3)
 
     extra["runs"] = runs
     total = round(sum(times.values()), 3)

@@ -550,6 +550,19 @@ class GenerationConfig:
         for ignored in self.models_to_ignore:
             if ignored not in self.models:
                 errs.append(f"models_to_ignore[{ignored}] does not exist")
+        if self.output.sort_by:
+            # caught here (where models are in scope) rather than deep
+            # inside the write job as an AnalysisException after
+            # generation already ran
+            for name, m in self.models.items():
+                if name in self.models_to_ignore:
+                    continue
+                have = {c.name for c in m.columns}
+                for col in self.output.sort_by:
+                    if col not in have:
+                        errs.append(
+                            f"output.sort_by[{col}] does not exist in model {name}"
+                        )
         if self.permutation not in ("auto", "lfsr", "feistel"):
             errs.append(f"permutation must be auto|lfsr|feistel: {self.permutation}")
         if errs:

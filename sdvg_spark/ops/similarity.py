@@ -93,6 +93,63 @@ def hyperplane_sigs_df(
     )
 
 
+def _partition_topk_kernel(bc, vec_col: str, top_n: int, score, out_col: str = "score"):
+    """mapInPandas kernel factory: deterministic partition-local top-k
+    per query over an arbitrary scoring function.
+
+    ``bc`` broadcasts a payload tuple whose FIRST element is the query
+    id array; ``score(C, payload)`` maps an (m × dims) float64 block to
+    an (m × n_queries) similarity matrix. Boundary ties must all
+    survive to the (score DESC, c_id ASC) lexsort (duplicate vectors ⇒
+    identical scores), so every row ≥ the top_n-th value is kept before
+    the id tiebreak cuts — the partition-local cut can then never drop
+    a row the global top-k needs. Yields nothing for empty partitions
+    or an empty query set (np.concatenate on zero arrays would throw).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        payload = bc.value
+        b_qids = payload[0]
+        if len(b_qids) == 0:
+            return
+        chunks = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            chunks.append((pdf["c_id"].to_numpy(dtype=np.int64), score(C, payload)))
+        if not chunks:
+            return
+        c_ids = np.concatenate([c for c, _ in chunks])
+        sims = np.vstack([s for _, s in chunks])  # (m_part, n_queries)
+        m = len(c_ids)
+        top = min(top_n, m)
+        out_q, out_c, out_s = [], [], []
+        for j in range(len(b_qids)):
+            col = sims[:, j]
+            if m > top:
+                thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                cand = np.flatnonzero(col >= thresh)
+            else:
+                cand = np.arange(m)
+            order = np.lexsort((c_ids[cand], -col[cand]))[:top]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
+            out_c.append(c_ids[sel])
+            out_s.append(col[sel])
+        yield pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "c_id": np.concatenate(out_c),
+                out_col: np.concatenate(out_s),
+            }
+        )
+
+    return run
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,53 +201,18 @@ def brute_force_topk(
     qn[qn == 0] = 1.0
     q_mat = q_mat / qn[:, None]
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
-    kk = int(k)
 
-    def score_partition(batches):
-        import pandas as pd
-
-        b_qids, b_q = bc.value
-        chunks = []
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.array(list(pdf["__cv"]), dtype=np.float64)
-            cn = np.linalg.norm(C, axis=1)
-            cn[cn == 0] = 1.0
-            sims = (C / cn[:, None]) @ b_q.T  # (m, n_queries)
-            chunks.append((pdf["c_id"].to_numpy(dtype=np.int64), sims))
-        if not chunks:
-            return
-        c_ids = np.concatenate([c for c, _ in chunks])
-        sims = np.vstack([s for _, s in chunks])  # (m_part, n_queries)
-        m = len(c_ids)
-        top = min(kk, m)
-        out_q, out_c, out_s = [], [], []
-        for j in range(len(b_qids)):
-            col = sims[:, j]
-            # top-k by (-cosine, c_id). Boundary ties must all survive to
-            # the lexsort (duplicate vectors ⇒ identical cosines), so keep
-            # every row ≥ the k-th value, then cut after the id tiebreak.
-            if m > top:
-                thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                cand = np.flatnonzero(col >= thresh)
-            else:
-                cand = np.arange(m)
-            order = np.lexsort((c_ids[cand], -col[cand]))[:top]
-            sel = cand[order]
-            out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
-            out_c.append(c_ids[sel])
-            out_s.append(col[sel])
-        yield pd.DataFrame(
-            {
-                "q_id": np.concatenate(out_q),
-                "c_id": np.concatenate(out_c),
-                "cosine": np.concatenate(out_s),
-            }
-        )
+    def cosine_scores(C, payload):
+        _, b_q = payload
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        return (C / cn[:, None]) @ b_q.T  # (m, n_queries)
 
     c = widen(corpus).select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
-    part = c.mapInPandas(score_partition, "q_id long, c_id long, cosine double")
+    part = c.mapInPandas(
+        _partition_topk_kernel(bc, "__cv", int(k), cosine_scores, out_col="cosine"),
+        "q_id long, c_id long, cosine double",
+    )
     final = part.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
@@ -651,11 +673,17 @@ def ivf_index_topk(
     """
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
-    probes = queries.select(
-        F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
-    ).mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
-    # tiny by construction: distinct over ≤ n_cells values
-    cells = sorted(int(c) for c in probes.select("cell").distinct().toPandas()["cell"])
+    # materialize the probe assignment ONCE (queries × n_probe rows,
+    # tiny by construction) — both the partition-filter cell list and
+    # the join side come from this local copy, so the assignment matmul
+    # job runs once instead of once per consumer
+    probes_pdf = (
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v"))
+        .mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
+        .toPandas()
+    )
+    cells = sorted(int(c) for c in probes_pdf["cell"].unique())
+    probes = spark.createDataFrame(probes_pdf, "q_id long, cell int")
     index = spark.read.parquet(path).where(F.col("cell").isin(cells))
     if "qvec" in index.columns:  # quantized layout: dequantize on read
         from sdvg_spark.ops.vectors import dequantize
@@ -719,63 +747,38 @@ def quantized_rescore_topk(
     if loc is None:
         raise ValueError("query set exceeds max_query_bytes")
     q_ids, q_mat = loc
-    # quantize queries with the same rule as the corpus codes
+    if len(q_ids) == 0:
+        return spark.createDataFrame([], "q_id long, c_id long, cosine double, rank int")
+    # quantize queries with the same rule as the corpus codes. Rounding
+    # must be half-away-from-zero ON THE EXACT DOUBLE to match Spark's
+    # round()/DuckDB's round(): np.round is banker's (ties to even),
+    # and floor(|x|+0.5) mis-rounds values one ulp below a half (the
+    # add carries them up). Compare the exact fractional part instead.
     q_amax = np.abs(q_mat).max(axis=1)
     q_scale = np.where(q_amax > 0, q_amax / Q_MAX, 1.0)
     scaled = q_mat / q_scale[:, None]
-    # half-AWAY-FROM-ZERO to match Spark's round()/DuckDB's round();
-    # np.round is banker's (ties to even) and would drift on .5 ties
-    q_codes = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(np.float64)
+    whole = np.trunc(scaled)
+    frac = scaled - whole  # exact: |scaled| <= 127 << 2^52
+    q_codes = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
     q_cc = (q_codes * q_codes).sum(axis=1)  # exact ints in float64
     bc = spark.sparkContext.broadcast((q_ids, q_codes, q_cc))
     short_n = int(k * shortlist)
 
-    def stage1(batches):
-        import pandas as pd
-
-        b_qids, b_q, b_qcc = bc.value
-        chunks = []
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.array(list(pdf["qvec"]), dtype=np.float64)
-            cc = (C * C).sum(axis=1)
-            dots = C @ b_q.T  # exact integer values in float64
-            denom = np.sqrt(np.outer(cc, b_qcc))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom > 0, dots / denom, -2.0)
-            chunks.append((pdf["c_id"].to_numpy(dtype=np.int64), sims))
-        if not chunks:
-            return
-        c_ids = np.concatenate([c for c, _ in chunks])
-        sims = np.vstack([s for _, s in chunks])
-        m = len(c_ids)
-        top = min(short_n, m)
-        out_q, out_c, out_s = [], [], []
-        for j in range(len(b_qids)):
-            col = sims[:, j]
-            if m > top:  # keep boundary ties for the deterministic cut
-                thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                cand = np.flatnonzero(col >= thresh)
-            else:
-                cand = np.arange(m)
-            order = np.lexsort((c_ids[cand], -col[cand]))[:top]
-            sel = cand[order]
-            out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
-            out_c.append(c_ids[sel])
-            out_s.append(col[sel])
-        yield pd.DataFrame(
-            {
-                "q_id": np.concatenate(out_q),
-                "c_id": np.concatenate(out_c),
-                "approx": np.concatenate(out_s),
-            }
-        )
+    def code_cosine_scores(C, payload):
+        _, b_q, b_qcc = payload
+        cc = (C * C).sum(axis=1)
+        dots = C @ b_q.T  # exact integer values in float64
+        denom = np.sqrt(np.outer(cc, b_qcc))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(denom > 0, dots / denom, -2.0)
 
     codes = quantize_embeddings(widen(corpus), corpus_id, corpus_vec).select(
         F.col(corpus_id).alias("c_id"), "qvec"
     )
-    part = codes.mapInPandas(stage1, "q_id long, c_id long, approx double")
+    part = codes.mapInPandas(
+        _partition_topk_kernel(bc, "qvec", short_n, code_cosine_scores, out_col="approx"),
+        "q_id long, c_id long, approx double",
+    )
     shortlisted = (
         part.withColumn(
             "srank",

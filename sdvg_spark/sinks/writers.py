@@ -216,8 +216,12 @@ def write_model(
         if out.sort_by:
             # task-local sort (no shuffle): each output file's row groups
             # get tight, non-overlapping min/max stats on the sort keys,
-            # so a reader filtering on them skips whole row groups
-            pdf = pdf.sortWithinPartitions(*out.sort_by)
+            # so a reader filtering on them skips whole row groups.
+            # Partition keys must LEAD the ordering: FileFormatWriter
+            # requires rows ordered by the partitionBy columns and would
+            # otherwise insert its own sort over ours, leaving
+            # within-partition order unspecified
+            pdf = pdf.sortWithinPartitions(*parts, *out.sort_by)
         w = (
             pdf.write.mode(mode)
             .option("compression", out.compression)

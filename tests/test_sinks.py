@@ -437,3 +437,57 @@ def test_sort_by_rejected_for_non_parquet():
                     {"name": "v", "type": "integer"}]}},
             }
         )
+
+
+def test_parquet_sort_by_with_partition_columns(spark, tmp_path):
+    """sort_by must survive Hive partitioning: the writer re-sorts on
+    partition keys, so the sort keys have to ride behind them or the
+    within-file order is unspecified."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    d = str(tmp_path / "psorted")
+    cfg = parse_config(
+        {
+            "random_seed": 12,
+            "output": {"type": "parquet", "dir": d, "sort_by": ["v"]},
+            "models": {
+                "m": {
+                    "rows_count": 20000,
+                    "columns": [
+                        {"name": "v", "type": "integer",
+                         "type_params": {"bit_width": 64, "from": 0, "to": 10**9}},
+                        {"name": "grp", "type": "string", "values": ["a", "b"]},
+                    ],
+                    "partition_columns": [{"name": "grp"}],
+                }
+            },
+        }
+    )
+    Engine(cfg).run(spark)
+    files = list(pathlib.Path(d).rglob("*.parquet"))
+    assert files
+    assert any("grp=a" in str(f) for f in files)
+    for f in files:
+        vals = pq.ParquetFile(str(f)).read(columns=["v"]).column("v").to_pylist()
+        assert vals == sorted(vals), f
+
+
+def test_sort_by_missing_column_rejected():
+    from sdvg_spark.config.model import ConfigError, parse_config
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match="sort_by\\[typo\\] does not exist"):
+        parse_config(
+            {
+                "random_seed": 1,
+                "output": {"type": "parquet", "dir": "/tmp/x", "sort_by": ["typo"]},
+                "models": {"m": {"rows_count": 10, "columns": [
+                    {"name": "v", "type": "integer"}]}},
+            }
+        )
