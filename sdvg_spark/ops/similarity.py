@@ -568,10 +568,17 @@ def ivf_train_centroids(
     sample_max_bytes: int = 64_000_000,
 ):
     """Spherical k-means centroids, Lloyd-trained on a deterministic
-    sample (``id % stride == 0`` with stride sized so the sample fits
-    ``sample_max_bytes``), seeded from the ``n_cells`` smallest-id
+    sample (``frf(id) < fraction`` with the fraction sized so the sample
+    fits ``sample_max_bytes``), seeded from the ``n_cells`` smallest-id
     sample rows — same seeding rule as :func:`ivf_topk`, so n_iters=0
     degenerates to the oracle path's centroids (over the sample).
+
+    Sampling hashes the id (the repo's deterministic frf draw) rather
+    than taking ``id % stride``: a modulus assumes a dense non-negative
+    id space, and sparse/structured ids (snowflake-style, all-even, …)
+    would make a modulus sample empty or skewed. The hash draw is
+    id-distribution-independent and still a pure f(id) — same sample on
+    every run, partitioning, and retry.
 
     Training is driver-local numpy over a byte-capped sample — the same
     strategy FAISS-style ANN libraries use (train on sample, apply to
@@ -588,15 +595,17 @@ def ivf_train_centroids(
 
     if dims is None:
         dims = _infer_dims(corpus, corpus_vec)
+    from sdvg_spark.core.rng import frf_col
+
     n = corpus.count()
-    stride = max(1, -(-(n * (8 * dims + 8)) // sample_max_bytes))
-    sample = corpus.where((F.col(corpus_id) % stride) == 0)
+    frac = min(1.0, sample_max_bytes / max(1, n * (8 * dims + 8)))
+    sample = corpus if frac >= 1.0 else corpus.where(frf_col(F.col(corpus_id)) < frac)
     loc = bounded_local_vectors(sample, corpus_id, corpus_vec, sample_max_bytes)
-    if loc is None:  # stride estimate was off (skewed id space): halve again
-        sample = corpus.where((F.col(corpus_id) % (stride * 2)) == 0)
+    if loc is None:  # byte estimate was off (wider rows than assumed): halve
+        sample = corpus.where(frf_col(F.col(corpus_id)) < frac / 2)
         loc = bounded_local_vectors(sample, corpus_id, corpus_vec, sample_max_bytes)
         if loc is None:
-            raise ValueError("sample exceeds sample_max_bytes even at 2x stride")
+            raise ValueError("sample exceeds sample_max_bytes even at half fraction")
     ids, M = loc
     if len(ids) < n_cells:
         raise ValueError(f"sample has {len(ids)} rows < n_cells={n_cells}")
@@ -791,8 +800,13 @@ def quantized_rescore_topk(
     )
     cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
     qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
+    # the shortlist is tiny (queries × k·shortlist rows) but emerges from
+    # mapInPandas + a window, so Spark has no stats to auto-broadcast it;
+    # without the hint the rescore join repartitions the ENTIRE corpus on
+    # c_id — a full-corpus shuffle write at scale, exactly what stage 1
+    # existed to avoid
     rescored = (
-        shortlisted.join(cv, "c_id")
+        F.broadcast(shortlisted).join(cv, "c_id")
         .join(F.broadcast(qv), "q_id")
         .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
     )

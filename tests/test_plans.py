@@ -207,6 +207,27 @@ def test_ivf_vector_reattach_skips_widen_shuffle(spark):
     assert "Exchange hashpartitioning(cell" not in plan
 
 
+def test_quantized_rescore_broadcasts_shortlist(spark):
+    """Stage 2's rescore join must broadcast the tiny shortlist
+    (queries × k·shortlist rows): it emerges from mapInPandas + a
+    window, so Spark has no stats — without the hint the join would
+    repartition the ENTIRE corpus on c_id, the full-corpus shuffle
+    stage 1 exists to avoid (mirrors the ivf probe-join test)."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.ops.similarity import quantized_rescore_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    plan = _plan(quantized_rescore_topk(emb, q, k=5, shortlist=2))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must never hash-partition on the shortlist key
+    assert "Exchange hashpartitioning(c_id" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     """The persisted-index search must push the probed cell set into the
     parquet scan as a PARTITION filter (file-level pruning: unprobed
