@@ -234,6 +234,86 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4).select("q_id", "c_id", "rank")
 
 
+def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index path end-to-end: train centroids (n_iters=0
+    degenerates to the n_cells smallest-id sample rows — the corpus fits
+    the sample cap at test scale, so these are exactly :func:`ivf_topk`'s
+    centroids), write the index partitioned by cell to a tmp path, then
+    search it with file-level partition pruning. Same centroids + same
+    assignment + same scoring arithmetic as the in-memory variant, so
+    the DuckDB ivf mirror is a value-exact oracle for the PRUNED answer
+    — closing the gap between "the plan prunes" (the pytest plan
+    witness) and "the pruned answer is right"."""
+    import tempfile
+
+    from sdvg_spark.ops.similarity import (
+        ivf_index_topk,
+        ivf_train_centroids,
+        ivf_write_index,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = ivf_train_centroids(emb, n_cells=16, n_iters=0)
+    path = tempfile.mkdtemp(prefix="sdvg_ivf_idx_") + "/index"
+    ivf_write_index(emb, path, cent)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_index_topk(q, path, cent, k=10, n_probe=4).select("q_id", "c_id", "rank")
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality scorecard: recall@10 of each approximate
+    ANN operator (lsh / ivf / quantized-rescore) against the exact
+    brute-force top-10. Both sides are deterministic, so the recall
+    numbers are value-exact against the DuckDB mirror — approximation
+    quality becomes a tracked, oracle-checked artifact, not a claim.
+    Join-free: the exact set is replicated per method with a literal
+    explode and unioned with the tagged approx sets, so the whole
+    scorecard is one two-level aggregation over queries × k-sized
+    inputs (a scalar-denominator join on a constant key would fold to a
+    BroadcastNestedLoopJoin — banned by the plan tests)."""
+    methods = [("ivf", q_ann_ivf), ("lsh", q_ann_lsh), ("quantized", q_ann_quantized)]
+    exact3 = q_ann_topk(spark, sf_dir).select(
+        F.explode(F.array(*[F.lit(m) for m, _ in methods])).alias("method"),
+        "q_id",
+        "c_id",
+        F.lit(0).alias("__a"),
+        F.lit(1).alias("__e"),
+    )
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(m).alias("method"),
+            "q_id",
+            "c_id",
+            F.lit(1).alias("__a"),
+            F.lit(0).alias("__e"),
+        )
+        for m, fn in methods
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(exact3)
+    pairs = u.groupBy("method", "q_id", "c_id").agg(
+        F.sum("__a").alias("__a"), F.sum("__e").alias("__e")
+    )
+    return (
+        pairs.groupBy("method")
+        .agg(
+            F.sum("__a").alias("n_approx"),
+            F.sum(
+                F.when((F.col("__a") > 0) & (F.col("__e") > 0), 1).otherwise(0)
+            ).alias("hits"),
+            F.sum("__e").alias("n_exact"),
+        )
+        .select(
+            "method",
+            "n_approx",
+            "hits",
+            "n_exact",
+            F.round(F.col("hits") / F.col("n_exact"), 9).alias("recall"),
+        )
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (lineitem scan shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -517,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": q_ann_topk,
             "ann_lsh": q_ann_lsh,
             "ann_ivf": q_ann_ivf,
+            "ann_ivf_index": q_ann_ivf_index,
+            "ann_recall": q_ann_recall,
             "pricing_summary": q_pricing_summary,
             "top_revenue": q_top_revenue,
             "events_sessionize": q_events_sessionize,
@@ -603,6 +685,40 @@ WHERE a.vec_id < b.vec_id
         k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64
     )
     out["ann_ivf"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)
+    # the persisted-index search is value-equal to the in-memory ivf
+    # variant by construction (n_iters=0 + full-corpus sample -> same
+    # centroids; same assignment kernel; same cosine arithmetic), so the
+    # same SQL is its oracle — a red cell here means the partition-pruned
+    # scan dropped or corrupted candidates
+    out["ann_ivf_index"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)
+
+    _exact_sql = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q_id, e.vec_id AS c_id,
+        list_cosine_similarity(q_vec::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+      FROM q, embeddings e),
+r AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM s)
+SELECT q_id, c_id, rank FROM r WHERE rank <= 10"""
+
+    from sdvg_spark.ops.similarity import quantized_rescore_oracle_sql
+
+    out["ann_recall"] = f"""
+WITH exact AS (SELECT q_id, c_id FROM ({_exact_sql}) t),
+a_ivf AS (SELECT q_id, c_id FROM ({ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)}) t),
+a_lsh AS (SELECT q_id, c_id FROM ({lsh_topk_oracle_sql(k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64)}) t),
+a_qz AS (SELECT q_id, c_id FROM ({quantized_rescore_oracle_sql(k=10, shortlist=4)}) t),
+approx AS (
+  SELECT 'ivf' AS method, q_id, c_id FROM a_ivf
+  UNION ALL SELECT 'lsh', q_id, c_id FROM a_lsh
+  UNION ALL SELECT 'quantized', q_id, c_id FROM a_qz),
+hits AS (
+  SELECT method, count(*) AS n_approx, count(e.q_id) AS hits
+  FROM approx a LEFT JOIN exact e ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY method),
+n AS (SELECT count(*) AS n_exact FROM exact)
+SELECT method, n_approx, hits, n_exact,
+  round(hits::DOUBLE / n_exact, 9) AS recall
+FROM hits, n"""
 
     out["ann_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),

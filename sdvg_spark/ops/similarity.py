@@ -436,6 +436,22 @@ def ivf_topk(
     return final.select("q_id", "c_id", "cosine", "rank")
 
 
+def _rewrite_filter(query_filter: str, id_col: str, alias: str) -> str:
+    """Re-target an id-column predicate at a subquery alias.
+
+    Two accepted forms: a ``{id}`` template (``"{id} % 50 = 0"``, safest
+    — substitution is explicit), or a plain SQL snippet naming
+    ``id_col``, rewritten on WORD BOUNDARIES only so a column whose name
+    merely contains ``id_col`` as a substring (``vec_id_group``) is
+    never corrupted. Table-qualified references (``t.vec_id``) are out
+    of contract for the plain form — use the template."""
+    import re
+
+    if "{id}" in query_filter:
+        return query_filter.format(id=alias)
+    return re.sub(rf"\b{re.escape(id_col)}\b", alias, query_filter)
+
+
 def ivf_topk_oracle_sql(
     *,
     table: str = "embeddings",
@@ -468,7 +484,7 @@ qprobe AS (
         ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], c.cvec::DOUBLE[]) DESC,
                  c.cell) AS rn
     FROM {table} e CROSS JOIN cent c
-    WHERE {query_filter.replace(id_col, f'e.{id_col}')})
+    WHERE {_rewrite_filter(query_filter, id_col, f'e.{id_col}')})
   WHERE rn <= {n_probe}),
 cand AS (SELECT DISTINCT q.q_id, a.c_id FROM qprobe q JOIN asgn a USING (cell)),
 scored AS (
@@ -531,7 +547,7 @@ sigs AS (
   FROM {table} e CROSS JOIN w GROUP BY e.{id_col}, w.t),
 qp AS (
   SELECT vid AS q_id, t, unnest([{', '.join(probe_exprs)}]) AS psig
-  FROM sigs WHERE {query_filter.replace(id_col, 'vid')}),
+  FROM sigs WHERE {_rewrite_filter(query_filter, id_col, 'vid')}),
 cand AS (
   SELECT DISTINCT qp.q_id, c.vid AS c_id
   FROM qp JOIN sigs c ON c.t = qp.t AND c.sig = qp.psig),
@@ -839,7 +855,7 @@ qz AS (SELECT vid, v, list_transform(v, x -> round(x / scale)) AS qv FROM s),
 cand AS (
   SELECT q.vid AS q_id, c.vid AS c_id,
     (CASE WHEN cc * qq > 0 THEN dot / sqrt(cc * qq) ELSE -2.0 END) AS approx
-  FROM (SELECT vid, qv, list_dot_product(qv, qv) AS qq FROM qz WHERE {query_filter.replace(id_col, 'vid')}) q
+  FROM (SELECT vid, qv, list_dot_product(qv, qv) AS qq FROM qz WHERE {_rewrite_filter(query_filter, id_col, 'vid')}) q
   CROSS JOIN (SELECT vid, qv, list_dot_product(qv, qv) AS cc FROM qz) c,
   LATERAL (SELECT list_dot_product(q.qv, c.qv) AS dot)),
 short AS (
