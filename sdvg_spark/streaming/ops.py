@@ -114,27 +114,50 @@ def stream_running_totals(
     micro-batch. ``state_timeout_ms`` > 0 expires idle keys
     (processing-time timeout) and emits nothing for them.
 
+    The accumulator is an EXACT integer in micro-units (``round(v·1e6)``
+    per element, the same arithmetic as the batch queries'
+    ``_value_micros``): double accumulation across micro-batches would
+    make the running total depend on batch arrival order, the exact
+    order-dependence the batch side engineered away. Long sums are
+    associative, so the final total is identical to the batch GROUP BY
+    no matter how rows split into micro-batches. Rounding is
+    half-away-from-zero on the exact double (trunc + fraction compare —
+    numpy's round() is banker's and would diverge from Spark/DuckDB).
+
     Input must be a streaming DataFrame; on batch DataFrames use a
     plain ``groupBy`` (the batch arithmetic this reproduces).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:
             state.remove()
             return
-        total, count = state.get if state.exists else (0.0, 0)
+        micros, count = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             vals = pdf[value_col].dropna()
-            total += float(vals.sum())
+            if len(vals):
+                scaled = vals.to_numpy(dtype=np.float64) * 1e6
+                whole = np.trunc(scaled)
+                frac = scaled - whole
+                m = whole + np.where(
+                    np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0
+                )
+                micros += int(m.astype(np.int64).sum())
             count += int(vals.count())
-        state.update((total, count))
+        state.update((micros, count))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
-            {key_col: [key[0]], "total": [total], "count": [count]}
+            {
+                key_col: [key[0]],
+                "total": [micros / 1e6],
+                "total_micros": [micros],
+                "count": [count],
+            }
         )
 
     timeout = (
@@ -145,8 +168,8 @@ def stream_running_totals(
     key_dtype = dict(df.dtypes)[key_col]
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} {key_dtype}, total double, count long",
-        stateStructType="total double, count long",
+        outputStructType=f"{key_col} {key_dtype}, total double, total_micros long, count long",
+        stateStructType="total_micros long, count long",
         outputMode="update",
         timeoutConf=timeout,
     )

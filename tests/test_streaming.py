@@ -178,18 +178,27 @@ def test_stream_running_totals(spark, tmp_path):
     )
     _await(q)
     # final state per key (last update wins) must equal the batch agg
+    # EXACTLY: the state is an integer micro-unit sum (order-independent
+    # and associative), so no rounding tolerance is needed — identical
+    # totals regardless of how rows split into micro-batches
     got = {
-        r["k"]: (round(r["total"], 6), r["count"])
+        r["k"]: (r["total_micros"], r["count"])
         for r in spark.sql(
-            f"SELECT k, total, count FROM (SELECT *, row_number() OVER "
+            f"SELECT k, total_micros, count FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY k ORDER BY count DESC) AS rn FROM {name}) WHERE rn = 1"
         ).collect()
     }
     want = {
-        r["k"]: (round(r["total"], 6), r["cnt"])
+        r["k"]: (r["micros"], r["cnt"])
         for r in b1.unionAll(b2)
         .groupBy("k")
-        .agg(F.sum("v").alias("total"), F.count("v").alias("cnt"))
+        .agg(
+            # cast BEFORE multiplying: the model's v is float32, and a
+            # f32 product rounds differently than the double product the
+            # stream (schema "v double") and the state kernel both use
+            F.sum(F.round(F.col("v").cast("double") * 1_000_000).cast("long")).alias("micros"),
+            F.count("v").alias("cnt"),
+        )
         .collect()
     }
     assert got == want
