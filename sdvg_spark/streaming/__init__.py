@@ -1,6 +1,7 @@
 from sdvg_spark.streaming.generate import stream_model
 from sdvg_spark.streaming.ops import (
     stream_running_totals,
+    stream_running_totals_tws,
     sessionize_stream,
     stream_dedup,
     windowed_agg,
@@ -12,4 +13,5 @@ __all__ = [
     "sessionize_stream",
     "stream_dedup",
     "stream_running_totals",
+    "stream_running_totals_tws",
 ]

@@ -130,7 +130,6 @@ def stream_running_totals(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:
@@ -139,14 +138,7 @@ def stream_running_totals(
         micros, count = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             vals = pdf[value_col].dropna()
-            if len(vals):
-                scaled = vals.to_numpy(dtype=np.float64) * 1e6
-                whole = np.trunc(scaled)
-                frac = scaled - whole
-                m = whole + np.where(
-                    np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0
-                )
-                micros += int(m.astype(np.int64).sum())
+            micros += _micros_of(vals)
             count += int(vals.count())
         state.update((micros, count))
         if state_timeout_ms > 0:
@@ -172,4 +164,90 @@ def stream_running_totals(
         stateStructType="total_micros long, count long",
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def _micros_of(values) -> int:
+    """Exact micro-unit sum of a pandas Series of doubles: round-half-
+    away-from-zero on the exact double per element (numpy round() is
+    banker's and would diverge from Spark/DuckDB ``round()``)."""
+    import numpy as np
+
+    if not len(values):
+        return 0
+    scaled = values.to_numpy(dtype=np.float64) * 1e6
+    whole = np.trunc(scaled)
+    frac = scaled - whole
+    m = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
+    return int(m.astype(np.int64).sum())
+
+
+def stream_running_totals_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """:func:`stream_running_totals` on the ``transformWithStateInPandas``
+    API (Spark 4.x ``StatefulProcessor``) — the successor surface to
+    ``applyInPandasWithState``, with named per-key state slots, timers,
+    and initial-state support. Same contract: exact integer micro-unit
+    accumulator, one updated row per key per micro-batch, final totals
+    equal to the batch GROUP BY bit-for-bit.
+
+    Both variants stay exported: ``applyInPandasWithState`` remains the
+    broadly-deployed API, this is the forward path.
+
+    Requires the ``protobuf`` package (the transformWithState state
+    server speaks a protobuf protocol); environments without it get a
+    clear error here instead of a crashed Python driver worker
+    mid-query — use :func:`stream_running_totals` there.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-server protocol); it is not installed — "
+            "use stream_running_totals (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "total_micros long, count long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            micros, count = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                micros += _micros_of(vals)
+                count += int(vals.count())
+            self._state.update((micros, count))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "total": [micros / 1e6],
+                    "total_micros": [micros],
+                    "count": [count],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    key_dtype = dict(df.dtypes)[key_col]
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=f"{key_col} {key_dtype}, total double, total_micros long, count long",
+        outputMode="Update",
+        timeMode="None",
     )

@@ -150,9 +150,24 @@ def test_stream_dedup(spark, tmp_path):
     assert {(r.payload, r.c) for r in rows} == {("x", 1), ("y", 1)}
 
 
-def test_stream_running_totals(spark, tmp_path):
-    from sdvg_spark.streaming import stream_running_totals
+@pytest.mark.parametrize("variant", ["apply", "tws"])
+def test_stream_running_totals(spark, tmp_path, variant):
+    """Both stateful APIs (applyInPandasWithState and its Spark-4
+    successor transformWithStateInPandas) must produce batch-identical
+    totals from the same exact micro-unit state."""
+    from sdvg_spark.streaming import (
+        stream_running_totals,
+        stream_running_totals_tws,
+    )
 
+    if variant == "tws":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+    stream_running = (
+        stream_running_totals if variant == "apply" else stream_running_totals_tws
+    )
     # two micro-batch files so state genuinely crosses batches
     src = str(tmp_path / "rt_src")
     batch = Engine(parse_config(CFG)).model_df(spark, "m", keep_id=True)
@@ -166,8 +181,8 @@ def test_stream_running_totals(spark, tmp_path):
     b2.coalesce(1).write.mode("append").parquet(src)
 
     sdf = spark.readStream.schema("k long, v double").parquet(src)
-    out = stream_running_totals(sdf, "k", "v")
-    name = "rt_sink"
+    out = stream_running(sdf, "k", "v")
+    name = f"rt_sink_{variant}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
