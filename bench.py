@@ -153,10 +153,19 @@ def main() -> None:
         times[name] = round(statistics.median(samples), 3)
 
     extra["runs"] = runs
-    # host-noise-normalized generation figure: the generation path is
-    # numpy-bound and this host's numpy throughput swings ~3× run-to-run
-    # (r3/r4 judge measurements), so the cross-round comparable number is
-    # gen seconds per calibration second, not raw wall-clock
+    # noise-robust summary: this host's co-tenant contention swings
+    # byte-identical back-to-back runs up to 5x (measured 1.357 /
+    # 4.521 / 7.174 s for the SAME generation plan in one session —
+    # see BASELINE.md "Host-noise adjudication"). The median keeps
+    # round-over-round continuity; the min is the best estimate of
+    # the true (uncontended) cost and is what cross-round comparisons
+    # should use when calibration_sec differs between rounds.
+    extra["queries_min"] = {k: min(v) for k, v in runs.items()}
+    # host-noise-normalized generation figure: gen seconds per
+    # calibration second (single-thread frf kernel). Imperfect — gen is
+    # 32-way parallel, calibration single-threaded, and contention hits
+    # them differently — but a large calibration_sec flags a contended
+    # window outright.
     if extra["calibration_sec"] > 0:
         extra["gen2m_per_calib"] = round(
             times["generate_mixed_2m"] / extra["calibration_sec"], 3

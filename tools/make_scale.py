@@ -1,0 +1,124 @@
+"""Build a 10x scale point from a driver testdata directory.
+
+    python tools/make_scale.py [src_sf_dir] [out_dir] [factor]
+
+Defaults: /root/testdata/sf0.1 -> /root/repo/.scale/sf1, factor 10.
+
+Each table is the union of `factor` shifted replicas — a deterministic,
+engine-independent scale-up that PRESERVES the per-replica statistical
+structure the headline queries depend on, so work and shuffle volume
+should grow ~linearly with the factor:
+
+* key columns shift by ``replica * 10^9`` (doc_id, vec_id, event_id,
+  user_id, order/cust keys) — group counts grow 10x, group SIZES stay
+  constant (sessionize/skew-agg scale the right way);
+* ``documents.text`` gets a per-replica Caesar rotation of the letter
+  alphabet (``F.translate``): lengths/token shapes are preserved, every
+  5-gram shingle changes, so duplicate classes replicate WITHIN a
+  replica but never across replicas — minhash/simhash pair counts grow
+  exactly linearly instead of quadratically;
+* ``documents.source`` gets a ``-r{i}`` suffix (group-keyed splits see
+  10x groups of unchanged size);
+* ``embeddings.embedding`` is rotated by ``replica`` positions
+  (``slice``+``concat``): norms and within-replica geometry are
+  preserved, cross-replica cosine decorrelates, and the ``vec_id % 50``
+  query census keeps its 2% density at every scale.
+
+All transformations are pure Column expressions — the build itself is
+a map-only Spark job per table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+SHIFT = 1_000_000_000
+
+# table -> columns shifted by replica * SHIFT
+KEY_SHIFTS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    # nation/region are fixed dimensions in TPC-H; copy them unscaled
+}
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _caesar(col, r: int):
+    if r == 0:
+        return col
+    rl = _LOWER[r:] + _LOWER[:r]
+    return F.translate(col, _LOWER + _UPPER, rl + rl.upper())
+
+
+def _rotate_array(col, r: int, dims: int):
+    if r == 0:
+        return col
+    r = r % dims
+    return F.concat(F.slice(col, r + 1, dims - r), F.slice(col, 1, r))
+
+
+def replica(df: DataFrame, table: str, r: int, dims: int | None) -> DataFrame:
+    for k in KEY_SHIFTS.get(table, []):
+        df = df.withColumn(k, F.col(k) + F.lit(r * SHIFT))
+    if table == "documents":
+        df = df.withColumn("text", _caesar(F.col("text"), r)).withColumn(
+            "source", F.concat(F.col("source"), F.lit(f"-r{r}"))
+        )
+    if table == "embeddings" and dims:
+        df = df.withColumn(
+            "embedding", _rotate_array(F.col("embedding"), r, dims).cast("array<float>")
+        )
+    return df
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
+    )
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from sdvg_spark.session import get_spark
+
+    spark = get_spark(app_name="make-scale")
+    os.makedirs(out, exist_ok=True)
+    for fname in sorted(os.listdir(src)):
+        if not fname.endswith(".parquet"):
+            continue
+        table = fname[: -len(".parquet")]
+        df = spark.read.parquet(os.path.join(src, fname))
+        dims = None
+        if table == "embeddings":
+            dims = df.select(F.max(F.size("embedding"))).first()[0]
+        if table in ("nation", "region"):
+            big = df
+        else:
+            parts = [replica(df, table, r, dims) for r in range(factor)]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+        n = big.count()
+        target = os.path.join(out, fname)
+        # one file per ~64MB-ish of rows keeps the layout realistic
+        big.repartition(max(1, n // 500_000 + 1)).write.mode("overwrite").parquet(
+            target
+        )
+        print(f"{table}: {n} rows -> {target}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2,13 +2,16 @@
 
 Quantifies the plan-audit story the plan tests assert qualitatively:
 how many bytes each headline query actually shuffles at a given scale
-factor. Run:
+factor, and — when two sf dirs are given — how those bytes GROW with
+the data (the 100 TB question). Run:
 
-    python tools/shuffle_report.py [sf_dir] > SHUFFLE_r{N}.md
+    python tools/shuffle_report.py [sf_dir ...] > SHUFFLE_r{N}.md
 
-Each query runs once (after a warm-up run of the first query to absorb
-session costs); stages completed during the run are attributed to it by
-stage-id watermark, and their shuffle write/read + input bytes summed.
+Attribution is by job group (``setJobGroup`` around each run, jobs ->
+stageIds via the REST API), not a stage-id watermark: stages that
+complete late are still attributed to the query that submitted them,
+and concurrent/AQE-reused stages cannot leak across queries. Skipped
+(reuse) stages execute nothing and correctly contribute no bytes.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ QUERIES = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_index",
     "ann_quantized",
     "pricing_summary",
     "top_revenue",
@@ -46,62 +50,109 @@ def _api(base: str, path: str):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
 
     import __spark_entry__ as E
     from sdvg_spark.session import get_spark
 
     spark = get_spark(app_name="shuffle-report")
-    base = spark.sparkContext.uiWebUrl
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
     app_id = _api(base, "applications")[0]["id"]
     qs = E.queries()
 
-    def stages():
-        return _api(base, f"applications/{app_id}/stages?status=complete")
-
-    def run(name):
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def run_tagged(tag: str, name: str, sf_dir: str):
+        sc.setJobGroup(tag, f"{name} @ {sf_dir}")
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setJobGroup("", "")
         time.sleep(1.0)  # AppStatusListener aggregates asynchronously
 
-    run(QUERIES[0])  # warm-up: scan/codegen init lands outside the table
-    rows = []
-    for name in QUERIES:
-        before = max((s["stageId"] for s in stages()), default=-1)
-        run(name)
-        mine = [s for s in stages() if s["stageId"] > before]
-        rows.append(
-            {
-                "query": name,
-                "stages": len(mine),
-                "shuffle_write_mb": sum(s.get("shuffleWriteBytes", 0) for s in mine) / 1e6,
-                "shuffle_read_mb": sum(s.get("shuffleReadBytes", 0) for s in mine) / 1e6,
-                "spill_mb": sum(s.get("diskBytesSpilled", 0) for s in mine) / 1e6,
-            }
-        )
+    def collect(tag: str):
+        jobs = _api(base, f"applications/{app_id}/jobs")
+        stage_ids = set()
+        for j in jobs:
+            if j.get("jobGroup") == tag:
+                stage_ids.update(j.get("stageIds", []))
+        stages = _api(base, f"applications/{app_id}/stages?status=complete")
+        mine = [s for s in stages if s["stageId"] in stage_ids]
+        return {
+            "stages": len(mine),
+            "shuffle_write_mb": sum(s.get("shuffleWriteBytes", 0) for s in mine) / 1e6,
+            "shuffle_read_mb": sum(s.get("shuffleReadBytes", 0) for s in mine) / 1e6,
+            "spill_mb": sum(s.get("diskBytesSpilled", 0) for s in mine) / 1e6,
+        }
 
-    # on-disk table sizes give the denominator (stage inputBytes is
-    # unreliable for the vectorized parquet reader in this build — it
-    # records footer reads only)
-    tables_mb = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    ) / 1e6
-    print(f"# Shuffle report — sf_dir={sf_dir} (tables on disk: {tables_mb:.0f} MB)")
+    run_tagged("warmup", QUERIES[0], sf_dirs[0])  # absorb scan/codegen init
+
+    per_dir: dict[str, list[dict]] = {}
+    for di, sf_dir in enumerate(sf_dirs):
+        rows = []
+        for name in QUERIES:
+            tag = f"{name}#{di}"
+            run_tagged(tag, name, sf_dir)
+            rows.append({"query": name, **collect(tag)})
+        per_dir[sf_dir] = rows
+
+    def dir_mb(d):
+        total = 0
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet"):
+                if os.path.isdir(p):  # spark-written dataset dir
+                    total += sum(
+                        os.path.getsize(os.path.join(p, g))
+                        for g in os.listdir(p)
+                        if g.endswith(".parquet")
+                    )
+                else:
+                    total += os.path.getsize(p)
+        return total / 1e6
+
+    print(f"# Shuffle report — {', '.join(sf_dirs)}")
     print()
     print("Bytes each headline query moves through the shuffle (status")
-    print("REST API, one run per query after warm-up). This is the scale")
-    print("story behind the plan tests: a query whose shuffle is a small")
-    print("fraction of its input stays network-light at 100x, and zero")
-    print("spill means partitions fit executor memory at this sizing.")
-    print()
-    print("| query | stages | shuffle write MB | shuffle read MB | spill MB |")
-    print("|---|---|---|---|---|")
-    for r in rows:
-        print(
-            f"| {r['query']} | {r['stages']} | {r['shuffle_write_mb']:.2f} "
-            f"| {r['shuffle_read_mb']:.2f} | {r['spill_mb']:.2f} |"
-        )
+    print("REST API, job-group attribution, one run per query after")
+    print("warm-up). This is the scale story behind the plan tests: a")
+    print("query whose shuffle is a small fraction of its input stays")
+    print("network-light at 100x, and zero spill means partitions fit")
+    print("executor memory at this sizing.")
+    for sf_dir, rows in per_dir.items():
+        print()
+        print(f"## {sf_dir} (tables on disk: {dir_mb(sf_dir):.0f} MB)")
+        print()
+        print("| query | stages | shuffle write MB | shuffle read MB | spill MB |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r['query']} | {r['stages']} | {r['shuffle_write_mb']:.2f} "
+                f"| {r['shuffle_read_mb']:.2f} | {r['spill_mb']:.2f} |"
+            )
+    if len(sf_dirs) == 2:
+        a, b = sf_dirs
+        in_ratio = dir_mb(b) / max(dir_mb(a), 1e-9)
+        print()
+        print(f"## Scaling {a} -> {b} (input bytes grow {in_ratio:.1f}x)")
+        print()
+        print("Shuffle-growth ratio per query vs the input-growth ratio —")
+        print("at or below the input ratio means the operator's network")
+        print("cost scales (sub)linearly with the data. The ANN queries'")
+        print("COMPUTE grows ~quadratically in this fixture (the `% 50`")
+        print("query census grows with the corpus), but their shuffle is")
+        print("O(queries·k·partitions) by design, so the ratio stays ~10x.")
+        print()
+        print("| query | shuffle write ratio | shuffle read ratio | spill (big) MB |")
+        print("|---|---|---|---|")
+        for ra, rb in zip(per_dir[a], per_dir[b]):
+            def ratio(key):
+                base_v = ra[key]
+                return (rb[key] / base_v) if base_v > 0.005 else float("nan")
+
+            wr, rr = ratio("shuffle_write_mb"), ratio("shuffle_read_mb")
+            wr_s = f"{wr:.1f}x" if wr == wr else "—"
+            rr_s = f"{rr:.1f}x" if rr == rr else "—"
+            print(f"| {ra['query']} | {wr_s} | {rr_s} | {rb['spill_mb']:.2f} |")
     spark.stop()
 
 
