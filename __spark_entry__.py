@@ -314,6 +314,32 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-frequency table (tf + document frequency, top-500)
+    — the vocabulary-building step of a tokenizer pipeline. Explode →
+    partial-agg → one token shuffle → TakeOrdered; value-exact against
+    the DuckDB mirror including the (tf DESC, token) rank order."""
+    from sdvg_spark.ops.corpus import corpus_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_vocab(docs, top_n=500)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    8-gram with a benchmark set (here: every 97th document, standing in
+    for an eval suite). The benchmark gram table rides a broadcast, so
+    the check is map-side against the corpus scan — the contamination
+    sweep a training-data pipeline runs before every release."""
+    from sdvg_spark.ops.corpus import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(docs, bench, n=8)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (lineitem scan shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -612,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "data_split_by_source": q_data_split_by_source,
             "embedding_quantize": q_embedding_quantize,
             "ann_quantized": q_ann_quantized,
+            "corpus_vocab": q_corpus_vocab,
+            "decontaminate": q_decontaminate,
         }
     )
     return out
@@ -772,6 +800,16 @@ FROM s GROUP BY user_id, session_seq"""
     from sdvg_spark.ops.similarity import quantized_rescore_oracle_sql
 
     out["ann_quantized"] = quantized_rescore_oracle_sql(k=10, shortlist=4)
+
+    from sdvg_spark.ops.corpus import (
+        corpus_vocab_oracle_sql,
+        decontaminate_oracle_sql,
+    )
+
+    out["corpus_vocab"] = corpus_vocab_oracle_sql(top_n=500)
+    out["decontaminate"] = decontaminate_oracle_sql(
+        bench_filter="doc_id % 97 = 0", n=8
+    )
 
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",

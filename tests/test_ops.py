@@ -689,3 +689,64 @@ def test_quantized_rescore_recall(spark):
             assert cid == qid
     hits = sum(1 for key, cid in got.items() if exact.get(key) == cid)
     assert hits / len(exact) >= 0.95
+
+
+def test_word_ngrams_edges(spark):
+    """Short docs (< n tokens) yield NO grams — the sequence guard must
+    prevent fabricated descending-range grams; duplicates dedupe."""
+    from sdvg_spark.ops.corpus import word_ngrams
+    from sdvg_spark.ops.text import tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x x x x")],
+        "id long, text string",
+    )
+    got = {
+        r.id: sorted(r.g)
+        for r in df.select(
+            "id", word_ngrams(tokens(F.col("text")), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # 2 tokens < n=3
+    assert got[3] == []
+    assert got[4] == ["x x x"]  # distinct: the repeated gram collapses
+
+
+def test_corpus_vocab_counts_and_rank(spark):
+    from sdvg_spark.ops.corpus import corpus_vocab
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog"), (3, "THE the")],
+        "doc_id long, text string",
+    )
+    rows = {r.token: (r.tf, r.df, r.rank) for r in corpus_vocab(df, top_n=10).collect()}
+    assert rows["the"] == (4, 3, 1)  # lowercased; tf counts occurrences
+    assert rows["cat"][0] == 1 and rows["cat"][1] == 1
+    # rank is the (tf DESC, token ASC) total order
+    assert [t for t, v in sorted(rows.items(), key=lambda kv: kv[1][2])][0] == "the"
+
+
+def test_decontaminate_flags_and_excludes_self(spark):
+    """A doc sharing an 8-gram with a benchmark item is contaminated;
+    the benchmark item itself (same id) is NOT flagged by its own text;
+    clean docs carry zeros."""
+    from sdvg_spark.ops.corpus import decontaminate
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (97, shared + " tail tokens here"),      # benchmark member
+            (1, "prefix words " + shared),           # contaminated
+            (2, "totally different content with many words indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 97).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    got = {r.doc_id: (r.n_hit_grams, r.n_bench_docs, r.contaminated)
+           for r in decontaminate(docs, bench, n=8).collect()}
+    assert got[1] == (1, 1, True)
+    assert got[2] == (0, 0, False)
+    assert got[97] == (0, 0, False)  # self-match excluded

@@ -228,6 +228,17 @@ def test_quantized_rescore_broadcasts_shortlist(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark, entry):
+    """The contamination check must broadcast the benchmark gram table:
+    a shuffle join on `gram` would repartition the exploded CORPUS gram
+    stream (corpus-sized × ~doc_len rows) — the full-corpus shuffle the
+    broadcast design avoids at 100 TB."""
+    plan = _plan(entry.queries()["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(gram" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     """The persisted-index search must push the probed cell set into the
     parquet scan as a PARTITION filter (file-level pruning: unprobed
