@@ -340,6 +340,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk at a 2048-token budget) via
+    a distributed prefix-sum — per-bucket cumsums + a tiny bucket-offset
+    window instead of the single-partition global window the naive form
+    would serialize the corpus through. The oracle computes the SAME
+    global cumsum with a plain SQL window, proving the distributed
+    decomposition exact."""
+    from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.corpus import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_buckets=64)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (lineitem scan shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -640,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_quantized": q_ann_quantized,
             "corpus_vocab": q_corpus_vocab,
             "decontaminate": q_decontaminate,
+            "pack_sequences": q_pack_sequences,
         }
     )
     return out
@@ -810,6 +827,10 @@ FROM s GROUP BY user_id, session_seq"""
     out["decontaminate"] = decontaminate_oracle_sql(
         bench_filter="doc_id % 97 = 0", n=8
     )
+
+    from sdvg_spark.ops.corpus import pack_sequences_oracle_sql
+
+    out["pack_sequences"] = pack_sequences_oracle_sql(budget=2048)
 
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",

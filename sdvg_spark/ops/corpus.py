@@ -184,3 +184,94 @@ SELECT t.{id_col} AS {id_col},
   coalesce(h.n_bench_docs, 0) AS n_bench_docs,
   (h.d IS NOT NULL) AS contaminated
 FROM {table} t LEFT JOIN h ON t.{id_col} = h.d"""
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    *,
+    budget: int = 2048,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    ``id_col`` order as one global token stream and cut every
+    ``budget`` tokens — each doc gets the pack (training sequence) its
+    first token lands in and its offset within that pack. This is the
+    standard LLM dataloader packing step; the assignment is a pure
+    function of the global prefix sum, so it is deterministic and
+    independent of partitioning.
+
+    Distributed prefix-sum shape (NO single-partition global window —
+    the naive ``Window.orderBy(id)`` cumsum serializes the corpus
+    through one task at 100 TB):
+
+    1. contiguous id-range buckets (width from one column-pruned
+       min/max aggregate — the only driver action);
+    2. per-bucket token sums -> a tiny (``n_buckets``-row) window
+       cumsum for exclusive bucket offsets — single-partition BY
+       DESIGN, on n_buckets rows, not the corpus;
+    3. broadcast-join the offsets back and run the cumsum window
+       PARTITIONED by bucket — full parallelism across buckets, one
+       range shuffle of (id, n) pairs total.
+
+    Returns (id, n_tokens, pack_id, pack_offset). Docs longer than the
+    remaining pack space straddle the cut, exactly like the dataloader
+    they feed. Empty docs (0 tokens) sit at their boundary offset.
+    """
+    d = docs.select(F.col(id_col).alias("__id"), F.col(n_tokens_col).alias("__n"))
+    bounds = d.select(F.min("__id").alias("lo"), F.max("__id").alias("hi")).first()
+    if bounds["lo"] is None:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} long, n_tokens long, pack_id long, pack_offset long"
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+    b = d.withColumn("__b", ((F.col("__id") - F.lit(lo)) / F.lit(width)).cast("long"))
+    sums = b.groupBy("__b").agg(F.sum("__n").alias("__bsum"))
+    # exclusive prefix over the bucket sums: n_buckets rows, so the
+    # unpartitioned window is intentionally tiny
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "__b", F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__off")
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__start", F.col("__off") + F.coalesce(F.sum("__n").over(w), F.lit(0))
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            (F.col("__start") / budget).cast("long").alias("pack_id"),
+            (F.col("__start") % budget).cast("long").alias("pack_offset"),
+        )
+    )
+    return packed
+
+
+def pack_sequences_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_tokens_sql: str | None = None,
+    budget: int = 2048,
+) -> str:
+    """DuckDB mirror: the global-window cumsum IS the semantics; the
+    Spark side merely computes the same prefix sum distributively."""
+    n = n_tokens_sql or "len(" + sql_tokens("text") + ")"
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {n}::BIGINT AS n FROM {table}),
+c AS (SELECT id, n,
+        coalesce(sum(n) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS start FROM d)
+SELECT id AS {id_col}, n AS n_tokens,
+  (start // {budget}) AS pack_id,
+  (start % {budget}) AS pack_offset
+FROM c"""

@@ -750,3 +750,32 @@ def test_decontaminate_flags_and_excludes_self(spark):
     assert got[1] == (1, 1, True)
     assert got[2] == (0, 0, False)
     assert got[97] == (0, 0, False)  # self-match excluded
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    """The distributed prefix-sum (bucketed cumsums + offset join) must
+    equal the naive single-window global cumsum for every row, across
+    bucket counts that do and don't divide the id space evenly."""
+    from pyspark.sql import Window
+
+    from sdvg_spark.ops.corpus import pack_sequences
+
+    df = spark.range(0, 777).select(
+        (F.col("id") * 3 + 11).alias("doc_id"),  # sparse, shifted ids
+        ((F.col("id") * 37) % 97 + 1).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: (r.start // 256, r.start % 256)
+        for r in df.withColumn(
+            "start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    for n_buckets in (1, 7, 64):
+        got = {
+            r.doc_id: (r.pack_id, r.pack_offset)
+            for r in pack_sequences(
+                df, "doc_id", "n_tokens", budget=256, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == naive, n_buckets
