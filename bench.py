@@ -137,6 +137,9 @@ def main() -> None:
         "user_running_value",
         "skew_salted_agg",
         "data_split",
+        "corpus_vocab",
+        "decontaminate",
+        "pack_sequences",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -466,6 +466,13 @@ class OutputConfig:
     # clustering at 100 TB (beyond-parity option; reference writer has
     # no ordering control)
     sort_by: list[str] = field(default_factory=list)
+    # multi-dimensional clustering (parquet only): range-repartition +
+    # sort on the Morton interleave of these columns' normalized bits,
+    # so row-group min/max stats stay tight on EVERY listed column
+    # (Delta/Iceberg OPTIMIZE ZORDER BY semantics). Costs one range
+    # shuffle at write time — unlike sort_by, which is task-local.
+    # Mutually exclusive with sort_by; numeric/datetime columns only.
+    zorder_by: list[str] = field(default_factory=list)
     # file sinks: commit a {model}.checkpoint after every this-many rows
     # (0 = one checkpoint per model, written after the model completes).
     # The reference ticks its checkpoint on a 5 s timer
@@ -501,6 +508,21 @@ class OutputConfig:
             isinstance(c, str) for c in self.sort_by
         ):
             errs.append("sort_by must be a list of column names")
+        if self.zorder_by and self.type != "parquet":
+            errs.append("zorder_by is only supported for parquet output")
+        if not isinstance(self.zorder_by, list) or not all(
+            isinstance(c, str) for c in self.zorder_by
+        ):
+            errs.append("zorder_by must be a list of column names")
+        if self.zorder_by and self.sort_by:
+            errs.append(
+                "sort_by and zorder_by are mutually exclusive (one "
+                "clustering order per output)"
+            )
+        if self.zorder_by and len(self.zorder_by) < 2:
+            errs.append(
+                "zorder_by needs >= 2 columns (use sort_by for a single key)"
+            )
         if self.type == "parquet":
             codec = self.compression.lower()
             if codec == "lzo":
@@ -562,6 +584,26 @@ class GenerationConfig:
                     if col not in have:
                         errs.append(
                             f"output.sort_by[{col}] does not exist in model {name}"
+                        )
+        if self.output.zorder_by:
+            for name, m in self.models.items():
+                if name in self.models_to_ignore:
+                    continue
+                cols = {c.name: c for c in m.columns}
+                for col in self.output.zorder_by:
+                    spec = cols.get(col)
+                    if spec is None:
+                        errs.append(
+                            f"output.zorder_by[{col}] does not exist in model {name}"
+                        )
+                    elif not spec.foreign_key and spec.type not in (
+                        "integer",
+                        "float",
+                        "datetime",
+                    ):
+                        errs.append(
+                            f"output.zorder_by[{col}] must be numeric or "
+                            f"datetime (got {spec.type!r} in model {name})"
                         )
         if self.permutation not in ("auto", "lfsr", "feistel"):
             errs.append(f"permutation must be auto|lfsr|feistel: {self.permutation}")

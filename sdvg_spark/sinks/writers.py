@@ -204,6 +204,10 @@ def write_model(
             enc_df = _coalesce_for_rotation(_parquet_rounded(df, out), model)
             if out.sort_by:
                 enc_df = enc_df.sortWithinPartitions(*out.sort_by)
+            elif out.zorder_by:
+                from sdvg_spark.sinks.zorder import apply_zorder
+
+                enc_df = apply_zorder(enc_df, model, out)
             write_parquet_encoded(enc_df, model, out, path, mode)
             return path
         spark.conf.set(
@@ -222,6 +226,15 @@ def write_model(
             # otherwise insert its own sort over ours, leaving
             # within-partition order unspecified
             pdf = pdf.sortWithinPartitions(*parts, *out.sort_by)
+        elif out.zorder_by:
+            # multi-dimensional clustering: one range shuffle on the
+            # Morton code (partition keys lead both the partitioning and
+            # the sort — see sinks/zorder.py). Overrides the rotation
+            # coalesce's partition count; rows_per_file still caps file
+            # sizes via maxRecordsPerFile.
+            from sdvg_spark.sinks.zorder import apply_zorder
+
+            pdf = apply_zorder(pdf, model, out, lead=parts)
         w = (
             pdf.write.mode(mode)
             .option("compression", out.compression)

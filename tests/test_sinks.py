@@ -491,3 +491,117 @@ def test_sort_by_missing_column_rejected():
                     {"name": "v", "type": "integer"}]}},
             }
         )
+
+
+def test_zorder_value_is_morton_interleave(spark):
+    """Hand-checked Morton codes at 2 bits x 2 columns: bit b of col i
+    lands at position b*2+i."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.sinks.zorder import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3)], "a long, b long"
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_value([F.col("a"), F.col("b")], bits=2).alias("z")
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (2, 0): 4, (3, 3): 15}
+
+
+def test_parquet_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered output must carry tight row-group stats on BOTH keys:
+    a point filter on either column overlaps only a fraction of the row
+    groups, where the unclustered layout overlaps essentially all of
+    them. (This is the multi-dimensional skipping sort_by can't give —
+    its second column's stats stay full-range.)"""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+
+    def write(d, extra_output):
+        cfg = parse_config(
+            {
+                "random_seed": 23,
+                "output": {"type": "parquet", "dir": d, **extra_output},
+                "models": {
+                    "m": {
+                        "rows_count": 100_000,
+                        "rows_per_file": 5_000,  # >= 20 files -> real granularity
+                        "columns": [
+                            {"name": "a", "type": "integer",
+                             "type_params": {"bit_width": 32, "from": 0, "to": 999}},
+                            {"name": "b", "type": "integer",
+                             "type_params": {"bit_width": 32, "from": 0, "to": 999}},
+                        ],
+                    }
+                },
+            }
+        )
+        Engine(cfg).run(spark)
+
+    def overlaps(d, col, point):
+        total = hit = 0
+        for f in pathlib.Path(d).rglob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = next(
+                i for i in range(md.num_columns) if md.schema.column(i).name == col
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st is None or not st.has_min_max or st.min <= point <= st.max:
+                    hit += 1
+        assert total > 4, f"need several row groups, got {total}"
+        return hit, total
+
+    plain_d = str(tmp_path / "plain")
+    z_d = str(tmp_path / "zorder")
+    write(plain_d, {})
+    write(z_d, {"zorder_by": ["a", "b"]})
+
+    for col in ("a", "b"):
+        p_hit, p_total = overlaps(plain_d, col, 500)
+        z_hit, z_total = overlaps(z_d, col, 500)
+        # unclustered: random values make every row group span ~full range
+        assert p_hit == p_total, (col, p_hit, p_total)
+        # z-ordered: a point touches only a fraction of the groups
+        assert z_hit <= z_total // 2, (col, z_hit, z_total)
+
+
+def test_zorder_config_validation():
+    from sdvg_spark.config.model import ConfigError, parse_config
+
+    base = {
+        "random_seed": 1,
+        "models": {
+            "m": {
+                "rows_count": 10,
+                "columns": [
+                    {"name": "a", "type": "integer"},
+                    {"name": "s", "type": "string"},
+                ],
+            }
+        },
+    }
+    with pytest.raises(ConfigError, match="mutually exclusive"):
+        parse_config({**base, "output": {"type": "parquet", "dir": "/tmp/x",
+                                         "sort_by": ["a"], "zorder_by": ["a", "a"]}})
+    with pytest.raises(ConfigError, match="does not exist"):
+        parse_config({**base, "output": {"type": "parquet", "dir": "/tmp/x",
+                                         "zorder_by": ["a", "nope"]}})
+    with pytest.raises(ConfigError, match="must be numeric"):
+        parse_config({**base, "output": {"type": "parquet", "dir": "/tmp/x",
+                                         "zorder_by": ["a", "s"]}})
+    with pytest.raises(ConfigError, match=">= 2 columns"):
+        parse_config({**base, "output": {"type": "parquet", "dir": "/tmp/x",
+                                         "zorder_by": ["a"]}})
+    with pytest.raises(ConfigError, match="only supported for parquet"):
+        parse_config({**base, "output": {"type": "csv", "dir": "/tmp/x",
+                                         "zorder_by": ["a", "a"]}})

@@ -41,6 +41,9 @@ QUERIES = [
     "skew_salted_agg",
     "data_split",
     "embedding_quantize",
+    "corpus_vocab",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 
