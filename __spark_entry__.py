@@ -340,6 +340,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: per-category redaction counts plus the
+    length and fingerprint of the redacted text — enough for the oracle
+    to prove the REDACTED STREAM identical byte-for-byte (the patterns
+    are restricted to the Java/RE2-common regex subset)."""
+    from sdvg_spark.ops import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", T.redact_pii(F.col("text")).alias("__r"), F.col("text").alias("__t")
+    )
+    c = T.pii_counts(F.col("__t"))
+    return staged.select(
+        "doc_id",
+        *[v.alias(k) for k, v in c.items()],
+        F.length("__r").alias("redacted_len"),
+        T.fingerprint(F.col("__r")).alias("redacted_fp"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk at a 2048-token budget) via
     a distributed prefix-sum — per-bucket cumsums + a tiny bucket-offset
@@ -657,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_vocab": q_corpus_vocab,
             "decontaminate": q_decontaminate,
             "pack_sequences": q_pack_sequences,
+            "pii_redact": q_pii_redact,
         }
     )
     return out
@@ -831,6 +852,14 @@ FROM s GROUP BY user_id, session_seq"""
     from sdvg_spark.ops.corpus import pack_sequences_oracle_sql
 
     out["pack_sequences"] = pack_sequences_oracle_sql(budget=2048)
+
+    _pii = T.sql_pii_counts("text")
+    _red = T.sql_redact_pii("text")
+    out["pii_redact"] = f"""SELECT doc_id,
+  {', '.join(f'{v} AS {k}' for k, v in _pii.items())},
+  length({_red}) AS redacted_len,
+  {T.sql_fingerprint(_red)} AS redacted_fp
+FROM documents"""
 
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",

@@ -280,3 +280,63 @@ def sql_fingerprint(col: str) -> str:
         f"list_transform({toks}, t -> ({tokhash})::BIGINT)), "
         f"(acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD})"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing pass of a training-data pipeline.
+#
+# Patterns are deliberately restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically — character classes,
+# bounded repetition, alternation, \b word boundaries; NO lookaround —
+# so the redaction is oracle-checkable value-for-value. Order matters:
+# more specific shapes (email, IP, SSN, card) run before the aggressive
+# phone pattern that would otherwise swallow their digits.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("card", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b", "<CARD>"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,14}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / SSN-shaped / card-shaped / phone-shaped
+    substrings with typed placeholders. One regexp_replace per pattern,
+    all inside whole-stage codegen."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts, measured on the same progressively-
+    redacted stream the replacement sees (so a card number is never
+    ALSO counted as a phone — each count reflects what its own pattern
+    actually redacted)."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return counts
+
+
+def sql_redact_pii(col: str) -> str:
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def sql_pii_counts(col: str) -> dict[str, str]:
+    counts: dict[str, str] = {}
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return counts

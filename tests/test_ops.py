@@ -779,3 +779,27 @@ def test_pack_sequences_matches_global_cumsum(spark):
             ).collect()
         }
         assert got == naive, n_buckets
+
+
+def test_pii_redaction_categories_and_order(spark):
+    """Each PII category redacts to its own placeholder; the specific
+    patterns (email/IP/SSN/card) must win over the aggressive phone
+    pattern that would otherwise swallow their digits; counts reflect
+    what each pattern actually redacted."""
+    from sdvg_spark.ops.text import pii_counts, redact_pii
+
+    probe = (
+        "mail john.doe+x@sub.example.co.uk, server 10.0.0.1, "
+        "ssn 123-45-6789, card 4111 1111 1111 1111, call +1 (415) 555-0199"
+    )
+    df = spark.createDataFrame([(probe,), ("no pii here",)], "t string")
+    c = pii_counts(F.col("t"))
+    rows = df.select(
+        redact_pii(F.col("t")).alias("r"), *[v.alias(k) for k, v in c.items()]
+    ).collect()
+    hit = next(r for r in rows if "<EMAIL>" in r.r)
+    clean = next(r for r in rows if "no pii" in r.r)
+    assert "<IP>" in hit.r and "<SSN>" in hit.r and "<CARD>" in hit.r and "<PHONE>" in hit.r
+    assert "4111" not in hit.r and "example.co.uk" not in hit.r
+    assert (hit.n_email, hit.n_ip, hit.n_ssn, hit.n_card, hit.n_phone) == (1, 1, 1, 1, 1)
+    assert (clean.n_email, clean.n_phone) == (0, 0) and clean.r == "no pii here"
