@@ -340,6 +340,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline in one call (ops/pipeline.py):
+    language + quality filter -> minhash near-dup removal -> PII-scrub
+    fingerprint -> train/val/test split -> sequence packing. One output
+    row per INPUT doc with its complete disposition; the oracle runs
+    the same pipeline as one SQL statement, so the END-TO-END
+    composition — not just each stage — is value-checked."""
+    from sdvg_spark.ops.pipeline import CurationConfig, curate
+
+    docs = _read(spark, sf_dir, "documents")
+    cfg = CurationConfig(
+        lang="en",
+        min_quality=0.6,
+        dedup_threshold=0.4,
+        minhash_bands=21,
+        split={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_seed=7,
+        pack_budget=2048,
+        pack_buckets=64,
+    )
+    return curate(docs, cfg)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass: per-category redaction counts plus the
     length and fingerprint of the redacted text — enough for the oracle
@@ -678,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decontaminate": q_decontaminate,
             "pack_sequences": q_pack_sequences,
             "pii_redact": q_pii_redact,
+            "curate": q_curate,
         }
     )
     return out
@@ -852,6 +876,21 @@ FROM s GROUP BY user_id, session_seq"""
     from sdvg_spark.ops.corpus import pack_sequences_oracle_sql
 
     out["pack_sequences"] = pack_sequences_oracle_sql(budget=2048)
+
+    from sdvg_spark.ops.pipeline import CurationConfig, curate_oracle_sql
+
+    out["curate"] = curate_oracle_sql(
+        CurationConfig(
+            lang="en",
+            min_quality=0.6,
+            dedup_threshold=0.4,
+            minhash_bands=21,
+            split={"train": 0.8, "val": 0.1, "test": 0.1},
+            split_seed=7,
+            pack_budget=2048,
+            pack_buckets=64,
+        )
+    )
 
     _pii = T.sql_pii_counts("text")
     _red = T.sql_redact_pii("text")

@@ -803,3 +803,37 @@ def test_pii_redaction_categories_and_order(spark):
     assert "4111" not in hit.r and "example.co.uk" not in hit.r
     assert (hit.n_email, hit.n_ip, hit.n_ssn, hit.n_card, hit.n_phone) == (1, 1, 1, 1, 1)
     assert (clean.n_email, clean.n_phone) == (0, 0) and clean.r == "no pii here"
+
+
+def test_curate_dispositions_and_packing(spark):
+    """Every input doc gets exactly one disposition; keepers carry
+    split + contiguous packing over the kept set only; duplicates keep
+    the min-id survivor."""
+    from sdvg_spark.ops.pipeline import CurationConfig, curate
+
+    en = ("the cat and the dog sat on the mat with a hat and a bat "
+          "for the good of all the people in the town that day")
+    docs = spark.createDataFrame(
+        [
+            (1, en),                          # keeper (en, decent quality)
+            (2, en),                          # exact dup of 1 -> duplicate
+            (3, "zzz qqq xxx vvv kkk jjj www yyy hhh ggg fff ddd sss aaa"),  # und -> lang
+            (4, en + " extra tail words here to differ a little bit"),  # near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(
+        lang="en", min_quality=0.0, dedup_threshold=0.4,
+        split={"train": 1.0}, split_seed=3, pack_budget=16, pack_buckets=4,
+    )
+    rows = {r.doc_id: r for r in curate(docs, cfg).collect()}
+    assert len(rows) == 4
+    assert rows[1].keep and rows[1].drop_reason is None
+    assert rows[2].drop_reason == "duplicate" and not rows[2].keep
+    assert rows[3].drop_reason == "lang"
+    assert rows[4].drop_reason == "duplicate"  # near-dup joins 1's cluster
+    # dropped docs carry no split/pack; keepers pack from offset 0
+    assert rows[2].split is None and rows[2].pack_id is None
+    assert rows[1].split == "train"
+    assert (rows[1].pack_id, rows[1].pack_offset) == (0, 0)
+    assert rows[1].redacted_fp is not None
