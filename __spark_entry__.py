@@ -659,11 +659,13 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: document quality/dedup pipeline at sf0.001."""
+    """Flagship: the full curation pipeline (filter -> dedup -> redact
+    -> split -> pack) over the sf0.001 documents, joined with source
+    metadata — one row per input doc with its complete disposition."""
     sf = "/root/testdata/sf0.001"
-    feats = q_text_features(spark, sf)
+    cur = q_curate(spark, sf)
     docs = _read(spark, sf, "documents")
-    return docs.select("doc_id", "lang", "source").join(feats, "doc_id")
+    return docs.select("doc_id", "lang", "source").join(cur, "doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

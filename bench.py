@@ -140,6 +140,7 @@ def main() -> None:
         "corpus_vocab",
         "decontaminate",
         "pack_sequences",
+        "curate",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do
