@@ -73,7 +73,9 @@ def corpus_vocab(
     distinct aggregation; at extreme scale swap it for a mergeable HLL
     sketch (``ops/skew.py``) if approximate df suffices.
     """
-    toks = docs.select(
+    from sdvg_spark.ops.dedup import widen
+
+    toks = widen(docs).select(
         F.col(id_col).alias("__doc"), F.explode(tokens(F.col(text_col))).alias("token")
     )
     vocab = toks.groupBy("token").agg(
@@ -129,7 +131,11 @@ def decontaminate(
     ``broadcast_bench=False`` to fall back to a shuffle join when the
     benchmark set is genuinely huge.
     """
-    doc_grams = docs.select(
+    from sdvg_spark.ops.dedup import widen
+
+    # a small parquet input arrives as one partition and would run the
+    # whole gram explode on one core; at real scale widen() is a no-op
+    doc_grams = widen(docs).select(
         F.col(id_col).alias("__doc"),
         F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("gram"),
     )
