@@ -340,6 +340,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profiling of the events table: one scan computing
+    count/nulls/exact-distinct/min/max for every column, stacked to one
+    row per column; values rendered through dialect-portable formats so
+    the DuckDB mirror matches byte-for-byte."""
+    from sdvg_spark.ops.profile import profile_table
+
+    return profile_table(_read(spark, sf_dir, "events"))
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline in one call (ops/pipeline.py):
     language + quality filter -> minhash near-dup removal -> PII-scrub
@@ -704,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pack_sequences": q_pack_sequences,
             "pii_redact": q_pii_redact,
             "curate": q_curate,
+            "profile_events": q_profile_events,
         }
     )
     return out
@@ -892,6 +903,18 @@ FROM s GROUP BY user_id, session_seq"""
             pack_budget=2048,
             pack_buckets=64,
         )
+    )
+
+    from sdvg_spark.ops.profile import profile_table_oracle_sql
+
+    _ev_cols = [
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ]
+    out["profile_events"] = (
+        "WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, "
+        "event_type, value, props FROM events)\n"
+        + profile_table_oracle_sql(table="e", columns=_ev_cols)
     )
 
     _pii = T.sql_pii_counts("text")

@@ -837,3 +837,19 @@ def test_curate_dispositions_and_packing(spark):
     assert rows[1].split == "train"
     assert (rows[1].pack_id, rows[1].pack_offset) == (0, 0)
     assert rows[1].redacted_fp is not None
+
+
+def test_profile_table_one_row_per_column(spark):
+    from sdvg_spark.ops.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, -0.25)],
+        "id long, s string, v double",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert rows["id"].n_rows == 3 and rows["id"].n_distinct == 2
+    assert rows["s"].n_null == 1 and rows["s"].min_value == "a"
+    assert rows["v"].n_null == 1
+    assert rows["v"].min_value == "-0.250000000"  # printf-rendered float
+    assert rows["id"].dtype == "bigint"
