@@ -204,7 +204,7 @@ def test_ivf_vector_reattach_skips_widen_shuffle(spark):
     # shuffle join here would hash-partition the full corpus assignment
     # on the n_cells-cardinality `cell` key (parallelism collapses to
     # n_cells and the hot cells skew at 100x)
-    assert "Exchange hashpartitioning(cell" not in plan
+    assert "hashpartitioning(cell" not in plan
 
 
 def test_quantized_rescore_broadcasts_shortlist(spark):
@@ -224,7 +224,7 @@ def test_quantized_rescore_broadcasts_shortlist(spark):
     plan = _plan(quantized_rescore_topk(emb, q, k=5, shortlist=2))
     assert "BroadcastHashJoin" in plan
     # the corpus side must never hash-partition on the shortlist key
-    assert "Exchange hashpartitioning(c_id" not in plan
+    assert "hashpartitioning(c_id" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -235,7 +235,7 @@ def test_decontaminate_broadcasts_benchmark(spark, entry):
     broadcast design avoids at 100 TB."""
     plan = _plan(entry.queries()["decontaminate"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning(gram" not in plan
+    assert "hashpartitioning(gram" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -262,5 +262,25 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell" in scan  # probed cells reached the scan as partition filters
     assert "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning(cell" not in plan
+    assert "hashpartitioning(cell" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_corpus_window_is_bucketed(spark, entry):
+    """The packing cumsum must run partitioned by bucket (one hash
+    exchange on __b) with the offsets joined by broadcast — the
+    corpus-sized window may never collapse to a single partition (the
+    tiny bucket-sum window is the only SinglePartition exchange)."""
+    plan = _plan(entry.queries()["pack_sequences"](spark, SF_DIR))
+    assert "hashpartitioning(__b" in plan  # corpus window shuffles on bucket
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SinglePartition") <= 1  # only the n_buckets-row window
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_single_aggregation_no_shuffle_joins(spark, entry):
+    """Profiling is one scan + aggregate (expand for multi-distinct) —
+    no joins, no cartesian, nothing quadratic."""
+    plan = _plan(entry.queries()["profile_events"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Expand" in plan  # the multi-distinct aggregation
