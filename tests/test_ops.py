@@ -853,3 +853,27 @@ def test_profile_table_one_row_per_column(spark):
     assert rows["v"].n_null == 1
     assert rows["v"].min_value == "-0.250000000"  # printf-rendered float
     assert rows["id"].dtype == "bigint"
+
+
+def test_new_ops_empty_inputs(spark):
+    """Empty corpora must yield empty (or all-zero) results, not crash:
+    the guard paths (pack bounds probe, vocab TakeOrdered, decontam
+    left join, profile aggregate) all have empty-input branches."""
+    from sdvg_spark.ops.corpus import corpus_vocab, decontaminate, pack_sequences
+    from sdvg_spark.ops.pipeline import CurationConfig, curate
+    from sdvg_spark.ops.profile import profile_table
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus_vocab(empty, top_n=5).count() == 0
+    assert pack_sequences(
+        empty.select("doc_id", F.lit(1).cast("long").alias("n_tokens"))
+    ).count() == 0
+    bench = spark.createDataFrame([], "bench_id long, text string")
+    docs = spark.createDataFrame([(1, "some plain text")], "doc_id long, text string")
+    d = decontaminate(docs, bench, n=3).collect()
+    assert len(d) == 1 and d[0].contaminated is False
+    assert decontaminate(empty, bench, n=3).count() == 0
+    p = {r["column"] for r in profile_table(empty).collect()}
+    assert p == {"doc_id", "text"}  # profiling an empty table still describes it
+    cur = curate(empty, CurationConfig(dedup_threshold=None))
+    assert cur.count() == 0
