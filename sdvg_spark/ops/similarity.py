@@ -93,6 +93,76 @@ def hyperplane_sigs_df(
     )
 
 
+def kernel_scored_candidates(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    max_query_bytes: int = 256_000_000,
+) -> DataFrame:
+    """Attach exact cosine scores to a (q_id, c_id) candidate set via a
+    vectorized Arrow kernel instead of the expression-level ``cosine``.
+
+    Spark evaluates higher-order array lambdas interpreted PER ELEMENT
+    — at dims=64 that is ~130 interpreted ops per candidate pair, and
+    candidate volume grows with the corpus, so the expression path's
+    cost is linear in exactly the quantity LSH/IVF bucketing exists to
+    bound. The kernel does one row-wise numpy multiply-sum per Arrow
+    batch against the broadcast normalized query matrix (queries are
+    the small side by the same contract as :func:`brute_force_topk`;
+    a too-big query set raises via ``bounded_local_vectors``).
+
+    Map-only: the candidate→vector join shuffles as before; scoring
+    itself adds no exchange.
+    """
+    import numpy as np
+
+    from sdvg_spark.ops.dedup import bounded_local_vectors
+
+    spark = cand.sparkSession
+    loc = bounded_local_vectors(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+        "q_id",
+        "__qv",
+        max_query_bytes,
+    )
+    if loc is None:
+        raise ValueError("query set exceeds max_query_bytes")
+    q_ids, Q = loc  # ids sorted ascending (searchsorted below relies on it)
+    if len(q_ids):
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1.0
+        Q = Q / qn[:, None]
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    withv = cand.select("q_id", "c_id").join(cv, "c_id")
+
+    def run(batches):
+        import pandas as pd
+
+        b_qids, b_Q = bc.value
+        if len(b_qids) == 0:  # no queries -> no candidates can exist
+            return
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["__cv"]), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = 1.0
+            C = C / cn[:, None]
+            idx = np.searchsorted(b_qids, pdf["q_id"].to_numpy(dtype=np.int64))
+            sims = (C * b_Q[idx]).sum(axis=1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "c_id": pdf["c_id"], "cosine": sims}
+            )
+
+    return withv.mapInPandas(run, "q_id long, c_id long, cosine double")
+
+
 def _partition_topk_kernel(bc, vec_col: str, top_n: int, score, out_col: str = "score"):
     """mapInPandas kernel factory: deterministic partition-local top-k
     per query over an arbitrary scoring function.
@@ -292,13 +362,13 @@ def lsh_topk(
         .dropDuplicates(["q_id", "c_id"])
     )
     # raw corpus for the re-attach: widen()'s repartition would shuffle
-    # every vector once more for no benefit (the join shuffles on c_id)
-    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
-    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
-    scored = (
-        cand.join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")  # queries are the small side
-        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    # every vector once more for no benefit (the join shuffles on c_id);
+    # scoring rides the vectorized kernel — candidate volume grows with
+    # the corpus, so interpreted per-element cosine is the wrong cost
+    scored = kernel_scored_candidates(
+        cand, corpus, queries,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
     )
     final = scored.withColumn(
         "rank",
@@ -412,22 +482,18 @@ def ivf_topk(
         F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
     ).mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
 
-    # vector re-attach reads the RAW corpus: routing it through widen()
-    # would shuffle every vector a second time just to feed a join that
-    # re-shuffles on c_id anyway
-    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
-    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
     # probes is tiny (queries × n_probe rows) but emerges from
     # mapInPandas, so Spark has no stats to auto-broadcast it; without
     # the hint a shuffle join would repartition the whole corpus-side
     # assignment on a `n_cells`-cardinality key (max parallelism
-    # n_cells, guaranteed skew at scale)
-    scored = (
-        F.broadcast(probes).join(assign, "cell")
-        .select("q_id", "c_id")
-        .join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    # n_cells, guaranteed skew at scale). The vector re-attach reads
+    # the RAW corpus (no widen: the join re-shuffles on c_id anyway)
+    # and scoring rides the vectorized kernel.
+    cand = F.broadcast(probes).join(assign, "cell").select("q_id", "c_id")
+    scored = kernel_scored_candidates(
+        cand, corpus, queries,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
     )
     final = scored.withColumn(
         "rank",
@@ -814,17 +880,16 @@ def quantized_rescore_topk(
         .where(F.col("srank") <= short_n)
         .select("q_id", "c_id")
     )
-    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
-    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
     # the shortlist is tiny (queries × k·shortlist rows) but emerges from
     # mapInPandas + a window, so Spark has no stats to auto-broadcast it;
     # without the hint the rescore join repartitions the ENTIRE corpus on
     # c_id — a full-corpus shuffle write at scale, exactly what stage 1
-    # existed to avoid
-    rescored = (
-        F.broadcast(shortlisted).join(cv, "c_id")
-        .join(F.broadcast(qv), "q_id")
-        .select("q_id", "c_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    # existed to avoid. Exact rescoring rides the vectorized kernel.
+    rescored = kernel_scored_candidates(
+        F.broadcast(shortlisted), corpus, queries,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+        max_query_bytes=max_query_bytes,
     )
     final = rescored.withColumn(
         "rank",
