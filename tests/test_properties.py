@@ -129,3 +129,54 @@ def test_uuid_unranking_injective(rows):
     n = int(min(vg.total, rows))
     vals = vg.np_value(np.arange(n, dtype=np.float64))
     assert len(set(vals)) == n
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**15 - 1), min_size=2, max_size=40),
+    st.integers(min_value=0, max_value=2**15 - 1),
+    st.integers(min_value=1, max_value=2**15),
+)
+@settings(max_examples=200, deadline=None)
+def test_normalized_key_is_order_preserving(vals, lo, width):
+    """zorder's normalized key must preserve ordering for in-bounds
+    values (equal inputs -> equal keys, v1 <= v2 -> key1 <= key2) and
+    clamp out-of-bounds values instead of wrapping — pure-python mirror
+    of the Column arithmetic (floor-scale + clamp on the same doubles).
+    """
+    hi = lo + width
+    top = (1 << 16) - 1
+
+    def key(v):
+        scaled = (float(v) - float(lo)) * (top / (hi - lo))
+        import math
+
+        return min(max(int(math.floor(scaled)), 0), top)
+
+    ks = [key(v) for v in vals]
+    for (v1, k1) in zip(vals, ks):
+        for (v2, k2) in zip(vals, ks):
+            if v1 <= v2:
+                assert k1 <= k2 or not (lo <= v1 <= hi and lo <= v2 <= hi)
+    assert all(0 <= k <= top for k in ks)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_pii_redaction_is_idempotent_on_placeholders(parts):
+    """redact(redact(x)) == redact(x): placeholders contain no digits or
+    @, so a second pass can never find new matches — the property that
+    makes the scrub safe to re-run over partially-processed data.
+    Checked in pure python with the same regexes Spark/DuckDB run."""
+    import re
+
+    from sdvg_spark.ops.text import PII_PATTERNS
+
+    text = " ".join(parts) + " a@b.co 123-45-6789 +1 (415) 555-0199 10.0.0.1"
+
+    def redact(s):
+        for _, pat, repl in PII_PATTERNS:
+            s = re.sub(pat, repl, s)
+        return s
+
+    once = redact(text)
+    assert redact(once) == once
