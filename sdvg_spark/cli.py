@@ -174,6 +174,38 @@ def cmd_generate_config(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Run the curation pipeline over a parquet corpus and write the
+    per-document disposition (keep / drop_reason / split / pack) as
+    parquet — the library's ops/pipeline.py behind a one-line CLI."""
+    from sdvg_spark.ops.pipeline import CurationConfig, curate
+    from sdvg_spark.session import get_spark
+
+    split = None
+    if args.split:
+        split = {}
+        for part in args.split.split(","):
+            name, _, frac = part.partition("=")
+            split[name.strip()] = float(frac)
+    cfg = CurationConfig(
+        lang=args.lang or None,
+        min_quality=args.min_quality,
+        dedup_threshold=None if args.no_dedup else args.dedup_threshold,
+        redact=not args.no_redact,
+        split=split,
+        split_seed=args.seed,
+        pack_budget=args.pack_budget or None,
+    )
+    spark = get_spark(app_name="sdvg-curate")
+    docs = spark.read.parquet(args.input)
+    out = curate(docs, cfg, id_col=args.id_col, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.output)
+    kept = out.where("keep").count()
+    total = out.count()
+    print(f"curated {total} docs -> {kept} kept ({args.output})")
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from sdvg_spark.server import serve
 
@@ -211,6 +243,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gc.add_argument("-o", "--output", default="")
     gc.set_defaults(fn=cmd_generate_config)
+
+    c = sub.add_parser("curate", help="curate a parquet document corpus")
+    c.add_argument("input", help="input parquet path (needs id + text columns)")
+    c.add_argument("output", help="output parquet path for the disposition table")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--lang", default="en", help="keep docs of this language ('' = any)")
+    c.add_argument("--min-quality", type=float, default=0.0)
+    c.add_argument("--dedup-threshold", type=float, default=0.4)
+    c.add_argument("--no-dedup", action="store_true")
+    c.add_argument("--no-redact", action="store_true")
+    c.add_argument("--split", default="train=0.8,val=0.1,test=0.1",
+                   help="comma list name=frac ('' disables)")
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--pack-budget", type=int, default=2048, help="0 disables packing")
+    c.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("serve", help="run the HTTP API")
     s.add_argument("--host", default="127.0.0.1")

@@ -515,3 +515,30 @@ def test_cli_generate_config_interactive(tmp_path, monkeypatch, capsys):
     assert main(["generate-config", "interactive", "-o", str(out_file)]) == 0
     raw = json.loads(out_file.read_text())
     assert raw["models"]["m"]["rows_count"] == 100
+
+
+def test_cli_curate(spark, tmp_path):
+    """The curate subcommand: parquet corpus in -> disposition parquet
+    out, with CLI knobs mapped onto CurationConfig."""
+    import duckdb
+
+    from sdvg_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "the cat and the dog sat on the mat with the hat"),
+         (2, "the cat and the dog sat on the mat with the hat"),
+         (3, "qqq zzz xxx vvv kkk jjj hhh www yyy ggg fff ddd")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "disp")
+    rc = main([
+        "curate", src, out, "--min-quality", "0", "--split", "train=1.0",
+        "--pack-budget", "8",
+    ])
+    assert rc == 0
+    rows = {r[0]: r[1] for r in duckdb.sql(
+        f"SELECT doc_id, drop_reason FROM '{out}/*.parquet'").fetchall()}
+    assert rows[1] is None          # keeper
+    assert rows[2] == "duplicate"   # exact dup drops
+    assert rows[3] == "lang"
