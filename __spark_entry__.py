@@ -664,6 +664,119 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: last-touch attribution — every error event gets the
+    same user's most recent prior-or-equal click (union+window as-of,
+    ops/joins.py: ONE shuffle, no join operator, skew-immune). The
+    click side is pre-deduped to one row per (user, ts) — the
+    operator's uniqueness contract. Oracle: DuckDB's native ASOF LEFT
+    JOIN, a fully independent implementation."""
+    from sdvg_spark.ops.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        err, clk,
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["click_id"], matched_ts="click_ts",
+    )
+    # timestampdiff is NTZ-safe; at µs granularity DuckDB's
+    # boundary-counting date_diff('microsecond') is the exact same number
+    return out.withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: clicks landing in the 10 minutes
+    after each error, same user — bucketed equi-join (ops/joins.py), a
+    plain hash join on (user, 10-min bin), never a
+    BroadcastNestedLoopJoin. Aggregated per error window with exact
+    micro-unit sums; zero-click errors kept via a left join."""
+    from sdvg_spark.ops.joins import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi_ts"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "value"
+    )
+    pairs = range_join(
+        clk, err,
+        on=["user_id"], point_col="c_ts", lo_col="err_ts", hi_col="hi_ts",
+        bucket=600_000_000, bounds="(]",  # 10-min µs bins ≈ interval length
+    )
+    agg = pairs.groupBy("err_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.sum(_value_micros()).alias("__vu"),
+    )
+    return (
+        err.join(agg, "err_id", "left")
+        .select(
+            "err_id", "user_id", "err_ts",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            _micros_to_value(F.coalesce(F.col("__vu"), F.lit(0))).alias("clicks_value"),
+        )
+    )
+
+
+# engine-portable rollup body: every construct (GROUPING SETS,
+# grouping(), date_trunc, CAST/round) parses identically in Spark SQL
+# and DuckDB, so ONE string is both the query and its oracle.
+_ROLLUP_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(grouping(event_type) AS INT) AS g_type,
+  CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
+  count(*) AS n_events,
+  (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+     / CAST(1000000 AS DOUBLE)) AS total_value,
+  count(DISTINCT user_id) AS n_users
+FROM {src}
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                        (event_type), (date_trunc('day', ts)), ())"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE scan: per
+    (type × day), per type, per day, and grand total via GROUPING SETS
+    — Catalyst's Expand keeps it a single shuffle instead of four
+    passes. Micro-unit sums keep every total order-independent. The
+    SQL body is engine-portable; the oracle runs the SAME text."""
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__sdvg_rollup_events")
+    return spark.sql(_ROLLUP_SQL.format(src="__sdvg_rollup_events"))
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-cluster-bucketed semantic dedup — IVF-cell
+    assignment (map-only broadcast matmul), within-cell cosine pairs
+    (equi-join on the cell id, never all-pairs), connected components,
+    one keep/drop decision per vector (ops/dedup.py:semantic_dedup)."""
+    from sdvg_spark.ops.dedup import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — integer-deterministic
+    ranking (tf DESC, df ASC, token), float score display-only
+    (ops/text.py:tfidf_topk)."""
+    from sdvg_spark.ops.text import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", top_n=3)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -715,6 +828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pii_redact": q_pii_redact,
             "curate": q_curate,
             "profile_events": q_profile_events,
+            "events_asof": q_events_asof,
+            "events_range_join": q_events_range_join,
+            "events_rollup": q_events_rollup,
+            "dedup_semantic": q_dedup_semantic,
+            "tfidf_keywords": q_tfidf_keywords,
         }
     )
     return out
@@ -924,6 +1042,41 @@ FROM s GROUP BY user_id, session_seq"""
   length({_red}) AS redacted_len,
   {T.sql_fingerprint(_red)} AS redacted_fp
 FROM documents"""
+
+    out["events_asof"] = """
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts, max(event_id) AS click_id
+        FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT err.event_id, err.user_id, err.ts, clk.ts AS click_ts, clk.click_id,
+  date_diff('microsecond', clk.ts, err.ts) AS gap_us
+FROM err ASOF LEFT JOIN clk
+  ON err.user_id = clk.user_id AND err.ts >= clk.ts"""
+
+    out["events_range_join"] = """
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+err AS (SELECT event_id AS err_id, user_id, ts AS err_ts FROM e WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts AS c_ts, value FROM e WHERE event_type = 'click')
+SELECT err.err_id, err.user_id, err.err_ts,
+  count(clk.c_ts) AS n_clicks,
+  (coalesce(sum(round(clk.value * 1000000)::BIGINT), 0) / 1000000.0) AS clicks_value
+FROM err LEFT JOIN clk
+  ON clk.user_id = err.user_id
+ AND clk.c_ts > err.err_ts
+ AND clk.c_ts <= err.err_ts + INTERVAL 10 MINUTE
+GROUP BY err.err_id, err.user_id, err.err_ts"""
+
+    # ONE portable SQL body serves as both the Spark query and the
+    # DuckDB oracle — the strongest possible parity statement.
+    out["events_rollup"] = _ROLLUP_SQL.format(
+        src="(SELECT event_type, ts::TIMESTAMP AS ts, user_id, value FROM events) e"
+    )
+
+    from sdvg_spark.ops.dedup import semantic_dedup_oracle_sql
+
+    out["dedup_semantic"] = semantic_dedup_oracle_sql(n_cells=16, threshold=0.4)
+
+    out["tfidf_keywords"] = T.tfidf_topk_oracle_sql(top_n=3)
 
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",

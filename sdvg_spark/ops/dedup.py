@@ -976,3 +976,134 @@ def _infer_dims(df: DataFrame, vec_col: str) -> int:
 # (the interpreted expression-based hyperplane signature was replaced by
 # sdvg_spark.ops.similarity.hyperplane_sigs_df — one numpy matmul per
 # Arrow batch instead of n_planes×dims interpreted lambda ops per row)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic dedup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_cells: int = 16,
+    threshold: float = 0.4,
+    centroid_max_bytes: int = 64_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    deduplicate WITHIN clusters only — the all-pairs cosine work drops
+    from O(n²) to O(Σ cell²), and with ``n_cells ∝ n`` cells stay
+    bounded so total work is ~linear.
+
+    Returns one row per input vector: ``(id, cell, rep, keep)`` —
+    ``rep`` the smallest id in the vector's within-cell duplicate
+    component (itself if unique), ``keep = (id = rep)``.
+
+    Cell assignment reuses the IVF contract (ops/similarity.py): the
+    ``n_cells`` smallest-id vectors are the centroids (deterministic and
+    SQL-mirrorable; ids are uncorrelated with content so this is an
+    unbiased sample), nearest-centroid by cosine with ties to the lowest
+    cell. Pair finding is a self-equi-join on the cell id moving ids
+    only; vectors re-attach to the candidate set; cosine is the codegen
+    column expression. Components come from
+    :func:`connected_components` (min-label propagation) — exactly the
+    pairs→decisions step the pair ops alone don't provide.
+
+    At 100 TB: assignment is map-only (broadcast centroid matmul); the
+    self-join shuffles (id, cell) pairs once; within-cell pair counts
+    are the operator's honest cost knob — size ``n_cells`` so the
+    expected cell fits the cluster (the paper uses ~√n cells). A
+    production run would Lloyd-train centroids (``ivf_train_centroids``)
+    and persist the assignment partitioned by cell; the smallest-id
+    contract keeps every stage reproducible in plain SQL.
+    """
+    import numpy as np
+
+    from sdvg_spark.ops.similarity import _centroid_assign_kernel
+
+    loc = bounded_local_vectors(
+        df.orderBy(F.col(id_col)).limit(n_cells), id_col, vec_col, centroid_max_bytes
+    )
+    if loc is None:
+        raise ValueError("n_cells × dims exceeds centroid_max_bytes")
+    _, cent = loc
+    cnorm = np.linalg.norm(cent, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    bc = df.sparkSession.sparkContext.broadcast(cent / cnorm[:, None])
+
+    wide = widen(df)
+    assign = wide.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(_centroid_assign_kernel(bc, "c_id", 1), "c_id long, cell int")
+
+    sa = assign.select(F.col("c_id").alias("id_a"), "cell")
+    sb = assign.select(F.col("c_id").alias("id_b"), "cell")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = (
+        sa.join(sb, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        assign.select(F.col("c_id")), pairs, id_col="c_id"
+    )
+    return (
+        assign.join(labels, "c_id")
+        .select(
+            F.col("c_id").alias(id_col),
+            "cell",
+            F.col("rep"),
+            (F.col("c_id") == F.col("rep")).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup` value-for-value: same
+    smallest-id centroids and tie rules as the IVF oracle, within-cell
+    pairs at the same threshold, then the recursive-CTE component walk
+    of :func:`connected_components_oracle_sql` (restricted to each
+    node's own cell by construction — edges never cross cells)."""
+    asgn = f"""
+cent AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell, {vec_col} AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {n_cells})),
+asgn AS (
+  SELECT vid, cell FROM (
+    SELECT e.{id_col} AS vid, c.cell,
+      row_number() OVER (PARTITION BY e.{id_col}
+        ORDER BY list_cosine_similarity(e.{vec_col}::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                 c.cell) AS rn
+    FROM {table} e CROSS JOIN cent c)
+  WHERE rn = 1)"""
+    edges_sql = f"""
+WITH {asgn}
+SELECT a.vid AS id_a, b.vid AS id_b
+FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vid < b.vid
+JOIN {table} ea ON ea.{id_col} = a.vid
+JOIN {table} eb ON eb.{id_col} = b.vid
+WHERE list_cosine_similarity(ea.{vec_col}::DOUBLE[], eb.{vec_col}::DOUBLE[]) >= {threshold}"""
+    cc = connected_components_oracle_sql(
+        nodes_sql=f"SELECT {id_col} AS vid FROM {table}",
+        edges_sql=edges_sql,
+        id_col="vid",
+    )
+    return f"""
+WITH {asgn},
+cc AS ({cc})
+SELECT cc.vid AS {id_col}, asgn.cell, cc.rep, (cc.vid = cc.rep) AS keep
+FROM cc JOIN asgn ON asgn.vid = cc.vid"""

@@ -340,3 +340,85 @@ def sql_pii_counts(col: str) -> dict[str, str]:
         counts[f"n_{name}"] = f"len(regexp_extract_all({cur}, '{pat}'))"
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     return counts
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+
+
+def tfidf_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    *,
+    top_n: int = 3,
+    round_digits: int = 6,
+):
+    """Top-``top_n`` keywords per document by TF-IDF.
+
+    Ranking is INTEGER-ONLY — ``(tf DESC, df ASC, token ASC)`` — which
+    orders identically to tf·ln(N/df) whenever one of tf/df dominates
+    and is deterministic across engines where the float score could tie
+    within an ulp (e.g. tf=2,df=50 vs tf=1,df=5 at N=500 give exactly
+    equal real scores); the float ``tfidf`` column is display-only,
+    rounded to ``round_digits``.
+
+    Scale shape: one shuffle for per-doc term counts, one for document
+    frequencies (vocab-sized output, AQE can broadcast it back), one
+    window shuffle for the per-doc top-k. The corpus size N is one
+    distributed count at plan-build time and rides as a literal — a
+    1-row crossJoin would put a BroadcastNestedLoopJoin in the plan,
+    and a constant-key equi-join constant-folds back into one.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.count()
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("__n", F.lit(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")),
+                round_digits,
+            ).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def tfidf_topk_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`tfidf_topk` — same tokenization as
+    ``sql_tokens`` (proven ≡ the Spark split by text_features), same
+    integer ranking, same rounded display score."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS did, unnest({sql_tokens(text_col)}) AS token FROM {table}),
+tf AS (SELECT did, token, count(*) AS tf FROM tok GROUP BY did, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM {table}),
+r AS (
+  SELECT did, token, tf, df,
+    row_number() OVER (PARTITION BY did ORDER BY tf DESC, df ASC, token) AS rank
+  FROM tf JOIN dfq USING (token))
+SELECT did AS {id_col}, token, tf, df,
+  round(tf * ln(n::DOUBLE / df), {round_digits}) AS tfidf, rank
+FROM r, n WHERE rank <= {top_n}"""

@@ -1,0 +1,156 @@
+"""As-of join and range join: semantics on hand-checkable data, and
+plan-shape assertions (no join at all for as-of; never a nested-loop /
+cartesian for the range join)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sdvg_spark.ops.joins import asof_join, range_join
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 7, "e")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 11, 211), (9, 1, 901)],
+        "k int, t int, payload int",
+    )
+    return left, right
+
+
+def test_asof_backward_left(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", payload=["payload"]
+    )
+    got = {(r.k, r.t): (r.matched_ts, r.payload) for r in out.collect()}
+    assert got == {
+        (1, 10): (10, 100),  # tie: equal ts is eligible (>=)
+        (1, 20): (15, 150),  # latest prior, not just any prior
+        (1, 5): (None, None),  # nothing at or before
+        (2, 10): (None, None),  # right row is later
+        (3, 7): (None, None),  # key absent on the right
+    }
+    assert out.count() == left.count()  # left join keeps everything
+
+
+def test_asof_forward_and_inner(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        payload=["payload"], direction="forward", how="inner",
+    )
+    got = {(r.k, r.t): (r.matched_ts, r.payload) for r in out.collect()}
+    assert got == {
+        (1, 10): (10, 100),  # equal ts eligible forward too
+        (1, 5): (10, 100),   # earliest following
+        (2, 10): (11, 211),
+    }  # (1,20) and (3,7) dropped by inner
+
+
+def test_asof_payload_fields_come_from_same_row(spark):
+    # a right row with a NULL payload field must not be "patched" by an
+    # older row's value — the struct carry guarantees row coherence
+    left = spark.createDataFrame([(1, 30)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 1), (1, 20, None, 2)], "k int, t int, a string, b int"
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", payload=["a", "b"]
+    ).first()
+    assert (row.matched_ts, row.a, row.b) == (20, None, 2)
+
+
+def test_asof_is_joinless_single_shuffle(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", payload=["payload"]
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan  # union+window, no join operator at all
+    # exactly one shuffle: the window's hashpartitioning over the union
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_asof_rejects_collisions_and_bad_args(spark):
+    left, right = _asof_fixture(spark)
+    with pytest.raises(ValueError, match="collides"):
+        # 'tag' exists on the left
+        asof_join(left, right.withColumnRenamed("payload", "tag"),
+                  on=["k"], left_ts="t", right_ts="t", payload=["tag"])
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  payload=["payload"], how="outer")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  payload=["payload"], direction="nearest")
+
+
+@pytest.mark.parametrize("bounds", ["[]", "[)", "(]", "()"])
+def test_range_join_matches_naive(spark, bounds):
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(3), i, rng.randrange(0, 1000)) for i in range(200)]
+    ivs = []
+    for j in range(40):
+        lo = rng.randrange(0, 950)
+        ivs.append((rng.randrange(3), j, lo, lo + rng.randrange(0, 120)))
+    points = spark.createDataFrame(pts, "k int, pid int, p int")
+    intervals = spark.createDataFrame(ivs, "k int, iid int, lo int, hi int")
+    out = range_join(
+        points, intervals, on=["k"], point_col="p", lo_col="lo", hi_col="hi",
+        bucket=64, bounds=bounds,
+    )
+    got = {(r.iid, r.pid) for r in out.collect()}
+    lo_ok = (lambda p, lo: p >= lo) if bounds[0] == "[" else (lambda p, lo: p > lo)
+    hi_ok = (lambda p, hi: p <= hi) if bounds[1] == "]" else (lambda p, hi: p < hi)
+    want = {
+        (j[1], i[1])
+        for i in pts
+        for j in ivs
+        if i[0] == j[0] and lo_ok(i[2], j[2]) and hi_ok(i[2], j[3])
+    }
+    assert got == want
+
+
+def test_range_join_no_nested_loop(spark):
+    points = spark.createDataFrame([(1, 1, 5)], "k int, pid int, p int")
+    intervals = spark.createDataFrame([(1, 1, 0, 10)], "k int, iid int, lo int, hi int")
+    out = range_join(
+        points, intervals, on=["k"], point_col="p", lo_col="lo", hi_col="hi",
+        bucket=8,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() == 1
+
+
+def test_range_join_timestamps_and_ambiguity(spark):
+    points = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:05:00")], "k int, pid int, p string"
+    ).withColumn("p", F.col("p").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+         (1, 2, "2024-01-01 00:06:00", "2024-01-01 00:10:00")],
+        "k int, iid int, lo string, hi string",
+    ).withColumn("lo", F.col("lo").cast("timestamp")).withColumn(
+        "hi", F.col("hi").cast("timestamp"))
+    out = range_join(
+        points, intervals, on=["k"], point_col="p", lo_col="lo", hi_col="hi",
+        bucket=60_000_000,  # 1-minute µs bins
+    )
+    assert [r.iid for r in out.collect()] == [1]
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join(points.withColumnRenamed("p", "lo"), intervals,
+                   on=["k"], point_col="lo", lo_col="lo", hi_col="hi", bucket=1)

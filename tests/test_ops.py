@@ -877,3 +877,73 @@ def test_new_ops_empty_inputs(spark):
     assert p == {"doc_id", "text"}  # profiling an empty table still describes it
     cur = curate(empty, CurationConfig(dedup_threshold=None))
     assert cur.count() == 0
+
+
+def test_semantic_dedup_clusters(spark):
+    """Two tight clusters + one ambiguous point: duplicates are found
+    within cells only, the smallest id becomes the representative, and
+    the ambiguous point (equidistant -> lowest cell) stays kept."""
+    from sdvg_spark.ops.dedup import semantic_dedup
+
+    vecs = [
+        (0, [1.0, 0.0]),          # centroid of cell 0
+        (1, [0.0, 1.0]),          # centroid of cell 1
+        (2, [0.99, 0.141]),       # near-dup of 0
+        (3, [0.0, 2.0]),          # exact direction dup of 1
+        (4, [0.7, 0.7]),          # equidistant -> cell 0, no dup
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, "vec_id", "embedding", n_cells=2, threshold=0.95).collect()}
+    assert len(out) == 5  # one decision per input vector
+    assert out[2].rep == 0 and not out[2].keep
+    assert out[3].rep == 1 and not out[3].keep
+    assert all(out[i].rep == i and out[i].keep for i in (0, 1, 4))
+    assert out[4].cell == 0  # tie broke to the lowest cell
+
+
+def test_semantic_dedup_matches_oracle_contract(spark):
+    """Spark vs the DuckDB mirror on real embeddings — the same check
+    the driver runs, kept here so a contract drift fails fast."""
+    import os
+
+    import duckdb
+
+    from sdvg_spark.ops.dedup import semantic_dedup, semantic_dedup_oracle_sql
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("no sf0.001 testdata on this host")
+    df = spark.read.parquet(path)
+    got = {
+        (r.vec_id, r.cell, r.rep, r.keep)
+        for r in semantic_dedup(df, "vec_id", "embedding", n_cells=8, threshold=0.4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = set(
+        map(tuple, con.execute(
+            semantic_dedup_oracle_sql(n_cells=8, threshold=0.4)).fetchall())
+    )
+    assert got == want
+
+
+def test_tfidf_topk_integer_ranking(spark):
+    from sdvg_spark.ops.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    rows = {(r.doc_id, r.rank): r for r in
+            tfidf_topk(docs, "doc_id", "text", top_n=2).collect()}
+    # doc 1: tf wins first (a: tf=2), then rarity (b: df=1)
+    assert rows[(1, 1)].token == "a" and rows[(1, 1)].tf == 2
+    assert rows[(1, 2)].token == "b"
+    # doc 2: equal tf -> rarer token first (c: df=1 beats a: df=2)
+    assert rows[(2, 1)].token == "c"
+    assert rows[(2, 2)].token == "a"
+    # blank doc contributes no tokens and no rows
+    assert not any(d == 3 for (d, _r) in rows)
+    # score column: tf * ln(N/df), rounded; a in doc1: 2*ln(3/2)
+    import math
+    assert rows[(1, 1)].tfidf == pytest.approx(round(2 * math.log(3 / 2), 6))
