@@ -767,6 +767,39 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: a 6-hour grid per user over the
+    user's own event window, each grid point carrying the last event
+    value at or before it (LOCF; null before the first event). Composes
+    the bounds-aggregate grid with the as-of join — two shuffles total
+    (ops/joins.py:gap_fill_locf). Oracle: per-key integer grid +
+    DuckDB's native ASOF LEFT JOIN."""
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    ev = _read(spark, sf_dir, "events")
+    return gap_fill_locf(
+        ev.select("user_id", "ts", "value", "event_id"),
+        keys=["user_id"], ts_col="ts", value_cols=["value"],
+        step_us=21_600_000_000,  # 6 h
+        tiebreak_col="event_id",
+    )
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of value per event type — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition
+    ((1-f)·a + f·b over the sorted values), so the numbers agree to the
+    9-digit compare tolerance."""
+    ev = _read(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.element_at(pct, 1), 9).alias("p50"),
+        F.round(F.element_at(pct, 2), 9).alias("p90"),
+        F.round(F.element_at(pct, 3), 9).alias("p99"),
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
@@ -833,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_rollup": q_events_rollup,
             "dedup_semantic": q_dedup_semantic,
             "tfidf_keywords": q_tfidf_keywords,
+            "events_gapfill": q_events_gapfill,
+            "events_percentiles": q_events_percentiles,
         }
     )
     return out
@@ -1077,6 +1112,24 @@ GROUP BY err.err_id, err.user_id, err.err_ts"""
     out["dedup_semantic"] = semantic_dedup_oracle_sql(n_cells=16, threshold=0.4)
 
     out["tfidf_keywords"] = T.tfidf_topk_oracle_sql(top_n=3)
+
+    out["events_gapfill"] = """
+WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value, event_id FROM events),
+obs AS (SELECT user_id, us, arg_max(value, event_id) AS value
+        FROM e GROUP BY user_id, us),
+b AS (SELECT user_id, min(us) AS mn, max(us) AS mx FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(mn - mn % 21600000000, mx + 1, 21600000000)) AS g_us
+         FROM b)
+SELECT grid.user_id, make_timestamp(grid.g_us) AS ts, obs.us AS obs_us, obs.value
+FROM grid ASOF LEFT JOIN obs
+  ON grid.user_id = obs.user_id AND grid.g_us >= obs.us"""
+
+    out["events_percentiles"] = """
+SELECT event_type, count(*) AS n_events,
+  round(quantile_cont(value, 0.5), 9) AS p50,
+  round(quantile_cont(value, 0.9), 9) AS p90,
+  round(quantile_cont(value, 0.99), 9) AS p99
+FROM events GROUP BY event_type"""
 
     out["data_split_by_source"] = hash_split_oracle_sql(
         table="documents",

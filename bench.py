@@ -141,6 +141,13 @@ def main() -> None:
         "decontaminate",
         "pack_sequences",
         "curate",
+        "events_asof",
+        "events_range_join",
+        "events_rollup",
+        "events_gapfill",
+        "events_percentiles",
+        "dedup_semantic",
+        "tfidf_keywords",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

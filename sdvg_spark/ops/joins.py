@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "gap_fill_locf", "range_join"]
 
 
 def _as_number(df: DataFrame, col: str) -> Column:
@@ -194,3 +194,64 @@ def range_join(
     cond = (p >= lo) if bounds[0] == "[" else (p > lo)
     cond = cond & ((p <= hi) if bounds[1] == "]" else (p < hi))
     return ib.join(pb, [*on, b]).where(cond).drop(b)
+
+
+def gap_fill_locf(
+    observations: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    step_us: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Hypertable-style gap-fill: a fixed-step time grid per key, each
+    grid point carrying the last observation at or before it (LOCF —
+    last observation carried forward; null before the first one).
+
+    The grid spans each key's own [min, max] observation window,
+    aligned down to a ``step_us`` multiple (so grid timestamps are
+    bucket boundaries, comparable across keys). It is generated
+    distributively — per-key bounds from one aggregate, then
+    ``sequence``+``explode`` — and the fill is :func:`asof_join`, so
+    the whole operator is two shuffles (bounds agg + the as-of window)
+    regardless of scale. With duplicate observations per (key, ts) the
+    one with the greatest ``tiebreak_col`` wins (required if
+    duplicates are possible — the as-of contract needs a unique right
+    side).
+
+    Output: keys…, ``ts`` (grid point, µs-exact timestamp), ``obs_us``
+    (µs of the carried observation, null in leading gaps), and the
+    ``value_cols`` as carried.
+    """
+    obs_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_ts = observations.groupBy(*keys, obs_us.alias("__us"))
+    if tiebreak_col is None:
+        obs = per_ts.agg(*[F.max(c).alias(c) for c in value_cols])
+    else:
+        obs = per_ts.agg(
+            *[F.max_by(F.col(c), F.col(tiebreak_col)).alias(c) for c in value_cols]
+        )
+    bounds = observations.groupBy(*keys).agg(
+        F.min(obs_us).alias("__mn"), F.max(obs_us).alias("__mx")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                # integer alignment (mn - mn % step): float division
+                # could lose a µs near 2^53
+                F.col("__mn") - F.col("__mn") % F.lit(step_us),
+                F.col("__mx"),
+                F.lit(step_us),
+            )
+        ).alias("__g_us"),
+    )
+    filled = asof_join(
+        grid, obs,
+        on=keys, left_ts="__g_us", right_ts="__us",
+        payload=value_cols, matched_ts="obs_us",
+    )
+    return filled.select(
+        *keys, F.timestamp_micros(F.col("__g_us")).alias("ts"), "obs_us", *value_cols
+    )

@@ -154,3 +154,56 @@ def test_range_join_timestamps_and_ambiguity(spark):
     with pytest.raises(ValueError, match="ambiguous"):
         range_join(points.withColumnRenamed("p", "lo"), intervals,
                    on=["k"], point_col="lo", lo_col="lo", hi_col="hi", bucket=1)
+
+
+def test_gap_fill_locf(spark):
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    obs = spark.createDataFrame(
+        [
+            # key 1: events at t=15µs and t=33µs; grid step 10 -> 10,20,30
+            (1, 15, 1.5, 100),
+            # duplicate at the same (key, ts): greater tiebreak must win
+            (1, 15, 9.9, 99),
+            (1, 33, 3.3, 101),
+            # key 2: single event exactly on a grid boundary
+            (2, 20, 2.0, 200),
+        ],
+        "k int, t long, v double, seq long",
+    ).withColumn("t", F.timestamp_micros(F.col("t")))
+    out = gap_fill_locf(
+        obs, keys=["k"], ts_col="t", value_cols=["v"],
+        step_us=10, tiebreak_col="seq",
+    )
+    # grid timestamps are µs past the epoch -> read the microsecond field
+    got = {(r.k, r.ts.microsecond): (r.obs_us, r.v) for r in out.collect()}
+    assert got == {
+        (1, 10): (None, None),  # leading gap before the first event
+        (1, 20): (15, 1.5),     # carried forward; seq=100 beat seq=99
+        (1, 30): (15, 1.5),     # still carried across an empty bucket
+        (2, 20): (20, 2.0),     # boundary-aligned event is eligible (>=)
+    }
+
+
+def test_joins_ops_empty_inputs(spark):
+    """Empty sides must yield empty (or fully-null-payload) results, not
+    crash — no guard branches needed, the plans are closed under empty
+    relations; this pins that."""
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, t int, tag string")
+    e_l = left.limit(0)
+    right = spark.createDataFrame([(1, 5, 50)], "k int, t int, payload int")
+    e_r = right.limit(0)
+    assert asof_join(e_l, right, on=["k"], left_ts="t", right_ts="t",
+                     payload=["payload"]).count() == 0
+    row = asof_join(left, e_r, on=["k"], left_ts="t", right_ts="t",
+                    payload=["payload"]).first()
+    assert (row.matched_ts, row.payload) == (None, None)
+    ivs = spark.createDataFrame([(1, 1, 0, 10)], "k int, iid int, lo int, hi int")
+    assert range_join(left.selectExpr("k", "t as p"), ivs.limit(0),
+                      on=["k"], point_col="p", lo_col="lo", hi_col="hi",
+                      bucket=8).count() == 0
+    assert gap_fill_locf(e_r.selectExpr("k", "t", "payload as v"),
+                         keys=["k"], ts_col="t", value_cols=["v"],
+                         step_us=10).count() == 0
