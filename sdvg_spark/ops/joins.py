@@ -61,6 +61,7 @@ def asof_join(
     direction: str = "backward",
     matched_ts: str = "matched_ts",
     suffix: str = "",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Attach to every left row the payload of the temporally nearest
     right row with the same ``on`` key.
@@ -80,6 +81,12 @@ def asof_join(
     timestamp, null if unmatched) and each payload column (renamed with
     ``suffix`` if given). ``how="inner"`` drops unmatched left rows,
     ``"left"`` keeps them with null payload.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): the maximum allowed
+    |left_ts − matched_ts| — µs for timestamp columns, native units for
+    numerics. A match farther away counts as no match (payload nulled
+    under ``"left"``, row dropped under ``"inner"``). Applied as a
+    post-window expression, so it costs no extra shuffle.
 
     Scale shape: one shuffle (window ``partitionBy(on)``); no join
     operator at all, so no pair explosion under key skew — a hot key
@@ -137,6 +144,20 @@ def asof_join(
         .withColumn("__m", F.last(pay, ignorenulls=True).over(w))
         .where(F.col(tag) == 1)
     )
+    if tolerance is not None:
+        is_ts = isinstance(
+            left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+        )
+
+        def num(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp")) if is_ts else c
+
+        gap = num(F.col(t)) - num(F.col("__m.__mt"))
+        if direction == "forward":
+            gap = -gap
+        matched = matched.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance), F.col("__m"))
+        )
     out = matched.select(
         *left.columns,
         F.col("__m.__mt").alias(matched_ts),

@@ -207,3 +207,20 @@ def test_joins_ops_empty_inputs(spark):
     assert gap_fill_locf(e_r.selectExpr("k", "t", "payload as v"),
                          keys=["k"], ts_col="t", value_cols=["v"],
                          step_us=10).count() == 0
+
+
+def test_asof_tolerance(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        payload=["payload"], tolerance=3,
+    )
+    got = {(r.k, r.t): (r.matched_ts, r.payload) for r in out.collect()}
+    # (1,10) matches (1,10): gap 0 <= 3; (1,20)'s nearest is (1,15): gap 5 -> nulled
+    assert got[(1, 10)] == (10, 100)
+    assert got[(1, 20)] == (None, None)
+    inner = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        payload=["payload"], tolerance=3, how="inner",
+    )
+    assert {(r.k, r.t) for r in inner.collect()} == {(1, 10)}
