@@ -670,26 +670,30 @@ def connected_components(
     the step that turns PAIRS into dedup decisions (keep ``rep``, drop
     the rest), and the reason pair ops alone aren't a dedup pipeline.
 
-    Algorithm: min-label propagation. Each round every node takes the
-    minimum label among itself and its neighbors; convergence needs
-    O(graph diameter) rounds, and duplicate clusters are near-cliques
-    (diameter ≤ ~3), so 3-4 rounds settle real corpora. Each round is
-    one join + one min-aggregate — both shuffles on the node id, which
-    AQE coalesces; labels persist per round with the previous round
-    explicitly unpersisted, and convergence is detected by the sum of
-    labels (strictly decreasing until fixpoint — one cheap agg action,
-    no row-wise diff join).
+    Algorithm: min-label propagation OVER THE EDGE SUBGRAPH ONLY — a
+    node untouched by any edge can never change its label, so the
+    iteration runs on the distinct edge endpoints (duplicate clusters
+    are a tiny fraction of a real corpus) and the full node set gets
+    its labels back through one final left join + coalesce. Each round
+    every subgraph node takes the minimum label among itself and its
+    neighbors; convergence needs O(graph diameter) rounds, and
+    duplicate clusters are near-cliques (diameter ≤ ~3), so 3-4 rounds
+    settle real corpora. Labels persist per round with the previous
+    round explicitly unpersisted; convergence is detected by the sum
+    of labels (strictly decreasing until fixpoint — one cheap agg
+    action, no row-wise diff join).
 
-    At 100 TB: rounds × (join + agg) is the textbook distributed CC
-    cost; for adversarially long chains switch to large-star/small-star
-    (same primitive ops, O(log n) rounds) — near-dup graphs never need
-    it.
+    At 100 TB: rounds × (join + agg on the EDGE-NODE set, not the
+    corpus) is the textbook distributed CC cost; for adversarially
+    long chains switch to large-star/small-star (same primitive ops,
+    O(log n) rounds) — near-dup graphs never need it.
     """
-    lab = nodes.select(F.col(id_col).alias("v"), F.col(id_col).alias("rep"))
     und = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
     und = und.persist()
+    # both directions are present, so `s` alone covers every endpoint
+    lab = und.select(F.col("s").alias("v")).distinct().withColumn("rep", F.col("v"))
     prev_sum = None
     prev_lab = None
     for _ in range(max_iter):
@@ -709,7 +713,14 @@ def connected_components(
             break
         prev_sum = total
     und.unpersist()
-    return lab.select(F.col("v").alias(id_col), F.col("rep").alias("rep"))
+    sub = lab.select(F.col("v").alias(id_col), F.col("rep").alias("__rep"))
+    return (
+        nodes.select(id_col)
+        .join(sub, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("__rep"), F.col(id_col)).alias("rep")
+        )
+    )
 
 
 def connected_components_oracle_sql(
@@ -1033,9 +1044,14 @@ def semantic_dedup(
     bc = df.sparkSession.sparkContext.broadcast(cent / cnorm[:, None])
 
     wide = widen(df)
+    # persisted: the assignment feeds the pair join, the component
+    # seed labels, AND the final decision join — without it the Arrow
+    # kernel re-scans the corpus once per consumer (and once per CC
+    # round through the unpersisted round-0 labels). (id, cell) is
+    # 12 B/row; MEMORY_AND_DISK spills rather than OOMs at scale.
     assign = wide.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(_centroid_assign_kernel(bc, "c_id", 1), "c_id long, cell int")
+    ).mapInPandas(_centroid_assign_kernel(bc, "c_id", 1), "c_id long, cell int").persist()
 
     sa = assign.select(F.col("c_id").alias("id_a"), "cell")
     sb = assign.select(F.col("c_id").alias("id_b"), "cell")

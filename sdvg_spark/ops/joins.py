@@ -235,8 +235,9 @@ def gap_fill_locf(
     bucket boundaries, comparable across keys). It is generated
     distributively — per-key bounds from one aggregate, then
     ``sequence``+``explode`` — and the fill is :func:`asof_join`, so
-    the whole operator is two shuffles (bounds agg + the as-of window)
-    regardless of scale. With duplicate observations per (key, ts) the
+    the whole operator is three map-side-combined shuffles (bounds agg,
+    per-(key, ts) dedup agg, the as-of window) regardless of scale.
+    With duplicate observations per (key, ts) the
     one with the greatest ``tiebreak_col`` wins (required if
     duplicates are possible — the as-of contract needs a unique right
     side).

@@ -224,3 +224,49 @@ def test_asof_tolerance(spark):
         payload=["payload"], tolerance=3, how="inner",
     )
     assert {(r.k, r.t) for r in inner.collect()} == {(1, 10)}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_asof_matches_naive_randomized(spark, direction, how):
+    """asof_join vs a pure-Python reference over seeded random data:
+    many keys, equal-timestamp ties, keys missing on either side, and a
+    tolerance — every (direction, how) combination."""
+    import random
+
+    rng = random.Random(direction + how)
+    left = [(rng.randrange(6), rng.randrange(50), i) for i in range(300)]
+    right = {}
+    for j in range(150):
+        k, t = rng.randrange(8), rng.randrange(50)
+        # unique per (key, ts): the operator's right-side contract
+        right[(k, t)] = 1000 + j
+    tol = 7
+
+    def expected(k, t):
+        if direction == "backward":
+            cands = [(rt, p) for (rk, rt), p in right.items()
+                     if rk == k and rt <= t and t - rt <= tol]
+            return max(cands) if cands else None
+        cands = [(rt, p) for (rk, rt), p in right.items()
+                 if rk == k and rt >= t and rt - t <= tol]
+        return min(cands) if cands else None
+
+    ldf = spark.createDataFrame(left, "k int, t int, lid int")
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in right.items()], "k int, t int, payload int"
+    )
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="t", right_ts="t", payload=["payload"],
+        direction=direction, how=how, tolerance=tol,
+    )
+    got = {r.lid: (r.matched_ts, r.payload) for r in out.collect()}
+    for k, t, lid in left:
+        want = expected(k, t)
+        if want is None:
+            if how == "left":
+                assert got[lid] == (None, None), (k, t)
+            else:
+                assert lid not in got, (k, t)
+        else:
+            assert got[lid] == want, (k, t)

@@ -44,6 +44,13 @@ QUERIES = [
     "corpus_vocab",
     "decontaminate",
     "pack_sequences",
+    "events_asof",
+    "events_range_join",
+    "events_rollup",
+    "events_gapfill",
+    "events_percentiles",
+    "dedup_semantic",
+    "tfidf_keywords",
 ]
 
 
