@@ -136,6 +136,7 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.quality_score(t, toks), 9).alias("quality"),
         qf["dup_token_ratio"].alias("dup_token_ratio"),
         qf["dup_line_ratio"].alias("dup_line_ratio"),
+        F.round(T.token_entropy(t, toks), 9).alias("token_entropy"),
         T.fingerprint(t, toks).alias("fingerprint"),
     )
 
@@ -893,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
   round({T.sql_quality_score('text')}, 9) AS quality,
   {_sqf['dup_token_ratio']} AS dup_token_ratio,
   {_sqf['dup_line_ratio']} AS dup_line_ratio,
+  round({T.sql_token_entropy('text')}, 9) AS token_entropy,
   {T.sql_fingerprint('text')} AS fingerprint
 FROM documents"""
 

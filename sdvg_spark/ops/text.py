@@ -153,6 +153,30 @@ FP_BASE = 131
 FP_MOD = 1_000_000_007
 
 
+def token_entropy(text: Column, toks: Column | None = None) -> Column:
+    """Shannon entropy (nats) of the document's token distribution —
+    near 0 for degenerate repetition, ~ln(n_tokens) for all-distinct
+    text. Standard corpus-quality signal next to the dup ratios.
+
+    Computed as ln(n) − (Σ c·ln c)/n over per-distinct-token counts c —
+    pure array expressions (distinct → per-token filter count), no UDF;
+    O(distinct·tokens) per row in codegen, fine at document size.
+    """
+    if toks is None:
+        toks = tokens(text)
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double"),
+    )
+    sum_clnc = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    return F.when(
+        n > 0, F.log(n.cast("double")) - sum_clnc / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column, toks: Column | None = None) -> Column:
     """Polynomial rolling hash over token codepoint-sums, mod 1e9+7.
 
@@ -266,6 +290,22 @@ def sql_quality_score(col: str) -> str:
         f" + (1.0 - {f['punct_ratio']}) * 0.25"
         f" + least({f['stopword_ratio_en']} / 0.4, 1.0) * 0.25"
         f" + {f['alnum_ratio']} * 0.25)"
+    )
+
+
+def sql_token_entropy(col: str) -> str:
+    """DuckDB mirror of :func:`token_entropy` — same ln(n) − (Σ c·ln c)/n
+    over the same token list."""
+    l = sql_tokens(col)
+    counts = (
+        f"list_transform(list_distinct({l}), "
+        f"t -> len(list_filter({l}, x -> x = t))::DOUBLE)"
+    )
+    return (
+        f"CASE WHEN len({l}) > 0 THEN "
+        f"ln(len({l})::DOUBLE) - "
+        f"list_sum(list_transform({counts}, c -> c * ln(c))) / len({l})::DOUBLE "
+        f"ELSE 0.0 END"
     )
 
 

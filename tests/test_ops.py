@@ -947,3 +947,17 @@ def test_tfidf_topk_integer_ranking(spark):
     # score column: tf * ln(N/df), rounded; a in doc1: 2*ln(3/2)
     import math
     assert rows[(1, 1)].tfidf == pytest.approx(round(2 * math.log(3 / 2), 6))
+
+
+def test_token_entropy(spark):
+    from sdvg_spark.ops.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, "")],
+        "doc_id long, text string",
+    ).select("doc_id", token_entropy(F.col("text")).alias("h"))
+    got = {r.doc_id: r.h for r in df.collect()}
+    assert got[1] == pytest.approx(0.0)            # degenerate repetition
+    assert got[2] == pytest.approx(math.log(4))    # all distinct -> ln n
+    assert got[3] == pytest.approx(math.log(2))    # two equal halves
+    assert got[4] == 0.0                           # empty text

@@ -605,3 +605,44 @@ def test_zorder_config_validation():
     with pytest.raises(ConfigError, match="only supported for parquet"):
         parse_config({**base, "output": {"type": "csv", "dir": "/tmp/x",
                                          "zorder_by": ["a", "a"]}})
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, tmp_path):
+    """Two tables bucketed on the same key+count must sort-merge-join
+    with NO Exchange — the write-time shuffle is the last one that key
+    ever pays. This is the co-located-join story at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny fixture tables would auto-broadcast, hiding the layout
+        # effect this test pins — force the shuffle-join code path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "t_bucket_a", str(tmp_path / "a"),
+                       bucket_cols=["k"], n_buckets=4, sort_cols=["k"])
+        write_bucketed(b, "t_bucket_b", str(tmp_path / "b"),
+                       bucket_cols=["k"], n_buckets=4, sort_cols=["k"])
+        j = read_bucketed(spark, "t_bucket_a").join(
+            read_bucketed(spark, "t_bucket_b"), "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+        assert j.count() == 1000
+        # a bucket-key aggregate reuses the layout too
+        g = read_bucketed(spark, "t_bucket_a").groupBy("k").count()
+        gplan = g._sc._jvm.PythonSQLUtils.explainString(
+            g._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in gplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
