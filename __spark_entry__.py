@@ -765,7 +765,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import semantic_dedup
 
     emb = _read(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "vec_id", "embedding", n_cells=16, threshold=0.4)
+    # corpus-derived cell count (expected cell ≈ 256 rows at every sf;
+    # 16 cells at sf0.01) — fixed cells would revert to all-pairs as
+    # the corpus grows; the oracle mirrors the count via subquery LIMIT
+    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.4)
 
 
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,7 +1114,7 @@ GROUP BY err.err_id, err.user_id, err.err_ts"""
 
     from sdvg_spark.ops.dedup import semantic_dedup_oracle_sql
 
-    out["dedup_semantic"] = semantic_dedup_oracle_sql(n_cells=16, threshold=0.4)
+    out["dedup_semantic"] = semantic_dedup_oracle_sql(threshold=0.4)
 
     out["tfidf_keywords"] = T.tfidf_topk_oracle_sql(top_n=3)
 

@@ -678,8 +678,13 @@ def connected_components(
     every subgraph node takes the minimum label among itself and its
     neighbors; convergence needs O(graph diameter) rounds, and
     duplicate clusters are near-cliques (diameter ≤ ~3), so 3-4 rounds
-    settle real corpora. Labels persist per round with the previous
-    round explicitly unpersisted; convergence is detected by the sum
+    settle real corpora. Each round ends in an EAGER
+    ``localCheckpoint`` — iterative self-reference doubles the LOGICAL
+    plan per round (new = union(lab, edges ⋈ lab)), and without
+    truncation round ~12's plan is millions of nodes: Catalyst's own
+    plan-string rendering OOMed the driver before any data moved.
+    Checkpointing caches the round's labels AND cuts the lineage, so
+    every round starts from a leaf. Convergence is detected by the sum
     of labels (strictly decreasing until fixpoint — one cheap agg
     action, no row-wise diff join).
 
@@ -702,7 +707,7 @@ def connected_components(
             lab.unionByName(msg)
             .groupBy("v")
             .agg(F.min("rep").alias("rep"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         total = new.agg(F.sum("rep").alias("t")).first()["t"]
         if prev_lab is not None:
@@ -998,7 +1003,9 @@ def semantic_dedup(
     id_col: str,
     vec_col: str,
     *,
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    target_cell_rows: int = 256,
+    min_cells: int = 16,
     threshold: float = 0.4,
     centroid_max_bytes: int = 64_000_000,
 ) -> DataFrame:
@@ -1015,24 +1022,37 @@ def semantic_dedup(
     ``n_cells`` smallest-id vectors are the centroids (deterministic and
     SQL-mirrorable; ids are uncorrelated with content so this is an
     unbiased sample), nearest-centroid by cosine with ties to the lowest
-    cell. Pair finding is a self-equi-join on the cell id moving ids
-    only; vectors re-attach to the candidate set; cosine is the codegen
-    column expression. Components come from
-    :func:`connected_components` (min-label propagation) — exactly the
-    pairs→decisions step the pair ops alone don't provide.
+    cell. Pair finding is ONE ``groupBy(cell).applyInPandas`` matmul —
+    each task holds one cell's (rows × dims) matrix and its rows²
+    similarity block, never a corpus-wide pair join (a self-join that
+    attaches vectors to every candidate pair materializes
+    O(Σ cell²) kilobyte rows and OOMed at the 10x point; the per-cell
+    kernel's footprint is O(cell²) floats per task). Components come
+    from :func:`connected_components` (min-label propagation) —
+    exactly the pairs→decisions step the pair ops alone don't provide.
 
     At 100 TB: assignment is map-only (broadcast centroid matmul); the
     self-join shuffles (id, cell) pairs once; within-cell pair counts
-    are the operator's honest cost knob — size ``n_cells`` so the
-    expected cell fits the cluster (the paper uses ~√n cells). A
-    production run would Lloyd-train centroids (``ivf_train_centroids``)
-    and persist the assignment partitioned by cell; the smallest-id
-    contract keeps every stage reproducible in plain SQL.
+    are the operator's honest cost knob — and the knob is LOAD-BEARING:
+    cells must shrink as the corpus grows or the within-cell O(cell²)
+    silently reverts to all-pairs (observed: 16 cells over a 50k-vector
+    corpus → 78M candidate pairs → OOM). By default ``n_cells`` is
+    therefore derived from the corpus: ``max(min_cells,
+    n // target_cell_rows)`` — expected cell ≈ ``target_cell_rows``
+    regardless of scale (the SemDeDup paper's ~√n cells has the same
+    intent); the count is one distributed aggregate, mirrored in SQL
+    via a subquery LIMIT so the oracle stays value-exact at every sf.
+    A production run would Lloyd-train centroids
+    (``ivf_train_centroids``) and persist the assignment partitioned by
+    cell; the smallest-id contract keeps every stage reproducible in
+    plain SQL.
     """
     import numpy as np
 
     from sdvg_spark.ops.similarity import _centroid_assign_kernel
 
+    if n_cells is None:
+        n_cells = max(min_cells, df.count() // target_cell_rows)
     loc = bounded_local_vectors(
         df.orderBy(F.col(id_col)).limit(n_cells), id_col, vec_col, centroid_max_bytes
     )
@@ -1044,29 +1064,37 @@ def semantic_dedup(
     bc = df.sparkSession.sparkContext.broadcast(cent / cnorm[:, None])
 
     wide = widen(df)
-    # persisted: the assignment feeds the pair join, the component
-    # seed labels, AND the final decision join — without it the Arrow
-    # kernel re-scans the corpus once per consumer (and once per CC
-    # round through the unpersisted round-0 labels). (id, cell) is
-    # 12 B/row; MEMORY_AND_DISK spills rather than OOMs at scale.
+    # persisted: the assignment feeds the per-cell pair kernel, the
+    # component seed labels, AND the final decision join — without it
+    # the Arrow kernel re-scans the corpus once per consumer (and once
+    # per CC round through the unpersisted round-0 labels).
+    # MEMORY_AND_DISK spills rather than OOMs at scale.
     assign = wide.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(_centroid_assign_kernel(bc, "c_id", 1), "c_id long, cell int").persist()
+    ).mapInPandas(
+        _centroid_assign_kernel(bc, "c_id", 1, vec_out="__v"),
+        f"c_id long, cell int, __v {df.schema[vec_col].dataType.simpleString()}",
+    ).persist()
 
-    sa = assign.select(F.col("c_id").alias("id_a"), "cell")
-    sb = assign.select(F.col("c_id").alias("id_b"), "cell")
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    pairs = (
-        sa.join(sb, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b")
-    )
+    thr = float(threshold)
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        M = np.array(list(pdf["__v"]), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = (M / nrm[:, None]) @ (M / nrm[:, None]).T
+        ia, ib = np.nonzero(np.triu(S >= thr, k=1))
+        ids = pdf["c_id"].to_numpy(dtype=np.int64)
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    pairs = assign.groupBy("cell").applyInPandas(cell_pairs, "id_a long, id_b long")
     labels = connected_components(
         assign.select(F.col("c_id")), pairs, id_col="c_id"
     )
@@ -1086,18 +1114,26 @@ def semantic_dedup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    target_cell_rows: int = 256,
+    min_cells: int = 16,
     threshold: float = 0.4,
 ) -> str:
     """DuckDB mirror of :func:`semantic_dedup` value-for-value: same
-    smallest-id centroids and tie rules as the IVF oracle, within-cell
+    smallest-id centroids and tie rules as the IVF oracle (including
+    the corpus-derived cell count, via a subquery LIMIT), within-cell
     pairs at the same threshold, then the recursive-CTE component walk
     of :func:`connected_components_oracle_sql` (restricted to each
     node's own cell by construction — edges never cross cells)."""
+    lim = (
+        str(n_cells)
+        if n_cells is not None
+        else f"(SELECT greatest({min_cells}, count(*) // {target_cell_rows}) FROM {table})"
+    )
     asgn = f"""
 cent AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell, {vec_col} AS cvec
-  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {n_cells})),
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {lim})),
 asgn AS (
   SELECT vid, cell FROM (
     SELECT e.{id_col} AS vid, c.cell,
