@@ -961,3 +961,21 @@ def test_token_entropy(spark):
     assert got[2] == pytest.approx(math.log(4))    # all distinct -> ln n
     assert got[3] == pytest.approx(math.log(2))    # two equal halves
     assert got[4] == 0.0                           # empty text
+
+
+def test_connected_components_long_chain_many_rounds(spark):
+    """A 64-node path graph forces ~diameter/2 propagation rounds —
+    the case where the iterative logical plan used to double per round
+    until Catalyst's plan rendering OOMed the driver (fixed by eager
+    localCheckpoint lineage truncation). Completing AND labeling the
+    whole chain with its minimum pins both the fix and correctness."""
+    from sdvg_spark.ops.dedup import connected_components
+
+    n = 64
+    nodes = spark.range(0, n).selectExpr("id as doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(nodes, edges, max_iter=100).collect()
+    assert len(out) == n
+    assert all(r.rep == 0 for r in out)  # one component, min label 0
