@@ -1084,6 +1084,15 @@ def semantic_dedup(
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        if n > 32_768:
+            # a degenerate cell (e.g. a near-constant corpus collapsing
+            # into one centroid) would make the n² block a multi-GB
+            # task — fail with the actionable knob instead of an
+            # executor OOM
+            raise ValueError(
+                f"semantic_dedup cell has {n} rows (> 32768): raise n_cells / "
+                "lower target_cell_rows, or pre-split degenerate clusters"
+            )
         M = np.array(list(pdf["__v"]), dtype=np.float64)
         nrm = np.linalg.norm(M, axis=1)
         nrm[nrm == 0] = 1.0
