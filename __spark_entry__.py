@@ -804,6 +804,32 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline chunking: 16-token windows at stride 12
+    (25% overlap) per document — map-only expressions, stable chunk
+    ids under any partitioning (ops/corpus.py:chunk_documents)."""
+    from sdvg_spark.ops.corpus import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=16, stride=12)
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: deterministic per-source keep probabilities
+    (up/down-weighting a training blend) via the frf stratified
+    Bernoulli draw — map-only, partitioning-independent, growth-stable
+    (ops/sampling.py:stratified_sample)."""
+    from sdvg_spark.ops.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs, "doc_id", "source", _MIX_FRACTIONS, default=0.1, seed=11
+    )
+
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
@@ -872,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tfidf_keywords": q_tfidf_keywords,
             "events_gapfill": q_events_gapfill,
             "events_percentiles": q_events_percentiles,
+            "doc_chunks": q_doc_chunks,
+            "corpus_mix": q_corpus_mix,
         }
     )
     return out
@@ -1128,6 +1156,19 @@ grid AS (SELECT user_id, unnest(range(mn - mn % 21600000000, mx + 1, 21600000000
 SELECT grid.user_id, make_timestamp(grid.g_us) AS ts, obs.us AS obs_us, obs.value
 FROM grid ASOF LEFT JOIN obs
   ON grid.user_id = obs.user_id AND grid.g_us >= obs.us"""
+
+    from sdvg_spark.ops.corpus import chunk_documents_oracle_sql
+    from sdvg_spark.ops.sampling import stratified_sample_oracle_sql
+
+    out["doc_chunks"] = chunk_documents_oracle_sql(chunk_tokens=16, stride=12)
+    out["corpus_mix"] = stratified_sample_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        strata_col="source",
+        fractions=_MIX_FRACTIONS,
+        default=0.1,
+        seed=11,
+    )
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

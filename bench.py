@@ -148,6 +148,8 @@ def main() -> None:
         "events_percentiles",
         "dedup_semantic",
         "tfidf_keywords",
+        "doc_chunks",
+        "corpus_mix",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -214,7 +214,13 @@ def frf_cte_chain(
     cte, prev = splitmix64_cte_chain(source, seed_expr, carry, out="s", prefix=prefix)
     cols = ", ".join(carry) + (", " if carry else "")
     final = f"{prefix}_out"
+    # MATERIALIZED is load-bearing: a WHERE on the chain's output would
+    # otherwise be pushed down THROUGH the CTE projections, substituting
+    # the exponentially self-referencing splitmix expression into the
+    # predicate (each level references the previous `s` ~6 times —
+    # measured 529 s for `WHERE u < 0.5` over 5000 rows vs 0.3 s as a
+    # plain SELECT). The fence caps the expression at one level.
     return (
-        f"{cte}, {final} AS (SELECT {cols}(s::DOUBLE / {dlit(_NORM)}) AS {out} FROM {prev})",
+        f"{cte}, {final} AS MATERIALIZED (SELECT {cols}(s::DOUBLE / {dlit(_NORM)}) AS {out} FROM {prev})",
         final,
     )

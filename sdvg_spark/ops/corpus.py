@@ -281,3 +281,78 @@ SELECT id AS {id_col}, n AS n_tokens,
   (start // {budget}) AS pack_id,
   (start % {budget}) AS pack_offset
 FROM c"""
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int,
+    stride: int,
+) -> DataFrame:
+    """Split every document into fixed-size token windows with overlap —
+    the chunking step in front of an embedding pipeline (RAG indexing,
+    similarity search over long docs).
+
+    Chunk k covers tokens ``[k·stride, k·stride + chunk_tokens)``;
+    chunks are emitted while their START lies inside the document, so
+    the final chunk may be short but no empty chunks appear, and a doc
+    shorter than one window still yields exactly one chunk. Empty
+    documents yield none.
+
+    Output: ``(id, chunk_seq, n_chunk_tokens, chunk_text)``.
+
+    Scale shape: pure expression work — tokenize once, one
+    ``sequence``/``explode`` per doc (amplification = 1/stride tokens
+    per output row), ``slice`` + ``array_join`` per chunk. Map-only: no
+    shuffle at any corpus size; chunk ids stay stable under
+    repartitioning because they derive from (id, k), not row order.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size(F.col("__toks")) > 0
+    )
+    # number of chunks: 1 + floor((n - 1) / stride) — starts at 0, s, 2s…
+    # while start < n
+    n = F.size(F.col("__toks"))
+    n_chunks = F.lit(1) + F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    out = staged.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_seq"),
+        F.col("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_seq") * stride + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_seq"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int,
+    stride: int,
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents`: same tokenization, same
+    chunk count arithmetic (integer, exact), 1-based inclusive
+    ``list_slice`` windows."""
+    l = sql_tokens(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {l} AS toks FROM {table} WHERE len({l}) > 0),
+c AS (
+  SELECT {id_col}, toks,
+    unnest(range(0, 1 + (len(toks) - 1) // {stride})) AS chunk_seq
+  FROM t)
+SELECT {id_col}, chunk_seq,
+  len(list_slice(toks, chunk_seq * {stride} + 1, chunk_seq * {stride} + {chunk_tokens})) AS n_chunk_tokens,
+  array_to_string(list_slice(toks, chunk_seq * {stride} + 1, chunk_seq * {stride} + {chunk_tokens}), ' ') AS chunk_text
+FROM c"""

@@ -165,3 +165,34 @@ def hash_split_oracle_sql(
         f"WITH src AS (SELECT {cols} FROM {table}), {chain} "
         f"SELECT {cols}, {case} AS split FROM {final}"
     )
+
+
+def stratified_sample_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+    carry: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample`: the same frf draw on
+    the same ids against the same literal per-stratum thresholds
+    (bit-identical doubles via ``dlit``)."""
+    from sdvg_spark.core.rng import dlit, frf_cte_chain
+
+    carry = carry or [id_col, strata_col]
+    chain, final = frf_cte_chain(
+        "src", f"{id_col} + {int(seed)}", carry=carry, out="u"
+    )
+    whens = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {dlit(float(v))}"
+        for k, v in fractions.items()
+    )
+    thresh = f"CASE {whens} ELSE {dlit(float(default))} END" if whens else dlit(float(default))
+    cols = ", ".join(carry)
+    return (
+        f"WITH src AS (SELECT {cols} FROM {table}), {chain} "
+        f"SELECT {cols} FROM {final} WHERE u < {thresh}"
+    )

@@ -979,3 +979,23 @@ def test_connected_components_long_chain_many_rounds(spark):
     out = connected_components(nodes, edges, max_iter=100).collect()
     assert len(out) == n
     assert all(r.rep == 0 for r in out)  # one component, min label 0
+
+
+def test_chunk_documents_windows(spark):
+    from sdvg_spark.ops.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=3)
+    got = {(r.doc_id, r.chunk_seq): (r.n_chunk_tokens, r.chunk_text)
+           for r in out.collect()}
+    assert got == {
+        (1, 0): (4, "a b c d"),   # full window
+        (1, 1): (4, "d e f g"),   # overlap of chunk_tokens - stride = 1
+        (1, 2): (1, "g"),         # trailing short chunk (start 6 < 7)
+        (2, 0): (2, "x y"),       # doc shorter than one window
+    }                              # empty doc -> no chunks
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0, stride=3)
