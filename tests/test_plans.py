@@ -284,3 +284,14 @@ def test_profile_is_single_aggregation_no_shuffle_joins(spark, entry):
     plan = _plan(entry.queries()["profile_events"](spark, SF_DIR))
     assert "Join" not in plan
     assert "Expand" in plan  # the multi-distinct aggregation
+
+
+def test_chunking_and_mixing_are_map_only(spark, entry):
+    """doc_chunks and corpus_mix must stay scan→codegen pipelines with
+    ZERO exchanges — chunking is sequence/slice expressions, mixing a
+    literal-threshold filter; a shuffle appearing in either means an
+    accidental wide dependency crept in."""
+    for name in ("doc_chunks", "corpus_mix"):
+        plan = _plan(entry.queries()[name](spark, SF_DIR))
+        tree = plan.split("\n\n")[0]
+        assert "Exchange" not in tree, name

@@ -51,6 +51,8 @@ QUERIES = [
     "events_percentiles",
     "dedup_semantic",
     "tfidf_keywords",
+    "doc_chunks",
+    "corpus_mix",
 ]
 
 
