@@ -804,6 +804,25 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with id < 250 play the already-ingested
+    corpus (as its content-hash store); the rest are the new increment.
+    Admitted = first-of-content within the batch AND unseen in the
+    store (ops/dedup.py:incremental_exact_dedup — batch-sized work,
+    store touched only through 32-byte hashes)."""
+    from sdvg_spark.ops.dedup import incremental_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    seen = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.sha2(F.concat_ws("\x1f", F.col("text")), 256).alias("content_hash"))
+        .distinct()
+    )
+    new = docs.where(F.col("doc_id") >= 250).select("doc_id", "source", "text")
+    out = incremental_exact_dedup(new, seen, ["text"], "doc_id")
+    return out.select("doc_id", "source", "content_hash")
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-pipeline chunking: 16-token windows at stride 12
     (25% overlap) per document — map-only expressions, stable chunk
@@ -900,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_percentiles": q_events_percentiles,
             "doc_chunks": q_doc_chunks,
             "corpus_mix": q_corpus_mix,
+            "dedup_incremental": q_dedup_incremental,
         }
     )
     return out
@@ -1161,6 +1181,22 @@ FROM grid ASOF LEFT JOIN obs
     from sdvg_spark.ops.sampling import stratified_sample_oracle_sql
 
     out["doc_chunks"] = chunk_documents_oracle_sql(chunk_tokens=16, stride=12)
+
+    from sdvg_spark.ops.dedup import sql_incremental_exact_dedup
+
+    out["dedup_incremental"] = (
+        "SELECT doc_id, source, content_hash FROM ("
+        + sql_incremental_exact_dedup(
+            new_sql="SELECT doc_id, source, text FROM documents WHERE doc_id >= 250",
+            seen_sql=(
+                "SELECT DISTINCT sha256(concat_ws(chr(31), text)) AS content_hash "
+                "FROM documents WHERE doc_id < 250"
+            ),
+            cols=["text"],
+            id_col="doc_id",
+        )
+        + ") t"
+    )
     out["corpus_mix"] = stratified_sample_oracle_sql(
         table="documents",
         id_col="doc_id",

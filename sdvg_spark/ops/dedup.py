@@ -97,6 +97,67 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    cols: list[str],
+    id_col: str,
+    *,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Dedup an INCREMENT against an existing corpus: keep a new row iff
+    it is (a) the smallest-id row of its content within the batch and
+    (b) its content hash is absent from ``seen_hashes`` — the
+    production shape for adding a crawl/snapshot to a deduplicated
+    100 TB corpus without rescanning it.
+
+    ``seen_hashes`` is the store of previously-admitted content hashes
+    (one ``hash_col`` sha256-hex column; persist it bucketed by the
+    hash so every increment's anti-join is co-located). Output = the
+    admitted rows PLUS their ``hash_col`` — append it to the store for
+    the next increment.
+
+    Plan shape: one content shuffle for the within-batch survivor
+    window, then a LEFT ANTI join against the store — batch-sized, not
+    corpus-sized, work; the full corpus is only ever touched through
+    its 32-byte-per-doc hash column.
+    """
+    h = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in cols]), 256)
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    batch_first = (
+        new_df.withColumn(hash_col, h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    store = seen_hashes.select(F.col(hash_col))
+    return batch_first.join(store, hash_col, "left_anti")
+
+
+def sql_incremental_exact_dedup(
+    *,
+    new_sql: str,
+    seen_sql: str,
+    cols: list[str],
+    id_col: str,
+    hash_col: str = "content_hash",
+) -> str:
+    """DuckDB mirror of :func:`incremental_exact_dedup` — same sha256
+    over the same 0x1f-joined content, same min-id batch survivor, same
+    anti-join (NOT EXISTS) against the seen-hash store."""
+    content = f"concat_ws(chr(31), {', '.join(cols)})"
+    return f"""
+WITH newb AS ({new_sql}),
+seen AS ({seen_sql}),
+hashed AS (
+  SELECT *, sha256({content}) AS {hash_col},
+    row_number() OVER (PARTITION BY sha256({content}) ORDER BY {id_col}) AS __rn
+  FROM newb)
+SELECT * EXCLUDE (__rn) FROM hashed
+WHERE __rn = 1
+  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.{hash_col} = hashed.{hash_col})"""
+
+
 def duplicate_classes(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """All rows annotated with their duplicate-class representative
     (min id over rows sharing ``cols``) and the class size."""

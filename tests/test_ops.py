@@ -999,3 +999,20 @@ def test_chunk_documents_windows(spark):
     }                              # empty doc -> no chunks
     with pytest.raises(ValueError, match=">= 1"):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=0, stride=3)
+
+
+def test_incremental_exact_dedup(spark):
+    from sdvg_spark.ops.dedup import incremental_exact_dedup
+
+    new = spark.createDataFrame(
+        [(10, "fresh"), (11, "fresh"), (12, "already known"), (13, "brand new")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame(
+        [("x",)], "content_hash string"
+    ).select(F.sha2(F.concat_ws("\x1f", F.lit("already known")), 256).alias("content_hash"))
+    out = incremental_exact_dedup(new, seen, ["text"], "doc_id").collect()
+    got = {r.doc_id for r in out}
+    assert got == {10, 13}  # 11 = batch dup of 10; 12 = already in store
+    # admitted rows carry their hash so the store can be appended
+    assert all(len(r.content_hash) == 64 for r in out)
