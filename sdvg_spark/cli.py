@@ -174,6 +174,23 @@ def cmd_generate_config(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from sdvg_spark.session import get_spark
+    from sdvg_spark.sinks.compact import compact_parquet, dataset_bytes
+
+    spark = get_spark(app_name="sdvg-compact")
+    before = dataset_bytes(args.input)
+    n = compact_parquet(
+        spark,
+        args.input,
+        args.output,
+        target_mb=args.target_mb,
+        sort_by=[c for c in args.sort_by.split(",") if c] or None,
+    )
+    print(f"compacted {before / 1e6:.1f} MB -> {n} file(s) ({args.output})")
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """Run the curation pipeline over a parquet corpus and write the
     per-document disposition (keep / drop_reason / split / pack) as
@@ -259,6 +276,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--pack-budget", type=int, default=2048, help="0 disables packing")
     c.set_defaults(fn=cmd_curate)
+
+    cp = sub.add_parser("compact", help="rewrite a parquet dataset into target-size files")
+    cp.add_argument("input", help="fragmented parquet dataset path")
+    cp.add_argument("output", help="compacted output path")
+    cp.add_argument("--target-mb", type=int, default=256)
+    cp.add_argument("--sort-by", default="",
+                    help="comma list of cluster keys ('' = shuffle-free coalesce)")
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("serve", help="run the HTTP API")
     s.add_argument("--host", default="127.0.0.1")

@@ -646,3 +646,40 @@ def test_bucketed_write_enables_shuffle_free_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_compact_parquet(spark, tmp_path):
+    """A 64-file fragmented dataset compacts to few files with identical
+    content; coalesce mode must be shuffle-free, sort mode must cluster
+    (first file's max <= last file's min on the sort key)."""
+    import pyarrow.parquet as pq
+
+    from sdvg_spark.sinks.compact import compact_parquet
+
+    src = str(tmp_path / "frag")
+    df = spark.range(0, 50_000).selectExpr("id", "id % 97 as k")
+    df.repartition(64).write.parquet(src)
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, out, target_mb=256)
+    assert n <= 2  # tiny dataset -> one target-size file (+/- rounding)
+    back = spark.read.parquet(out)
+    assert back.count() == 50_000
+    assert back.selectExpr("sum(id)").first()[0] == df.selectExpr("sum(id)").first()[0]
+
+    out2 = str(tmp_path / "clustered")
+    import os
+    compact_parquet(spark, src, out2, target_mb=1, sort_by=["k"])
+    files = sorted(
+        os.path.join(out2, f) for f in os.listdir(out2) if f.endswith(".parquet")
+    )
+    if len(files) >= 2:
+        stats = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col = [md.row_group(i).column(1) for i in range(md.num_row_groups)]
+            stats.append((min(c.statistics.min for c in col),
+                          max(c.statistics.max for c in col)))
+        ranges = sorted(stats)
+        # range-partitioned: key ranges of distinct files don't interleave
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2 or lo1 == lo2
