@@ -150,6 +150,7 @@ def main() -> None:
         "tfidf_keywords",
         "doc_chunks",
         "corpus_mix",
+        "dedup_incremental",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

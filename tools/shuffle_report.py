@@ -53,6 +53,7 @@ QUERIES = [
     "tfidf_keywords",
     "doc_chunks",
     "corpus_mix",
+    "dedup_incremental",
 ]
 
 
