@@ -72,7 +72,16 @@ def curate(
     )
     lang_ok = F.lit(True) if cfg.lang is None else F.col("lang_pred") == cfg.lang
     qual_ok = F.col("quality") >= cfg.min_quality
-    feats = feats.withColumn("__lang_ok", lang_ok).withColumn("__qual_ok", qual_ok)
+    # persisted: the feature projection (tokenize + language + quality
+    # over every document — the pipeline's single most expensive map) is
+    # consumed by the minhash pair stage, the component seed labels, AND
+    # the disposition join; without the persist each consumer re-runs
+    # the full text pass. MEMORY_AND_DISK spills rather than OOMs.
+    feats = (
+        feats.withColumn("__lang_ok", lang_ok)
+        .withColumn("__qual_ok", qual_ok)
+        .persist()
+    )
 
     passed = feats.where(F.col("__lang_ok") & F.col("__qual_ok"))
     if cfg.dedup_threshold is not None:
@@ -99,7 +108,9 @@ def curate(
         .when(F.col("__rep") != F.col("id"), "duplicate"),
     ).withColumn("keep", F.col("drop_reason").isNull())
 
-    kept = disposition.where("keep").select("id", "t", "n_tokens")
+    # persisted: fingerprinting, the split draw, and sequence packing
+    # each re-read the kept set (packing runs multiple jobs of its own)
+    kept = disposition.where("keep").select("id", "t", "n_tokens").persist()
     extras = kept.select(
         "id",
         T.fingerprint(
