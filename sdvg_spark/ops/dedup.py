@@ -437,7 +437,7 @@ def _minhash_pairs_broadcast(
         }
     )
     if n_docs == 0:
-        return spark.createDataFrame(empty)
+        return spark.createDataFrame(empty, "id_a long, id_b long, jaccard double")
     lens = np.fromiter((len(s) for s in sets), count=n_docs, dtype=np.int64)
     sh_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=sh_off[1:])
@@ -487,7 +487,7 @@ def _minhash_pairs_broadcast(
         pair_a.append(members[tri[0]])
         pair_b.append(members[tri[1]])
     if not pair_a:
-        return spark.createDataFrame(empty)
+        return spark.createDataFrame(empty, "id_a long, id_b long, jaccard double")
     ia = np.concatenate(pair_a)
     ib = np.concatenate(pair_b)
     swap = ia > ib
@@ -529,7 +529,9 @@ def _minhash_pairs_broadcast(
             "jaccard": pd.Series(out_j, dtype="float64"),
         }
     )
-    return spark.createDataFrame(result if len(result) else empty)
+    return spark.createDataFrame(
+        result if len(result) else empty, "id_a long, id_b long, jaccard double"
+    )
 
 
 def ngram_jaccard_pairs(

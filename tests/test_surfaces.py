@@ -542,3 +542,45 @@ def test_cli_curate(spark, tmp_path):
     assert rows[1] is None          # keeper
     assert rows[2] == "duplicate"   # exact dup drops
     assert rows[3] == "lang"
+
+
+def test_generated_corpus_flows_through_curation(spark):
+    """The product story in one test: the reference-parity GENERATOR
+    produces a corpus, the beyond-parity PIPELINE curates it — no
+    parquet round-trip needed, both halves are plain DataFrames."""
+    from sdvg_spark.config.model import parse_config
+    from sdvg_spark.engine import Engine
+    from sdvg_spark.ops.pipeline import CurationConfig, curate
+
+    cfg = parse_config({
+        "random_seed": 3,
+        "models": {
+            "corpus": {
+                "rows_count": 1200,
+                "columns": [
+                    {"name": "doc_id", "type": "integer",
+                     "type_params": {"bit_width": 64, "from": 0, "to": 1199},
+                     "ordered": True},
+                    {"name": "text", "type": "string",
+                     "type_params": {"logical_type": "text",
+                                     "min_length": 40, "max_length": 200}},
+                ],
+            }
+        },
+    })
+    docs = Engine(cfg).model_df(spark, "corpus")
+    out = curate(
+        docs,
+        CurationConfig(lang="en", min_quality=0.0, dedup_threshold=0.5,
+                       split={"train": 0.9, "val": 0.1}, pack_budget=512),
+    )
+    rows = out.collect()
+    assert len(rows) == 1200  # one disposition per generated doc
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert len(kept) + len(dropped) == 1200
+    assert all(r.drop_reason in ("lang", "quality", "duplicate") for r in dropped)
+    # every kept doc got the full downstream treatment
+    assert all(r.redacted_fp is not None and r.split in ("train", "val")
+               and r.pack_id is not None for r in kept)
+    assert len(kept) > 0
