@@ -77,6 +77,11 @@ def asof_join(
     ASOF JOIN leaves it undefined too). Pre-aggregate the right side
     (e.g. ``max_by`` per key+ts) before calling.
 
+    NULL keys follow JOIN semantics, not window semantics: a null key
+    never matches anything (right rows with a null key are dropped;
+    left rows with one surface unmatched) — without this, the window
+    partition would happily pair nulls with nulls.
+
     Output: every left column, plus ``matched_ts`` (the matched right
     timestamp, null if unmatched) and each payload column (renamed with
     ``suffix`` if given). ``how="inner"`` drops unmatched left rows,
@@ -108,6 +113,12 @@ def asof_join(
             )
 
     t, tag, pay = "__asof_t", "__asof_side", "__asof_p"
+    # join semantics for nulls: a null-key right row can match nothing
+    keycond = None
+    for c in on:
+        cond = F.col(c).isNotNull()
+        keycond = cond if keycond is None else (keycond & cond)
+    right = right.where(keycond)
     # one struct per right row: matched ts + payload, so every output
     # field provably comes from the same matched row
     r2 = right.select(

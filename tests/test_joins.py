@@ -270,3 +270,17 @@ def test_asof_matches_naive_randomized(spark, direction, how):
                 assert lid not in got, (k, t)
         else:
             assert got[lid] == want, (k, t)
+
+
+def test_asof_null_keys_follow_join_semantics(spark):
+    """A null key must match NOTHING (join semantics) — the window
+    partition would otherwise pair null with null."""
+    left = spark.createDataFrame([(None, 10, 1), (1, 10, 2)], "k int, t int, lid int")
+    right = spark.createDataFrame([(None, 5, 500), (1, 5, 100)], "k int, t int, payload int")
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                    payload=["payload"])
+    got = {r.lid: r.payload for r in out.collect()}
+    assert got == {1: None, 2: 100}
+    inner = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                      payload=["payload"], how="inner")
+    assert [r.lid for r in inner.collect()] == [2]
