@@ -62,6 +62,8 @@ def asof_join(
     matched_ts: str = "matched_ts",
     suffix: str = "",
     tolerance: int | float | None = None,
+    mode: str = "auto",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Attach to every left row the payload of the temporally nearest
     right row with the same ``on`` key.
@@ -93,17 +95,32 @@ def asof_join(
     under ``"left"``, row dropped under ``"inner"``). Applied as a
     post-window expression, so it costs no extra shuffle.
 
-    Scale shape: one shuffle (window ``partitionBy(on)``); no join
-    operator at all, so no pair explosion under key skew — a hot key
-    costs one sorted partition, the same as any per-key window. The
-    payload rides as a single struct so all fields always come from the
-    SAME matched row (per-column ``last(ignorenulls)`` could otherwise
-    mix rows when payload fields are legitimately null).
+    Two execution tiers (``mode``): ``"window"`` — the union+window
+    formulation, one shuffle of left+right, right for any input sizes;
+    ``"broadcast"`` — the small-right-side tier: the right side is
+    collected, sorted per key, broadcast, and every left Arrow batch
+    binary-searches it (``np.searchsorted``) — ZERO shuffle, the as-of
+    equivalent of a broadcast hash join, right when the right side is a
+    dimension-sized table (rates, config history, calibration curves)
+    and the left is the 100 TB fact stream. ``"auto"`` (default) probes
+    the right side with ``limit(broadcast_max_rows + 1)`` and picks
+    broadcast when it fits, mirroring the byte-capped tiering used by
+    the dedup operators. Both tiers are value-identical (asserted
+    against each other on randomized data in tests/test_joins.py).
+
+    Window-tier scale shape: one shuffle (window ``partitionBy(on)``);
+    no join operator at all, so no pair explosion under key skew — a
+    hot key costs one sorted partition, the same as any per-key window.
+    The payload rides as a single struct so all fields always come from
+    the SAME matched row (per-column ``last(ignorenulls)`` could
+    otherwise mix rows when payload fields are legitimately null).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if mode not in ("auto", "window", "broadcast"):
+        raise ValueError(f"mode must be auto/window/broadcast, got {mode!r}")
     out_cols = list(left.columns)
     for c in payload:
         if c + suffix in out_cols or c + suffix == matched_ts:
@@ -119,6 +136,23 @@ def asof_join(
         cond = F.col(c).isNotNull()
         keycond = cond if keycond is None else (keycond & cond)
     right = right.where(keycond)
+
+    if mode != "window":
+        loc = _bounded_local_right(
+            right, [*on, right_ts, *payload], broadcast_max_rows
+        )
+        if loc is not None:
+            return _asof_broadcast(
+                left, right, loc,
+                on=on, left_ts=left_ts, right_ts=right_ts, payload=payload,
+                how=how, direction=direction, matched_ts=matched_ts,
+                suffix=suffix, tolerance=tolerance,
+            )
+        if mode == "broadcast":
+            raise ValueError(
+                f"right side exceeds broadcast_max_rows={broadcast_max_rows}; "
+                "use mode='window' (or 'auto')"
+            )
     # one struct per right row: matched ts + payload, so every output
     # field provably comes from the same matched row
     r2 = right.select(
@@ -287,4 +321,136 @@ def gap_fill_locf(
     )
     return filled.select(
         *keys, F.timestamp_micros(F.col("__g_us")).alias("ts"), "obs_us", *value_cols
+    )
+
+
+def _bounded_local_right(right: DataFrame, cols: list[str], max_rows: int):
+    """Collect the right side as pandas iff it fits ``max_rows``
+    (probed with ``limit(max_rows + 1)`` so an oversized side costs one
+    truncated scan, never a full materialization). None when too big."""
+    pdf = right.select(*cols).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    return pdf
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    right_pdf,
+    *,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str,
+    direction: str,
+    matched_ts: str,
+    suffix: str,
+    tolerance,
+) -> DataFrame:
+    """Broadcast tier of :func:`asof_join`: the right side, sorted per
+    key, rides a broadcast; each left Arrow batch resolves its matches
+    with one ``np.searchsorted`` per key group — map-only, ZERO shuffle
+    (plan-asserted in tests). ``right`` supplies output TYPES only; the
+    data is ``right_pdf``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = left.sparkSession
+    rt_is_ts = isinstance(
+        right.schema[right_ts].dataType, (TimestampType, TimestampNTZType)
+    )
+
+    def ts_num(series):
+        if np.issubdtype(series.dtype, np.datetime64):
+            # .to_numpy() is load-bearing: a Series here would silently
+            # switch the downstream indexing from positional to label
+            return series.astype("datetime64[us]").astype("int64").to_numpy()
+        return series.to_numpy()
+
+    groups: dict = {}
+    if len(right_pdf):
+        rts_all = ts_num(right_pdf[right_ts])
+        pay_all = {c: right_pdf[c].to_numpy() for c in payload}
+        gb = right_pdf.groupby(on if len(on) > 1 else on[0], sort=False)
+        for key, idx in gb.indices.items():
+            k = key if isinstance(key, tuple) else (key,)
+            order = np.argsort(rts_all[idx], kind="stable")
+            sel = np.asarray(idx)[order]
+            groups[k] = (rts_all[sel], {c: pay_all[c][sel] for c in payload})
+    bc = spark.sparkContext.broadcast(groups)
+
+    lcols = list(left.columns)
+    # matched ts: µs double for timestamps (exact ≤ 2^53, cast back
+    # below), native type otherwise; payload keeps the right side's
+    # Spark types, carried as object arrays with None for misses
+    mt_sql = "double" if rt_is_ts else right.schema[right_ts].dataType.simpleString()
+    schema = ", ".join(
+        [f"`{c}` {left.schema[c].dataType.simpleString()}" for c in lcols]
+        + [f"`__mt` {mt_sql}"]
+        + [
+            f"`{c}{suffix}` {right.schema[c].dataType.simpleString()}"
+            for c in payload
+        ]
+    )
+    backward = direction == "backward"
+    tol = tolerance
+
+    def run(batches):
+        g = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lv_all = ts_num(pdf[left_ts])
+            valid = pd.notna(pdf[left_ts]).to_numpy()
+            mt = np.full(n, None, dtype=object)
+            pay_out = {c: np.full(n, None, dtype=object) for c in payload}
+            key_index: dict = {}
+            for i, k in enumerate(zip(*[pdf[c] for c in on])):
+                if valid[i]:
+                    key_index.setdefault(k, []).append(i)
+            for k, rows in key_index.items():
+                ent = g.get(k)
+                if ent is None:
+                    continue
+                rts, pays = ent
+                rows = np.asarray(rows)
+                lv = lv_all[rows]
+                if backward:
+                    pos = np.searchsorted(rts, lv, side="right") - 1
+                    ok = pos >= 0
+                else:
+                    pos = np.searchsorted(rts, lv, side="left")
+                    ok = pos < len(rts)
+                if tol is not None:
+                    safe = np.clip(pos, 0, len(rts) - 1)
+                    gap = (lv - rts[safe]) if backward else (rts[safe] - lv)
+                    ok = ok & (gap <= tol)
+                hit, hpos = rows[ok], pos[ok]
+                for i, p in zip(hit, hpos):
+                    mt[i] = float(rts[p]) if rt_is_ts else rts[p]
+                for c in payload:
+                    vals = pays[c]
+                    for i, p in zip(hit, hpos):
+                        pay_out[c][i] = vals[p]
+            out = pdf[lcols].copy()
+            out["__mt"] = mt
+            for c in payload:
+                out[c + suffix] = pay_out[c]
+            if how == "inner":
+                out = out[pd.notna(out["__mt"])]
+            yield out
+
+    res = left.mapInPandas(run, schema)
+    mt_col = (
+        F.timestamp_micros(F.col("__mt").cast("long")).cast(
+            right.schema[right_ts].dataType
+        )
+        if rt_is_ts
+        else F.col("__mt")
+    )
+    return res.select(
+        *lcols, mt_col.alias(matched_ts), *[F.col(c + suffix) for c in payload]
     )

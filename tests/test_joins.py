@@ -69,7 +69,8 @@ def test_asof_payload_fields_come_from_same_row(spark):
 def test_asof_is_joinless_single_shuffle(spark):
     left, right = _asof_fixture(spark)
     out = asof_join(
-        left, right, on=["k"], left_ts="t", right_ts="t", payload=["payload"]
+        left, right, on=["k"], left_ts="t", right_ts="t", payload=["payload"],
+        mode="window",
     )
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
@@ -77,6 +78,23 @@ def test_asof_is_joinless_single_shuffle(spark):
     assert "Join" not in plan  # union+window, no join operator at all
     # exactly one shuffle: the window's hashpartitioning over the union
     assert plan.count("hashpartitioning") == 1
+
+
+def test_asof_broadcast_tier_is_map_only(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t", payload=["payload"],
+        mode="broadcast",
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # zero shuffle: broadcast + searchsorted
+    assert "Join" not in plan
+    # oversized right side must refuse loudly in forced-broadcast mode
+    with pytest.raises(ValueError, match="broadcast_max_rows"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  payload=["payload"], mode="broadcast", broadcast_max_rows=2)
 
 
 def test_asof_rejects_collisions_and_bad_args(spark):
@@ -226,12 +244,15 @@ def test_asof_tolerance(spark):
     assert {(r.k, r.t) for r in inner.collect()} == {(1, 10)}
 
 
+@pytest.mark.parametrize("mode", ["window", "broadcast"])
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("how", ["left", "inner"])
-def test_asof_matches_naive_randomized(spark, direction, how):
+def test_asof_matches_naive_randomized(spark, direction, how, mode):
     """asof_join vs a pure-Python reference over seeded random data:
     many keys, equal-timestamp ties, keys missing on either side, and a
-    tolerance — every (direction, how) combination."""
+    tolerance — every (direction, how, tier) combination, so the two
+    independent tier implementations are also checked against each
+    other."""
     import random
 
     rng = random.Random(direction + how)
@@ -258,7 +279,7 @@ def test_asof_matches_naive_randomized(spark, direction, how):
     )
     out = asof_join(
         ldf, rdf, on=["k"], left_ts="t", right_ts="t", payload=["payload"],
-        direction=direction, how=how, tolerance=tol,
+        direction=direction, how=how, tolerance=tol, mode=mode,
     )
     got = {r.lid: (r.matched_ts, r.payload) for r in out.collect()}
     for k, t, lid in left:
