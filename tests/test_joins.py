@@ -305,3 +305,44 @@ def test_asof_null_keys_follow_join_semantics(spark):
     inner = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
                       payload=["payload"], how="inner")
     assert [r.lid for r in inner.collect()] == [2]
+
+
+@pytest.mark.parametrize("mode", ["window", "broadcast"])
+def test_asof_timestamp_types_randomized(spark, mode):
+    """Same randomized cross-check but with real TIMESTAMP columns —
+    the broadcast tier's datetime path (pandas datetime64 → µs ndarray)
+    is a separate code path from the integer one and once hid a
+    label-vs-position indexing bug the int fixture could not catch."""
+    import random
+
+    rng = random.Random(mode)
+    left = [(rng.randrange(4), rng.randrange(0, 3_600) * 1_000_000, i)
+            for i in range(200)]
+    right = {}
+    for j in range(80):
+        right[(rng.randrange(5), rng.randrange(0, 3_600) * 1_000_000)] = 100 + j
+
+    ldf = spark.createDataFrame(left, "k int, us long, lid int").withColumn(
+        "t", F.timestamp_micros(F.col("us")))
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in right.items()], "k int, us long, payload int"
+    ).withColumn("t", F.timestamp_micros(F.col("us")))
+    out = asof_join(ldf.drop("us"), rdf.drop("us"),
+                    on=["k"], left_ts="t", right_ts="t",
+                    payload=["payload"], mode=mode)
+    got = {r.lid: (r.matched_ts, r.payload) for r in out.collect()}
+
+    def expected(k, us):
+        c = [(rt, p) for (rk, rt), p in right.items() if rk == k and rt <= us]
+        return max(c) if c else None
+
+    from datetime import datetime, timezone
+    for k, us, lid in left:
+        want = expected(k, us)
+        if want is None:
+            assert got[lid] == (None, None), (k, us)
+        else:
+            mt, p = got[lid]
+            assert p == want[1], (k, us)
+            assert int(mt.replace(tzinfo=timezone.utc).timestamp() * 1e6) == want[0] \
+                or int(mt.timestamp() * 1e6) == want[0]
