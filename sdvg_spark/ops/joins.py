@@ -72,7 +72,9 @@ def asof_join(
     with ``right_ts <= left_ts`` (pandas ``merge_asof`` / DuckDB
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics, ties inclusive);
     ``"forward"`` matches the EARLIEST right row with
-    ``right_ts >= left_ts``.
+    ``right_ts >= left_ts``; ``"nearest"`` the smaller |gap| of the two
+    (ties to the backward match, pandas' rule; in the window tier both
+    candidates come from ONE Exchange with two in-partition sorts).
 
     Contract: the right side must be unique per ``(on…, right_ts)`` —
     with duplicates the picked row would be engine-dependent (DuckDB's
@@ -117,8 +119,10 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     if mode not in ("auto", "window", "broadcast"):
         raise ValueError(f"mode must be auto/window/broadcast, got {mode!r}")
     out_cols = list(left.columns)
@@ -175,34 +179,57 @@ def asof_join(
     )
     # backward: ascending time, right (tag 0) before left at equal ts so
     # an equal-timestamp right row is eligible; forward: descending time,
-    # same tie rule
-    order = [F.col(t).asc(), F.col(tag).asc()]
-    if direction == "forward":
-        order = [F.col(t).desc(), F.col(tag).asc()]
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        r2.unionByName(l2)
-        .withColumn("__m", F.last(pay, ignorenulls=True).over(w))
-        .where(F.col(tag) == 1)
-    )
-    if tolerance is not None:
-        is_ts = isinstance(
-            left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+    # same tie rule. nearest: BOTH windows over the same partitioning —
+    # one Exchange, two sorts — then pick the smaller |gap| (ties ->
+    # backward, pandas merge_asof's rule).
+    def w_of(desc: bool):
+        order = [F.col(t).desc() if desc else F.col(t).asc(), F.col(tag).asc()]
+        return (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
-        def num(c: Column) -> Column:
-            return F.unix_micros(c.cast("timestamp")) if is_ts else c
+    is_ts = isinstance(
+        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+    )
 
+    def num(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c
+
+    def tol_gate(m: Column, gap: Column) -> Column:
+        if tolerance is None:
+            return m
+        return F.when(gap <= F.lit(tolerance), m)
+
+    u = r2.unionByName(l2)
+    if direction == "nearest":
+        matched = (
+            u.withColumn("__mb", F.last(pay, ignorenulls=True).over(w_of(False)))
+            .withColumn("__mf", F.last(pay, ignorenulls=True).over(w_of(True)))
+            .where(F.col(tag) == 1)
+        )
+        gb = num(F.col(t)) - num(F.col("__mb.__mt"))
+        gf = num(F.col("__mf.__mt")) - num(F.col(t))
+        mb = tol_gate(F.col("__mb"), gb)
+        mf = tol_gate(F.col("__mf"), gf)
+        matched = matched.withColumn(
+            "__m",
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(gf < gb, mf)
+            .otherwise(mb),
+        )
+    else:
+        matched = (
+            u.withColumn(
+                "__m", F.last(pay, ignorenulls=True).over(w_of(direction == "forward"))
+            ).where(F.col(tag) == 1)
+        )
         gap = num(F.col(t)) - num(F.col("__m.__mt"))
         if direction == "forward":
             gap = -gap
-        matched = matched.withColumn(
-            "__m", F.when(gap <= F.lit(tolerance), F.col("__m"))
-        )
+        matched = matched.withColumn("__m", tol_gate(F.col("__m"), gap))
     out = matched.select(
         *left.columns,
         F.col("__m.__mt").alias(matched_ts),
@@ -418,16 +445,29 @@ def _asof_broadcast(
                 rts, pays = ent
                 rows = np.asarray(rows)
                 lv = lv_all[rows]
-                if backward:
-                    pos = np.searchsorted(rts, lv, side="right") - 1
-                    ok = pos >= 0
+
+                def side(back: bool):
+                    if back:
+                        p = np.searchsorted(rts, lv, side="right") - 1
+                        o = p >= 0
+                    else:
+                        p = np.searchsorted(rts, lv, side="left")
+                        o = p < len(rts)
+                    safe = np.clip(p, 0, len(rts) - 1)
+                    gp = (lv - rts[safe]) if back else (rts[safe] - lv)
+                    if tol is not None:
+                        o = o & (gp <= tol)
+                    return p, o, gp
+
+                if direction == "nearest":
+                    pb, okb, gpb = side(True)
+                    pf, okf, gpf = side(False)
+                    # smaller gap wins; ties -> backward (pandas' rule)
+                    use_f = okf & (~okb | (gpf < gpb))
+                    pos = np.where(use_f, pf, pb)
+                    ok = okb | okf
                 else:
-                    pos = np.searchsorted(rts, lv, side="left")
-                    ok = pos < len(rts)
-                if tol is not None:
-                    safe = np.clip(pos, 0, len(rts) - 1)
-                    gap = (lv - rts[safe]) if backward else (rts[safe] - lv)
-                    ok = ok & (gap <= tol)
+                    pos, ok, _ = side(backward)
                 hit, hpos = rows[ok], pos[ok]
                 for i, p in zip(hit, hpos):
                     mt[i] = float(rts[p]) if rt_is_ts else rts[p]

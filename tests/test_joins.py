@@ -108,7 +108,7 @@ def test_asof_rejects_collisions_and_bad_args(spark):
                   payload=["payload"], how="outer")
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
-                  payload=["payload"], direction="nearest")
+                  payload=["payload"], direction="sideways")
 
 
 @pytest.mark.parametrize("bounds", ["[]", "[)", "(]", "()"])
@@ -346,3 +346,42 @@ def test_asof_timestamp_types_randomized(spark, mode):
             assert p == want[1], (k, us)
             assert int(mt.replace(tzinfo=timezone.utc).timestamp() * 1e6) == want[0] \
                 or int(mt.timestamp() * 1e6) == want[0]
+
+
+@pytest.mark.parametrize("mode", ["window", "broadcast"])
+def test_asof_nearest_matches_naive(spark, mode):
+    """direction='nearest' vs a pure-Python reference (smaller |gap|
+    wins, ties to the backward match, tolerance gates each side) on
+    both tiers."""
+    import random
+
+    rng = random.Random("near" + mode)
+    left = [(rng.randrange(5), rng.randrange(60), i) for i in range(250)]
+    right = {}
+    for j in range(100):
+        right[(rng.randrange(6), rng.randrange(60))] = 1000 + j
+    tol = 5
+
+    def expected(k, t):
+        back = [(rt, p) for (rk, rt), p in right.items()
+                if rk == k and rt <= t and t - rt <= tol]
+        fwd = [(rt, p) for (rk, rt), p in right.items()
+               if rk == k and rt >= t and rt - t <= tol]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None:
+            return f
+        if f is None:
+            return b
+        return f if (f[0] - t) < (t - b[0]) else b  # tie -> backward
+
+    ldf = spark.createDataFrame(left, "k int, t int, lid int")
+    rdf = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in right.items()], "k int, t int, payload int"
+    )
+    out = asof_join(ldf, rdf, on=["k"], left_ts="t", right_ts="t",
+                    payload=["payload"], direction="nearest",
+                    tolerance=tol, mode=mode)
+    got = {r.lid: (r.matched_ts, r.payload) for r in out.collect()}
+    for k, t, lid in left:
+        assert got[lid] == (expected(k, t) or (None, None)), (k, t, mode)
