@@ -297,6 +297,8 @@ def gap_fill_locf(
     value_cols: list[str],
     step_us: int,
     tiebreak_col: str | None = None,
+    start_us: int | None = None,
+    end_us: int | None = None,
 ) -> DataFrame:
     """Hypertable-style gap-fill: a fixed-step time grid per key, each
     grid point carrying the last observation at or before it (LOCF —
@@ -304,7 +306,10 @@ def gap_fill_locf(
 
     The grid spans each key's own [min, max] observation window,
     aligned down to a ``step_us`` multiple (so grid timestamps are
-    bucket boundaries, comparable across keys). It is generated
+    bucket boundaries, comparable across keys); pass ``start_us`` /
+    ``end_us`` (epoch-µs, inclusive) to pin either bound globally
+    instead — every key then shares an identical grid, the shape a
+    cross-key join or matrix export needs. It is generated
     distributively — per-key bounds from one aggregate, then
     ``sequence``+``explode`` — and the fill is :func:`asof_join`, so
     the whole operator is three map-side-combined shuffles (bounds agg,
@@ -329,17 +334,14 @@ def gap_fill_locf(
     bounds = observations.groupBy(*keys).agg(
         F.min(obs_us).alias("__mn"), F.max(obs_us).alias("__mx")
     )
+    # integer alignment (x - x % step): float division could lose a µs
+    # near 2^53
+    lo = F.lit(int(start_us) - int(start_us) % step_us) if start_us is not None \
+        else F.col("__mn") - F.col("__mn") % F.lit(step_us)
+    hi = F.lit(int(end_us)) if end_us is not None else F.col("__mx")
     grid = bounds.select(
         *keys,
-        F.explode(
-            F.sequence(
-                # integer alignment (mn - mn % step): float division
-                # could lose a µs near 2^53
-                F.col("__mn") - F.col("__mn") % F.lit(step_us),
-                F.col("__mx"),
-                F.lit(step_us),
-            )
-        ).alias("__g_us"),
+        F.explode(F.sequence(lo, hi, F.lit(step_us))).alias("__g_us"),
     )
     filled = asof_join(
         grid, obs,

@@ -385,3 +385,24 @@ def test_asof_nearest_matches_naive(spark, mode):
     got = {r.lid: (r.matched_ts, r.payload) for r in out.collect()}
     for k, t, lid in left:
         assert got[lid] == (expected(k, t) or (None, None)), (k, t, mode)
+
+
+def test_gap_fill_pinned_global_bounds(spark):
+    """start_us/end_us pin an identical grid for every key — the shape
+    a cross-key join or matrix export needs."""
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    obs = spark.createDataFrame(
+        [(1, 15, 1.5), (2, 37, 2.0)], "k int, t long, v double"
+    ).withColumn("t", F.timestamp_micros(F.col("t")))
+    out = gap_fill_locf(
+        obs, keys=["k"], ts_col="t", value_cols=["v"],
+        step_us=10, start_us=10, end_us=40,
+    )
+    grids = {}
+    for r in out.collect():
+        grids.setdefault(r.k, []).append(r.ts.microsecond)
+    assert sorted(grids[1]) == sorted(grids[2]) == [10, 20, 30, 40]
+    vals = {(r.k, r.ts.microsecond): r.v for r in out.collect()}
+    assert vals[(1, 10)] is None and vals[(1, 20)] == 1.5
+    assert vals[(2, 30)] is None and vals[(2, 40)] == 2.0
