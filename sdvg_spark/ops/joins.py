@@ -471,12 +471,12 @@ def _asof_broadcast(
                 else:
                     pos, ok, _ = side(backward)
                 hit, hpos = rows[ok], pos[ok]
-                for i, p in zip(hit, hpos):
-                    mt[i] = float(rts[p]) if rt_is_ts else rts[p]
+                # fancy-indexed assignment: object arrays accept numpy
+                # slices directly, no per-row Python loop
+                mval = rts[hpos].astype("float64") if rt_is_ts else rts[hpos]
+                mt[hit] = mval
                 for c in payload:
-                    vals = pays[c]
-                    for i, p in zip(hit, hpos):
-                        pay_out[c][i] = vals[p]
+                    pay_out[c][hit] = pays[c][hpos]
             out = pdf[lcols].copy()
             out["__mt"] = mt
             for c in payload:
