@@ -667,11 +667,13 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: last-touch attribution — every error event gets the
-    same user's most recent prior-or-equal click (union+window as-of,
-    ops/joins.py: ONE shuffle, no join operator, skew-immune). The
-    click side is pre-deduped to one row per (user, ts) — the
-    operator's uniqueness contract. Oracle: DuckDB's native ASOF LEFT
-    JOIN, a fully independent implementation."""
+    same user's most recent prior-or-equal click (ops/joins.py
+    asof_join, auto tier: zero-shuffle broadcast searchsorted at this
+    scale, union+window — one shuffle, no join operator, skew-immune —
+    when the click side outgrows the row cap). The click side is
+    pre-deduped to one row per (user, ts) — the operator's uniqueness
+    contract. Oracle: DuckDB's native ASOF LEFT JOIN, a fully
+    independent implementation."""
     from sdvg_spark.ops.joins import asof_join
 
     ev = _read(spark, sf_dir, "events")
