@@ -270,16 +270,22 @@ def pack_sequences_oracle_sql(
     budget: int = 2048,
 ) -> str:
     """DuckDB mirror: the global-window cumsum IS the semantics; the
-    Spark side merely computes the same prefix sum distributively."""
+    Spark side merely computes the same prefix sum distributively.
+
+    The windowed ``sum(BIGINT)`` is HUGEINT in DuckDB — it converts to
+    float64 under pandas/Arrow fetch, which breaks a value-hash against
+    Spark's int64 even when every value is identical. Cast the cumsum
+    and everything derived from it back to BIGINT so the oracle's
+    output types match the Spark schema under ANY fetch path."""
     n = n_tokens_sql or "len(" + sql_tokens("text") + ")"
     return f"""
 WITH d AS (SELECT {id_col} AS id, {n}::BIGINT AS n FROM {table}),
 c AS (SELECT id, n,
         coalesce(sum(n) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), 0) AS start FROM d)
+                              AND 1 PRECEDING), 0)::BIGINT AS start FROM d)
 SELECT id AS {id_col}, n AS n_tokens,
-  (start // {budget}) AS pack_id,
-  (start % {budget}) AS pack_offset
+  (start // {budget})::BIGINT AS pack_id,
+  (start % {budget})::BIGINT AS pack_offset
 FROM c"""
 
 

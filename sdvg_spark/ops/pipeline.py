@@ -217,9 +217,10 @@ extras AS (SELECT id, {T.sql_fingerprint(red)} AS redacted_fp FROM kept),
 sp AS (SELECT * FROM ({split_sql}) s),
 pk AS (
   SELECT id,
-    (start // {budget}) AS pack_id, (start % {budget}) AS pack_offset
+    (start // {budget})::BIGINT AS pack_id,
+    (start % {budget})::BIGINT AS pack_offset
   FROM (SELECT id, coalesce(sum(n_tokens) OVER (ORDER BY id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
         FROM kept))
 SELECT d.id AS {id_col}, d.lang_pred, d.quality, d.n_tokens,
   (d.drop_reason IS NULL) AS keep, d.drop_reason,
