@@ -880,33 +880,49 @@ def _sql_xor_name(a: str, b: str) -> str:
 
 
 def bounded_local_vectors(
-    df: DataFrame, id_col: str, vec_col: str, max_bytes: int
+    df: DataFrame, id_col: str, vec_col: str, max_bytes: int, known_dims: int | None = None
 ):
     """Materialize an (ids, float64 matrix) pair on the driver, guarded
     by a pre-flight byte estimate — the driver-OOM-safe replacement for
     a bare ``collect()``.
 
-    One cheap aggregate (count + max vector length, column-pruned)
-    bounds the Arrow transfer at ``n × (8·dims + 8)`` bytes BEFORE any
-    data moves; returns ``None`` when the estimate exceeds
-    ``max_bytes`` so callers can fall back to a distributed strategy.
+    Default path: one cheap aggregate (count + max vector length,
+    column-pruned) bounds the Arrow transfer at ``n × (8·dims + 8)``
+    bytes BEFORE any data moves; returns ``None`` when the estimate
+    exceeds ``max_bytes`` so callers can fall back to a distributed
+    strategy.
+
+    ``known_dims`` path: when the caller already knows the vector
+    width (e.g. from an in-hand centroid matrix), the byte cap
+    translates to a row cap, so a single ``limit(cap+1)``-guarded
+    collect replaces the estimate job + collect job pair — half the
+    fixed per-job latency for interactive callers. A ``limit`` already
+    on ``df`` composes (Spark keeps the smaller).
+
     Ids are returned sorted ascending with the matrix re-ordered to
     match (callers binary-search them).
     """
     import numpy as np
 
-    est = df.select(
-        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
-    ).first()
-    n = int(est["n"] or 0)
-    d = int(est["d"] or 0)
-    if n * (8 * d + 8) > max_bytes:
-        return None
-    pdf = df.select(id_col, vec_col).toPandas()  # Arrow-batched
+    if known_dims is not None:
+        cap = max_bytes // (8 * max(known_dims, 1) + 8)
+        pdf = df.select(id_col, vec_col).limit(cap + 1).toPandas()
+        if len(pdf) > cap:
+            return None
+        d = known_dims
+    else:
+        est = df.select(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        n = int(est["n"] or 0)
+        d = int(est["d"] or 0)
+        if n * (8 * d + 8) > max_bytes:
+            return None
+        pdf = df.select(id_col, vec_col).toPandas()  # Arrow-batched
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
-    if n == 0:
+    if len(pdf) == 0:
         return ids, np.empty((0, d), dtype=np.float64)
     mat = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
     return ids, mat

@@ -103,6 +103,7 @@ def kernel_scored_candidates(
     query_id: str,
     query_vec: str,
     max_query_bytes: int = 256_000_000,
+    local_queries=None,
 ) -> DataFrame:
     """Attach exact cosine scores to a (q_id, c_id) candidate set via a
     vectorized Arrow kernel instead of the expression-level ``cosine``.
@@ -118,20 +119,30 @@ def kernel_scored_candidates(
 
     Map-only: the candidate→vector join shuffles as before; scoring
     itself adds no exchange.
+
+    ``local_queries`` lets a caller that ALREADY collected the query
+    matrix (e.g. :func:`ivf_topk`, which needs it driver-side for the
+    probe assignment anyway) pass the ``(ids, raw float64 matrix)``
+    pair straight in — skipping this function's own estimate+collect
+    jobs. Ids must be sorted ascending with rows re-ordered to match
+    (exactly what ``bounded_local_vectors`` returns).
     """
     import numpy as np
 
     from sdvg_spark.ops.dedup import bounded_local_vectors
 
     spark = cand.sparkSession
-    loc = bounded_local_vectors(
-        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
-        "q_id",
-        "__qv",
-        max_query_bytes,
-    )
-    if loc is None:
-        raise ValueError("query set exceeds max_query_bytes")
+    if local_queries is None:
+        loc = bounded_local_vectors(
+            queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+            "q_id",
+            "__qv",
+            max_query_bytes,
+        )
+        if loc is None:
+            raise ValueError("query set exceeds max_query_bytes")
+    else:
+        loc = local_queries
     q_ids, Q = loc  # ids sorted ascending (searchsorted below relies on it)
     if len(q_ids):
         qn = np.linalg.norm(Q, axis=1)
@@ -415,6 +426,75 @@ def _centroid_assign_kernel(bc, id_name: str, top: int, vec_out: str | None = No
     return run
 
 
+def _ivf_fused_kernel(bc, top_n: int):
+    """mapInPandas kernel: cell assignment + candidate scoring +
+    per-(cell, query) partition-local top-k in ONE pass over the corpus.
+
+    ``bc`` broadcasts ``(q_ids, Qn, cent, probing)`` — normalized query
+    matrix, normalized centroid matrix, and ``probing[cell]`` = indices
+    into ``Qn`` of the queries whose n_probe nearest cells include
+    ``cell``. Each partition buffers its (normalized vector, cell, id)
+    triples, then for every locally-present cell scores that cell's
+    block against only its probing queries and keeps the block's top-k
+    per query. A corpus vector belongs to exactly one cell, so the
+    union of per-cell winners per partition is duplicate-free and any
+    global top-k row survives its own (partition, cell) cut — same
+    boundary-tie rule as :func:`_partition_topk_kernel` (every row ≥
+    the k-th score is kept before the c_id tiebreak cuts)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        q_ids, Qn, cent, probing = bc.value
+        if len(q_ids) == 0:
+            return
+        C_chunks, id_chunks = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C_chunks.append(M / nrm[:, None])
+            id_chunks.append(pdf["c_id"].to_numpy(dtype=np.int64))
+        if not C_chunks:
+            return
+        C = np.vstack(C_chunks)
+        c_ids = np.concatenate(id_chunks)
+        cells = np.argmax(C @ cent.T, axis=1)  # first max = lowest cell
+        out_q, out_c, out_s = [], [], []
+        for cell in np.unique(cells):
+            qidx = probing[cell]
+            if not len(qidx):
+                continue
+            rows = np.flatnonzero(cells == cell)
+            block_ids = c_ids[rows]
+            sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
+            m = len(rows)
+            top = min(top_n, m)
+            for jj in range(len(qidx)):
+                col = sims[:, jj]
+                if m > top:
+                    thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                    cand = np.flatnonzero(col >= thresh)
+                else:
+                    cand = np.arange(m)
+                sel = cand[np.lexsort((block_ids[cand], -col[cand]))[:top]]
+                out_q.append(np.full(len(sel), q_ids[qidx[jj]], dtype=np.int64))
+                out_c.append(block_ids[sel])
+                out_s.append(col[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    return run
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -447,23 +527,32 @@ def ivf_topk(
     the seed-sample centroids keep every downstream stage identical
     while making the whole operator reproducible in plain SQL.
 
-    At 100 TB: assignment is embarrassingly parallel (centroid matrix
-    broadcast, one matmul per Arrow batch); the probe join moves only
-    (q_id, cell) × (cell, c_id); scoring joins attach vectors to the
-    candidate subset only. Ties everywhere break by id/cell ascending.
+    At 100 TB: ONE map-only pass over the corpus — each partition
+    assigns its vectors to cells (broadcast centroid matmul), scores
+    them against only the queries probing those cells (broadcast
+    inverted probe map), and emits its per-(cell, query) top-k. No
+    probe join, no candidate→vector re-attach shuffle (the earlier
+    shape shuffled the corpus on c_id to re-fetch vectors the map pass
+    already held); the final exchange moves only
+    O(partitions × queries × n_probe × k) rows into the ranking
+    window. Ties everywhere break by id/cell ascending.
     """
     import numpy as np
     import pandas as pd
 
-    from sdvg_spark.ops.dedup import _infer_dims, bounded_local_vectors, widen
+    from sdvg_spark.ops.dedup import bounded_local_vectors, widen
 
-    if dims is None:
-        dims = _infer_dims(corpus, corpus_vec)
+    # dims is accepted for signature stability but no longer triggers a
+    # probe job — the centroid matrix carries its own dimensionality.
+    # known_dims=1 routes to the single-job collect path: the limit(n_cells)
+    # already bounds the transfer to n_cells rows, so the estimate job
+    # would only re-derive what the limit guarantees.
     loc = bounded_local_vectors(
         corpus.orderBy(F.col(corpus_id)).limit(n_cells),
         corpus_id,
         corpus_vec,
         centroid_max_bytes,
+        known_dims=1,
     )
     if loc is None:  # n_cells rows alone exceeded the cap
         raise ValueError("n_cells × dims exceeds centroid_max_bytes")
@@ -472,30 +561,42 @@ def ivf_topk(
     cnorm[cnorm == 0] = 1.0
     cent = cent / cnorm[:, None]
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(cent)
 
-    wide = widen(corpus)
-    assign = wide.select(
-        F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v")
-    ).mapInPandas(_centroid_assign_kernel(bc, "c_id", 1), "c_id long, cell int")
-    probes = queries.select(
-        F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v")
-    ).mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
-
-    # probes is tiny (queries × n_probe rows) but emerges from
-    # mapInPandas, so Spark has no stats to auto-broadcast it; without
-    # the hint a shuffle join would repartition the whole corpus-side
-    # assignment on a `n_cells`-cardinality key (max parallelism
-    # n_cells, guaranteed skew at scale). The vector re-attach reads
-    # the RAW corpus (no widen: the join re-shuffles on c_id anyway)
-    # and scoring rides the vectorized kernel.
-    cand = F.broadcast(probes).join(assign, "cell").select("q_id", "c_id")
-    scored = kernel_scored_candidates(
-        cand, corpus, queries,
-        corpus_id=corpus_id, corpus_vec=corpus_vec,
-        query_id=query_id, query_vec=query_vec,
+    # Queries are driver-bounded by contract (same cap as
+    # kernel_scored_candidates), so collect them ONCE and derive the
+    # probe assignment locally with the exact arithmetic of
+    # _centroid_assign_kernel (float64 normalize, stable argsort); the
+    # inverted cell→queries map then rides the broadcast into the fused
+    # corpus pass.
+    qloc = bounded_local_vectors(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+        "q_id",
+        "__qv",
+        256_000_000,
+        known_dims=cent.shape[1],  # single-job collect: dims known
     )
-    final = scored.withColumn(
+    if qloc is None:
+        raise ValueError("query set exceeds max_query_bytes")
+    q_ids, Q = qloc
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank int"
+        )
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    order = np.argsort(-(Qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    probing = [np.flatnonzero((order == c).any(axis=1)) for c in range(len(cent))]
+    bc = spark.sparkContext.broadcast((q_ids, Qn, cent, probing))
+
+    part = (
+        widen(corpus)
+        .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
+        .mapInPandas(
+            _ivf_fused_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
+        )
+    )
+    final = part.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
     ).where(F.col("rank") <= k)
@@ -890,6 +991,7 @@ def quantized_rescore_topk(
         corpus_id=corpus_id, corpus_vec=corpus_vec,
         query_id=query_id, query_vec=query_vec,
         max_query_bytes=max_query_bytes,
+        local_queries=(q_ids, q_mat),  # reuse the stage-1 collect
     )
     final = rescored.withColumn(
         "rank",

@@ -163,12 +163,17 @@ def test_hyperplane_sigs_kernel_is_map_only(spark):
 
 
 def test_ann_scoring_broadcasts_queries(spark, entry):
-    """lsh/ivf scoring joins must broadcast the (small) query side and
-    never fall back to a sort-merge join against the corpus."""
-    for name in ("ann_lsh", "ann_ivf"):
-        plan = _plan(entry.queries()[name](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan, name
-        assert "CartesianProduct" not in plan, name
+    """lsh scoring joins must broadcast the (small) query side and never
+    fall back to a sort-merge join against the corpus; the fused ivf
+    kernel removed its joins entirely — pin that the plan is join-FREE
+    (one corpus pass, no candidate re-attach shuffle)."""
+    plan = _plan(entry.queries()["ann_lsh"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(entry.queries()["ann_ivf"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan, join
 
 
 def test_minhash_auto_estimate_prunes_columns(spark):
