@@ -816,10 +816,21 @@ def connected_components(
     of labels (strictly decreasing until fixpoint — one cheap agg
     action, no row-wise diff join).
 
-    At 100 TB: rounds × (join + agg on the EDGE-NODE set, not the
-    corpus) is the textbook distributed CC cost; for adversarially
-    long chains switch to large-star/small-star (same primitive ops,
-    O(log n) rounds) — near-dup graphs never need it.
+    Each round is propagate + POINTER-HALVING: after taking the min
+    label over self+neighbors, every node re-labels to its
+    representative's representative (``rep := rep[rep]`` — an
+    equi-join of the label table with itself; reps are always subgraph
+    nodes, so the join is total). Halving compresses label paths
+    geometrically, so rounds grow O(log diameter) instead of
+    O(diameter) — a 1000-link adversarial chain settles in ~10 rounds
+    rather than ~1000, and near-clique duplicate clusters still settle
+    in 2-3. The halving join is on the same edge-node set as the
+    propagation join, so each round costs two small joins instead of
+    one — the round-count bound is worth it at any scale.
+
+    At 100 TB: rounds × (two joins + agg on the EDGE-NODE set, not the
+    corpus) is the textbook distributed CC cost (hash-to-min with path
+    compression).
     """
     und = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
@@ -831,10 +842,17 @@ def connected_components(
     prev_lab = None
     for _ in range(max_iter):
         msg = und.join(lab, und.s == lab.v).select(F.col("d").alias("v"), "rep")
-        new = (
+        prop = (
             lab.unionByName(msg)
             .groupBy("v")
             .agg(F.min("rep").alias("rep"))
+        )
+        # pointer halving: rep := rep[rep] (total: every rep is a
+        # subgraph node, hence present in prop's v column)
+        look = prop.select(F.col("v").alias("__lv"), F.col("rep").alias("__lrep"))
+        new = (
+            prop.join(look, prop.rep == look.__lv)
+            .select("v", F.col("__lrep").alias("rep"))
             .localCheckpoint(eager=True)
         )
         total = new.agg(F.sum("rep").alias("t")).first()["t"]
