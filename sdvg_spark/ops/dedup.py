@@ -1205,6 +1205,15 @@ def semantic_dedup(
     (``ivf_train_centroids``) and persist the assignment partitioned by
     cell; the smallest-id contract keeps every stage reproducible in
     plain SQL.
+
+    Storage contract: the cell assignment stays ``persist()``-ed (and
+    connected_components' final label checkpoint stays in block
+    storage) for the LIFETIME OF THE RETURNED PLAN — they are what the
+    lazy result recomputes from. In a long-lived session, release them
+    after materializing the decision (drop the reference and let the
+    ContextCleaner reap the blocks, or ``spark.catalog.clearCache()``
+    in a dedicated job); repeated invocations otherwise accumulate
+    cached blocks.
     """
     import numpy as np
 

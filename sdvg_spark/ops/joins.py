@@ -64,6 +64,7 @@ def asof_join(
     tolerance: int | float | None = None,
     mode: str = "auto",
     broadcast_max_rows: int = 2_000_000,
+    broadcast_max_bytes: int = 256_000_000,
 ) -> DataFrame:
     """Attach to every left row the payload of the temporally nearest
     right row with the same ``on`` key.
@@ -104,10 +105,12 @@ def asof_join(
     binary-searches it (``np.searchsorted``) — ZERO shuffle, the as-of
     equivalent of a broadcast hash join, right when the right side is a
     dimension-sized table (rates, config history, calibration curves)
-    and the left is the 100 TB fact stream. ``"auto"`` (default) probes
-    the right side with ``limit(broadcast_max_rows + 1)`` and picks
-    broadcast when it fits, mirroring the byte-capped tiering used by
-    the dedup operators. Both tiers are value-identical (asserted
+    and the left is the 100 TB fact stream. ``"auto"`` (default) runs a
+    column-pruned byte+row estimate of the right side (the same
+    pre-flight-estimate tiering as the dedup operators) and picks
+    broadcast only when it fits both ``broadcast_max_rows`` and
+    ``broadcast_max_bytes`` — a wide-payload right side can never OOM
+    the driver at plan time. Both tiers are value-identical (asserted
     against each other on randomized data in tests/test_joins.py).
 
     Window-tier scale shape: one shuffle (window ``partitionBy(on)``);
@@ -143,7 +146,7 @@ def asof_join(
 
     if mode != "window":
         loc = _bounded_local_right(
-            right, [*on, right_ts, *payload], broadcast_max_rows
+            right, [*on, right_ts, *payload], broadcast_max_rows, broadcast_max_bytes
         )
         if loc is not None:
             return _asof_broadcast(
@@ -154,7 +157,8 @@ def asof_join(
             )
         if mode == "broadcast":
             raise ValueError(
-                f"right side exceeds broadcast_max_rows={broadcast_max_rows}; "
+                f"right side exceeds broadcast_max_rows={broadcast_max_rows} "
+                f"or broadcast_max_bytes={broadcast_max_bytes}; "
                 "use mode='window' (or 'auto')"
             )
     # one struct per right row: matched ts + payload, so every output
@@ -268,6 +272,10 @@ def range_join(
     """
     if bounds not in ("[]", "[)", "(]", "()"):
         raise ValueError(f"bounds must be one of [] [) (] (), got {bounds!r}")
+    if bucket < 1:
+        # floor(x / 0) is NULL in Spark: every bin would be null and the
+        # join would silently return zero rows instead of erroring
+        raise ValueError(f"bucket must be >= 1, got {bucket!r}")
     overlap = (set(points.columns) & set(intervals.columns)) - set(on)
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
@@ -353,14 +361,35 @@ def gap_fill_locf(
     )
 
 
-def _bounded_local_right(right: DataFrame, cols: list[str], max_rows: int):
-    """Collect the right side as pandas iff it fits ``max_rows``
-    (probed with ``limit(max_rows + 1)`` so an oversized side costs one
-    truncated scan, never a full materialization). None when too big."""
-    pdf = right.select(*cols).limit(max_rows + 1).toPandas()
-    if len(pdf) > max_rows:
+def _bounded_local_right(
+    right: DataFrame, cols: list[str], max_rows: int, max_bytes: int = 256_000_000
+):
+    """Collect the right side as pandas iff it fits BOTH ``max_rows``
+    and an estimated ``max_bytes``. A row cap alone says nothing about
+    width — 2M rows of 100 kB texts would be 200 GB on the driver — so
+    one column-pruned pre-flight aggregate (8 bytes per scalar,
+    octet_length for strings/binary, 8·size for arrays) bounds the
+    Arrow transfer BEFORE any data moves; an oversized side costs the
+    estimate job only, never a materialization. None when too big."""
+    from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+    sel = right.select(*cols)
+    per_row = F.lit(8).cast("long")
+    for fld in sel.schema.fields:
+        if isinstance(fld.dataType, (StringType, BinaryType)):
+            per_row = per_row + F.coalesce(
+                F.octet_length(F.col(fld.name)).cast("long"), F.lit(0)
+            ) + F.lit(8)
+        elif isinstance(fld.dataType, ArrayType):
+            per_row = per_row + F.coalesce(
+                F.size(F.col(fld.name)).cast("long"), F.lit(0)
+            ) * F.lit(8) + F.lit(8)
+        else:
+            per_row = per_row + F.lit(8)
+    est = sel.select(F.count(F.lit(1)).alias("n"), F.sum(per_row).alias("b")).first()
+    if int(est["n"] or 0) > max_rows or int(est["b"] or 0) > max_bytes:
         return None
-    return pdf
+    return sel.toPandas()
 
 
 def _asof_broadcast(
@@ -390,6 +419,21 @@ def _asof_broadcast(
     rt_is_ts = isinstance(
         right.schema[right_ts].dataType, (TimestampType, TimestampNTZType)
     )
+    lt_is_ts = isinstance(
+        left.schema[left_ts].dataType, (TimestampType, TimestampNTZType)
+    )
+    if rt_is_ts or lt_is_ts:
+        # toPandas/Arrow yield session-local naive datetimes whose
+        # int64 image this tier reinterprets as UTC epoch-µs
+        # (timestamp_micros on the way back) — under a non-UTC session
+        # matched_ts would silently shift by the zone offset.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"asof_join's broadcast tier requires spark.sql.session.timeZone"
+                f"=UTC for timestamp columns (session has {tz!r}); set the "
+                "session to UTC or pass mode='window'"
+            )
 
     def ts_num(series):
         if np.issubdtype(series.dtype, np.datetime64):

@@ -56,6 +56,14 @@ def curate(
     dropped), split, pack_id, pack_offset (null for dropped / disabled
     stages). Filters compare the ROUND-9 quality on both engine and
     oracle so a last-ulp difference can never flip a keep decision.
+
+    Storage contract: the feature projection and the kept-set are
+    ``persist()``-ed for the lifetime of the returned plan (they feed
+    multiple downstream stages — dropping them would re-run the full
+    text pass per consumer). In a long-lived session, materialize the
+    result and release the reference (ContextCleaner reaps the blocks)
+    or ``spark.catalog.clearCache()``; the CLI path exits its JVM, so
+    no cleanup is needed there.
     """
     cfg = cfg or CurationConfig()
     staged = docs.select(

@@ -393,15 +393,23 @@ def tfidf_topk(
     *,
     top_n: int = 3,
     round_digits: int = 6,
+    order_by: str = "deterministic",
 ):
-    """Top-``top_n`` keywords per document by TF-IDF.
+    """Top-``top_n`` keywords per document.
 
-    Ranking is INTEGER-ONLY — ``(tf DESC, df ASC, token ASC)`` — which
-    orders identically to tf·ln(N/df) whenever one of tf/df dominates
-    and is deterministic across engines where the float score could tie
-    within an ulp (e.g. tf=2,df=50 vs tf=1,df=5 at N=500 give exactly
-    equal real scores); the float ``tfidf`` column is display-only,
-    rounded to ``round_digits``.
+    ``order_by="deterministic"`` (default) ranks by the INTEGER-ONLY
+    key ``(tf DESC, df ASC, token ASC)``. This is NOT the tf·ln(N/df)
+    order — e.g. tf=3,df=100 outranks tf=2,df=2 at N=500 despite a ~2×
+    lower score — it is a tf-then-rarity heuristic whose virtue is
+    bit-exact reproducibility across engines (float scores can tie
+    within an ulp: tf=2,df=50 vs tf=1,df=5 at N=500 are exactly equal
+    reals, and ln() last-ulp differences between engines would make a
+    float rank nondeterministic). The ``tfidf`` column is DISPLAY-ONLY
+    under this mode (rounded to ``round_digits``); consumers wanting
+    score order should not re-sort by it but pass
+    ``order_by="score"``, which ranks by the float score
+    ``(tfidf DESC, token ASC)`` — the true tf-idf order, deterministic
+    within one engine but not oracle-exact across engines.
 
     Scale shape: one shuffle for per-doc term counts, one for document
     frequencies (vocab-sized output, AQE can broadcast it back), one
@@ -412,16 +420,23 @@ def tfidf_topk(
     """
     from pyspark.sql.window import Window
 
+    if order_by not in ("deterministic", "score"):
+        raise ValueError(f"order_by must be deterministic/score, got {order_by!r}")
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.count()
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("token")
-    )
+    score = F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))
+    if order_by == "score":
+        w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("token"))
+    else:
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("tf"), F.asc("df"), F.asc("token")
+        )
     return (
         tf.join(dfreq, "token")
         .withColumn("__n", F.lit(n_docs))
+        .withColumn("__score", score)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_n)
         .select(
@@ -429,10 +444,7 @@ def tfidf_topk(
             "token",
             "tf",
             "df",
-            F.round(
-                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")),
-                round_digits,
-            ).alias("tfidf"),
+            F.round(F.col("__score"), round_digits).alias("tfidf"),
             "rank",
         )
     )

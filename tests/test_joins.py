@@ -406,3 +406,60 @@ def test_gap_fill_pinned_global_bounds(spark):
     vals = {(r.k, r.ts.microsecond): r.v for r in out.collect()}
     assert vals[(1, 10)] is None and vals[(1, 20)] == 1.5
     assert vals[(2, 30)] is None and vals[(2, 40)] == 2.0
+
+
+def test_range_join_rejects_zero_bucket(spark):
+    """bucket=0 would make floor(x/0) NULL (all bins null, silent empty
+    join) — it must raise instead."""
+    import pytest
+
+    from sdvg_spark.ops.joins import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "k int, p long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "k int, lo long, hi long")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="bucket"):
+            range_join(pts, ivs, on=["k"], point_col="p",
+                       lo_col="lo", hi_col="hi", bucket=bad)
+
+
+def test_asof_auto_byte_cap_routes_wide_payload_to_window(spark):
+    """A right side under the row cap but over the BYTE cap (wide text
+    payload) must take the window tier, not collect to the driver —
+    and still produce identical values."""
+    from sdvg_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "x" * 1000), (1, 20, "y" * 1000)], "k int, t int, payload string"
+    )
+    kw = dict(on=["k"], left_ts="t", right_ts="t", payload=["payload"])
+    capped = asof_join(left, right, **kw, broadcast_max_bytes=500)
+    # zero-shuffle broadcast tier would have no Exchange; the capped
+    # plan must fall back to the one-shuffle window tier
+    assert "Exchange" in capped._jdf.queryExecution().executedPlan().toString()
+    uncapped = asof_join(left, right, **kw)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_asof_broadcast_tier_rejects_non_utc_session(spark):
+    """The broadcast tier reinterprets collected naive datetimes as UTC
+    epoch-µs; a non-UTC session must raise, not silently shift."""
+    import pytest
+
+    from sdvg_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, t long").withColumn(
+        "t", F.timestamp_micros(F.col("t"))
+    )
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t long, v double").withColumn(
+        "t", F.timestamp_micros(F.col("t"))
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                      payload=["v"], mode="broadcast")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
