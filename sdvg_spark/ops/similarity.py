@@ -856,39 +856,79 @@ def ivf_index_topk(
     """Top-k cosine search against a persisted IVF index.
 
     The probed cell set (≤ n_cells values by construction — it is a
-    subset of the centroid count, not data-sized) is materialized and
-    pushed into the parquet scan as a partition filter, so unprobed
-    cells are pruned before any bytes are read. Candidates then come
-    out of the scan WITH their vectors (the layout stores them), so
-    scoring needs only the broadcast query-vector join — no corpus
-    re-attach shuffle at all.
+    subset of the centroid count, not data-sized) is derived driver-side
+    from the collected query matrix (same float64 normalize + stable
+    argsort as :func:`_centroid_assign_kernel`) and pushed into the
+    parquet scan as a partition filter, so unprobed cells are pruned
+    before any bytes are read. Candidates come out of the scan WITH
+    their vectors (the layout stores them; the quantized layout
+    reconstructs code·scale inside the kernel), so scoring is the same
+    vectorized Arrow kernel as :func:`kernel_scored_candidates` — no
+    corpus re-attach shuffle, no interpreted per-element cosine.
     """
-    spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast(centroids)
-    # materialize the probe assignment ONCE (queries × n_probe rows,
-    # tiny by construction) — both the partition-filter cell list and
-    # the join side come from this local copy, so the assignment matmul
-    # job runs once instead of once per consumer
-    probes_pdf = (
-        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__v"))
-        .mapInPandas(_centroid_assign_kernel(bc, "q_id", n_probe), "q_id long, cell int")
-        .toPandas()
-    )
-    cells = sorted(int(c) for c in probes_pdf["cell"].unique())
-    probes = spark.createDataFrame(probes_pdf, "q_id long, cell int")
-    index = spark.read.parquet(path).where(F.col("cell").isin(cells))
-    if "qvec" in index.columns:  # quantized layout: dequantize on read
-        from sdvg_spark.ops.vectors import dequantize
+    import numpy as np
+    import pandas as pd
 
-        cvec = dequantize(F.col("qvec"), F.col("scale"))
-    else:
-        cvec = F.col("vec")
-    qv = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv"))
-    scored = (
-        F.broadcast(probes).join(index, "cell")
-        .join(F.broadcast(qv), "q_id")
-        .select("q_id", "c_id", cosine(F.col("__qv"), cvec).alias("cosine"))
+    from sdvg_spark.ops.dedup import bounded_local_vectors
+
+    spark = queries.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    qloc = bounded_local_vectors(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+        "q_id",
+        "__qv",
+        256_000_000,
+        known_dims=cent.shape[1],
     )
+    if qloc is None:
+        raise ValueError("query set exceeds max_query_bytes")
+    q_ids, Q = qloc
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank int"
+        )
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    # centroids arrive normalized from ivf_train_centroids; the stable
+    # argsort mirrors the assignment kernel's tie rule (lowest cell)
+    order = np.argsort(-(Qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    cells = sorted(int(c) for c in np.unique(order))
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.repeat(q_ids, n_probe),
+                "cell": order.ravel().astype(np.int32),
+            }
+        ),
+        "q_id long, cell int",
+    )
+    bcq = spark.sparkContext.broadcast((q_ids, Qn))
+    index = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    quantized = "qvec" in index.columns
+    vec_cols = ["qvec", "scale"] if quantized else ["vec"]
+    withv = F.broadcast(probes).join(index, "cell").select("q_id", "c_id", *vec_cols)
+
+    def run(batches):
+        b_qids, b_Q = bcq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if quantized:
+                C = np.array(list(pdf["qvec"]), dtype=np.float64)
+                C *= pdf["scale"].to_numpy(dtype=np.float64)[:, None]
+            else:
+                C = np.array(list(pdf["vec"]), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = 1.0
+            C = C / cn[:, None]
+            idx = np.searchsorted(b_qids, pdf["q_id"].to_numpy(dtype=np.int64))
+            sims = (C * b_Q[idx]).sum(axis=1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "c_id": pdf["c_id"], "cosine": sims}
+            )
+
+    scored = withv.mapInPandas(run, "q_id long, c_id long, cosine double")
     final = scored.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
