@@ -327,65 +327,173 @@ def lsh_topk(
     × multiprobe are the recall knobs, and bucket width 2^-n_planes ×
     probes × tables is the scan-fraction cost knob.
 
-    At 100 TB the corpus rides one explode (n_tables rows per vector,
-    ids + signatures only until scoring) hash-partitioned on
-    (table, signature) — optionally disk-bucketed — so each probe
-    touches ~corpus/2^n_planes rows per table, never a full scan.
+    At 100 TB: ONE map-only pass over the corpus — each partition
+    computes its vectors' per-table signatures (one matmul against the
+    broadcast hyperplane tensor), looks up the queries probing each
+    locally-present (table, signature) bucket in the broadcast inverted
+    probe map (query signatures + multiprobe expansion are derived
+    driver-side from the collected query matrix), scores those
+    candidates, dedups per query across tables (a pair colliding in
+    several tables appears once, matching the old dropDuplicates), and
+    emits its per-query top-k. No bucket join, no candidate→vector
+    re-attach shuffle, no global dedup exchange; the final exchange
+    moves only O(partitions × queries × k) rows into the ranking
+    window.
     """
-    if dims is None:
-        from sdvg_spark.ops.dedup import _infer_dims
+    import numpy as np
+    import pandas as pd
 
-        dims = _infer_dims(corpus, corpus_vec)
-    from sdvg_spark.ops.dedup import widen
+    from sdvg_spark.ops.dedup import bounded_local_vectors, widen
 
-    # per-table signatures from the vectorized matmul kernel (table t
-    # uses its own seeded hyperplane set). The bucketing join moves ONLY
-    # (id, table, signature) — exploding the vector payload n_tables×
-    # would multiply shuffle volume by L; vectors re-attach after the
-    # candidate set is deduped
-    wide = widen(corpus)
-    c = hyperplane_sigs_df(
-        wide, corpus_id, corpus_vec,
-        n_planes=n_planes, n_tables=n_tables, seed=seed, dims=dims, out_id="c_id",
+    spark = corpus.sparkSession
+    qloc = bounded_local_vectors(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+        "q_id",
+        "__qv",
+        256_000_000,
     )
-    q = hyperplane_sigs_df(
-        queries, query_id, query_vec,
-        n_planes=n_planes, n_tables=n_tables, seed=seed, dims=dims, out_id="q_id",
-    ).withColumnRenamed("__sig", "__qsig")
-    # probe signatures per table: original + single-bit flips (+ pairs)
-    probes = [F.col("__qsig")]
+    if qloc is None:
+        raise ValueError("query set exceeds max_query_bytes")
+    q_ids, Q = qloc
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank int"
+        )
+    if dims is None:
+        dims = Q.shape[1]
+    w_flat = hyperplane_weights(n_planes, n_tables, seed, dims).reshape(
+        n_tables * n_planes, dims
+    )
+    # query signatures + multiprobe expansion, driver-side (same
+    # sign-of-dot rule as hyperplane_sigs_df, raw vectors)
+    qbits = (Q @ w_flat.T) >= 0
+    qsigs = np.zeros((len(q_ids), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            qsigs[:, t] |= qbits[:, t * n_planes + p].astype(np.int64) << p
+    flips = [0]
     if multiprobe >= 1:
-        probes += [
-            F.col("__qsig").bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(n_planes)
-        ]
+        flips += [1 << b for b in range(n_planes)]
     if multiprobe >= 2:
-        probes += [
-            F.col("__qsig")
-            .bitwiseXOR(F.lit(1 << b1).cast("long"))
-            .bitwiseXOR(F.lit(1 << b2).cast("long"))
+        flips += [
+            (1 << b1) | (1 << b2)
             for b1 in range(n_planes)
             for b2 in range(b1 + 1, n_planes)
         ]
-    qp = q.select("q_id", "__t", F.explode(F.array(*probes)).alias("__sig"))
-    cand = (
-        qp.join(c, ["__t", "__sig"])
-        .select("q_id", "c_id")
-        .dropDuplicates(["q_id", "c_id"])
+    tables: list[dict] = []
+    for t in range(n_tables):
+        buckets: dict = {}
+        for qi in range(len(q_ids)):
+            for fl in flips:
+                buckets.setdefault(int(qsigs[qi, t]) ^ fl, []).append(qi)
+        tables.append({s: np.array(v, dtype=np.int64) for s, v in buckets.items()})
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Qn, w_flat, n_tables, n_planes, tables)
     )
-    # raw corpus for the re-attach: widen()'s repartition would shuffle
-    # every vector once more for no benefit (the join shuffles on c_id);
-    # scoring rides the vectorized kernel — candidate volume grows with
-    # the corpus, so interpreted per-element cosine is the wrong cost
-    scored = kernel_scored_candidates(
-        cand, corpus, queries,
-        corpus_id=corpus_id, corpus_vec=corpus_vec,
-        query_id=query_id, query_vec=query_vec,
+    part = (
+        widen(corpus)
+        .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
+        .mapInPandas(
+            _lsh_fused_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
+        )
     )
-    final = scored.withColumn(
+    final = part.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
     ).where(F.col("rank") <= k)
     return final.select("q_id", "c_id", "cosine", "rank")
+
+
+def _lsh_fused_kernel(bc, top_n: int):
+    """mapInPandas kernel: per-table signatures + bucket lookup +
+    scoring + per-query partition-local top-k in ONE pass over the
+    corpus.
+
+    ``bc`` broadcasts ``(q_ids, Qn, w_flat, n_tables, n_planes,
+    tables)`` where ``tables[t]`` maps a signature to the indices (into
+    ``Qn``) of the queries probing that bucket of table ``t``
+    (multiprobe expansion already applied). Each partition buffers its
+    vectors, signs them against the hyperplane tensor, scores each
+    locally-present probed bucket's rows against that bucket's queries,
+    dedups candidates per query across tables (same-pair collisions in
+    several tables count once — the fused equivalent of the old global
+    ``dropDuplicates``), and keeps the partition top-k with the usual
+    boundary-tie rule (every row ≥ the k-th score survives to the c_id
+    tiebreak)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        q_ids, Qn, w_flat, n_tables, n_planes, tables = bc.value
+        if len(q_ids) == 0:
+            return
+        M_chunks, id_chunks = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M_chunks.append(np.array(list(pdf["__v"]), dtype=np.float64))
+            id_chunks.append(pdf["c_id"].to_numpy(dtype=np.int64))
+        if not M_chunks:
+            return
+        M = np.vstack(M_chunks)
+        c_ids = np.concatenate(id_chunks)
+        bits = (M @ w_flat.T) >= 0  # sign rule ≡ hyperplane_sigs_df
+        sigs = np.zeros((len(M), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        C = M / nrm[:, None]
+        nq = len(q_ids)
+        cand_c: list[list] = [[] for _ in range(nq)]
+        cand_s: list[list] = [[] for _ in range(nq)]
+        for t in range(n_tables):
+            tbl = tables[t]
+            col = sigs[:, t]
+            uniq, inv = np.unique(col, return_inverse=True)
+            for ui in range(len(uniq)):
+                qidx = tbl.get(int(uniq[ui]))
+                if qidx is None:
+                    continue
+                rows = np.flatnonzero(inv == ui)
+                sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
+                block_ids = c_ids[rows]
+                for jj in range(len(qidx)):
+                    cand_c[qidx[jj]].append(block_ids)
+                    cand_s[qidx[jj]].append(sims[:, jj])
+        out_q, out_c, out_s = [], [], []
+        for qi in range(nq):
+            if not cand_c[qi]:
+                continue
+            cc = np.concatenate(cand_c[qi])
+            ss = np.concatenate(cand_s[qi])
+            cc, first = np.unique(cc, return_index=True)  # cross-table dedup
+            ss = ss[first]
+            m = len(cc)
+            top = min(top_n, m)
+            if m > top:
+                thresh = ss[np.argpartition(-ss, top - 1)[top - 1]]
+                sel = np.flatnonzero(ss >= thresh)
+            else:
+                sel = np.arange(m)
+            sel = sel[np.lexsort((cc[sel], -ss[sel]))[:top]]
+            out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+            out_c.append(cc[sel])
+            out_s.append(ss[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    return run
 
 
 def _centroid_assign_kernel(bc, id_name: str, top: int, vec_out: str | None = None):

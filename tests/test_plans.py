@@ -162,18 +162,15 @@ def test_hyperplane_sigs_kernel_is_map_only(spark):
     assert "Exchange" not in plan  # scan -> kernel, nothing in between
 
 
-def test_ann_scoring_broadcasts_queries(spark, entry):
-    """lsh scoring joins must broadcast the (small) query side and never
-    fall back to a sort-merge join against the corpus; the fused ivf
-    kernel removed its joins entirely — pin that the plan is join-FREE
-    (one corpus pass, no candidate re-attach shuffle)."""
-    plan = _plan(entry.queries()["ann_lsh"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    plan = _plan(entry.queries()["ann_ivf"](spark, SF_DIR))
-    assert "MapInPandas" in plan
-    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
-        assert join not in plan, join
+def test_ann_search_plans_are_join_free(spark, entry):
+    """The fused lsh/ivf kernels removed their bucket/probe joins and
+    candidate→vector re-attach shuffles entirely — pin that both plans
+    are join-FREE (one corpus pass + the k-sized ranking window)."""
+    for name in ("ann_lsh", "ann_ivf"):
+        plan = _plan(entry.queries()[name](spark, SF_DIR))
+        assert "MapInPandas" in plan, name
+        for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+            assert join not in plan, (name, join)
 
 
 def test_minhash_auto_estimate_prunes_columns(spark):
