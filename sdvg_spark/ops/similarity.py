@@ -407,6 +407,78 @@ def lsh_topk(
     return final.select("q_id", "c_id", "cosine", "rank")
 
 
+def _quantized_fused_kernel(bc, short_n: int):
+    """mapInPandas kernel: on-the-fly int8 quantization + code-cosine
+    shortlisting + exact-cosine rescore in ONE pass over the corpus.
+
+    ``bc`` broadcasts ``(q_ids, q_codes, q_cc, Qn)``. Each partition
+    buffers its raw vectors, quantizes them with
+    ``quantize_embeddings``'s exact rule (scale = max|x|/127,
+    half-away-from-zero rounding compared on the exact double — see
+    :func:`quantized_rescore_topk`), scores codes against the query
+    codes (all-integer float64 arithmetic — bit-exact across engines),
+    keeps the partition-local approx top-``short_n`` per query
+    (boundary ties survive to the c_id tiebreak), and attaches the
+    EXACT cosine (normalized multiply-sum, the
+    ``kernel_scored_candidates`` formulation) for just those rows."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        q_ids, q_codes, q_cc, Qn = bc.value
+        if len(q_ids) == 0:
+            return
+        M_chunks, id_chunks = [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M_chunks.append(np.array(list(pdf["__v"]), dtype=np.float64))
+            id_chunks.append(pdf["c_id"].to_numpy(dtype=np.int64))
+        if not M_chunks:
+            return
+        M = np.vstack(M_chunks)
+        c_ids = np.concatenate(id_chunks)
+        amax = np.abs(M).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        scaled = M / scale[:, None]
+        whole = np.trunc(scaled)
+        frac = scaled - whole
+        codes = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
+        cc = (codes * codes).sum(axis=1)
+        dots = codes @ q_codes.T  # exact integer values in float64
+        denom = np.sqrt(np.outer(cc, q_cc))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            approx = np.where(denom > 0, dots / denom, -2.0)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        C = M / nrm[:, None]
+        m = len(c_ids)
+        top = min(short_n, m)
+        out_q, out_c, out_a, out_s = [], [], [], []
+        for j in range(len(q_ids)):
+            col = approx[:, j]
+            if m > top:
+                thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                sel = np.flatnonzero(col >= thresh)
+            else:
+                sel = np.arange(m)
+            sel = sel[np.lexsort((c_ids[sel], -col[sel]))[:top]]
+            out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+            out_c.append(c_ids[sel])
+            out_a.append(col[sel])
+            out_s.append((C[sel] * Qn[j]).sum(axis=1))
+        yield pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "c_id": np.concatenate(out_c),
+                "approx": np.concatenate(out_a),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    return run
+
+
 def _lsh_fused_kernel(bc, top_n: int):
     """mapInPandas kernel: per-table signatures + bucket lookup +
     scoring + per-query partition-local top-k in ONE pass over the
@@ -1071,11 +1143,24 @@ def quantized_rescore_topk(
     dot products are exact in float64 (≤2^53), ties break by id, so the
     shortlist itself — not just the final ranking — is reproducible in
     the DuckDB oracle.
+
+    Fused plan shape: this operator quantizes the corpus ON THE FLY
+    (there is no persisted int8 index here — see ``ivf_write_index``
+    for that), so stage 1 already holds each partition's raw vectors.
+    One mapInPandas pass quantizes (same half-away-from-zero rule as
+    ``quantize_embeddings``, bit-exact), scores codes against the
+    broadcast query codes, keeps the partition-local approx
+    top-``k·shortlist`` per query (boundary ties survive to the id
+    tiebreak), and attaches the EXACT cosine for just those rows — the
+    rescore needs no second corpus scan and no shortlist broadcast
+    join. Two k-sized windows then pick the global shortlist (approx
+    order) and the final ranking (exact order); the only exchange is
+    O(partitions × queries × k·shortlist) rows.
     """
     import numpy as np
 
     from sdvg_spark.ops.dedup import bounded_local_vectors, widen
-    from sdvg_spark.ops.vectors import Q_MAX, quantize_embeddings
+    from sdvg_spark.ops.vectors import Q_MAX
 
     spark = corpus.sparkSession
     loc = bounded_local_vectors(
@@ -1101,47 +1186,27 @@ def quantized_rescore_topk(
     frac = scaled - whole  # exact: |scaled| <= 127 << 2^52
     q_codes = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
     q_cc = (q_codes * q_codes).sum(axis=1)  # exact ints in float64
-    bc = spark.sparkContext.broadcast((q_ids, q_codes, q_cc))
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = q_mat / qn[:, None]
+    bc = spark.sparkContext.broadcast((q_ids, q_codes, q_cc, Qn))
     short_n = int(k * shortlist)
 
-    def code_cosine_scores(C, payload):
-        _, b_q, b_qcc = payload
-        cc = (C * C).sum(axis=1)
-        dots = C @ b_q.T  # exact integer values in float64
-        denom = np.sqrt(np.outer(cc, b_qcc))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return np.where(denom > 0, dots / denom, -2.0)
-
-    codes = quantize_embeddings(widen(corpus), corpus_id, corpus_vec).select(
-        F.col(corpus_id).alias("c_id"), "qvec"
-    )
-    part = codes.mapInPandas(
-        _partition_topk_kernel(bc, "qvec", short_n, code_cosine_scores, out_col="approx"),
-        "q_id long, c_id long, approx double",
-    )
-    shortlisted = (
-        part.withColumn(
-            "srank",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("c_id"))
-            ),
+    part = (
+        widen(corpus)
+        .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
+        .mapInPandas(
+            _quantized_fused_kernel(bc, short_n),
+            "q_id long, c_id long, approx double, cosine double",
         )
-        .where(F.col("srank") <= short_n)
-        .select("q_id", "c_id")
     )
-    # the shortlist is tiny (queries × k·shortlist rows) but emerges from
-    # mapInPandas + a window, so Spark has no stats to auto-broadcast it;
-    # without the hint the rescore join repartitions the ENTIRE corpus on
-    # c_id — a full-corpus shuffle write at scale, exactly what stage 1
-    # existed to avoid. Exact rescoring rides the vectorized kernel.
-    rescored = kernel_scored_candidates(
-        F.broadcast(shortlisted), corpus, queries,
-        corpus_id=corpus_id, corpus_vec=corpus_vec,
-        query_id=query_id, query_vec=query_vec,
-        max_query_bytes=max_query_bytes,
-        local_queries=(q_ids, q_mat),  # reuse the stage-1 collect
-    )
-    final = rescored.withColumn(
+    shortlisted = part.withColumn(
+        "srank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("approx"), F.asc("c_id"))
+        ),
+    ).where(F.col("srank") <= short_n)
+    final = shortlisted.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
     ).where(F.col("rank") <= k)

@@ -209,12 +209,11 @@ def test_ivf_vector_reattach_skips_widen_shuffle(spark):
     assert "hashpartitioning(cell" not in plan
 
 
-def test_quantized_rescore_broadcasts_shortlist(spark):
-    """Stage 2's rescore join must broadcast the tiny shortlist
-    (queries × k·shortlist rows): it emerges from mapInPandas + a
-    window, so Spark has no stats — without the hint the join would
-    repartition the ENTIRE corpus on c_id, the full-corpus shuffle
-    stage 1 exists to avoid (mirrors the ivf probe-join test)."""
+def test_quantized_rescore_plan_is_join_free(spark):
+    """The fused kernel quantizes, shortlists, and exact-rescores in
+    ONE corpus pass — pin that the plan has no join at all (the old
+    shape re-scanned the corpus for the rescore join) and never
+    hash-partitions the corpus on the shortlist key."""
     from pyspark.sql import functions as F
 
     from sdvg_spark.ops.similarity import quantized_rescore_topk
@@ -224,10 +223,10 @@ def test_quantized_rescore_broadcasts_shortlist(spark):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     plan = _plan(quantized_rescore_topk(emb, q, k=5, shortlist=2))
-    assert "BroadcastHashJoin" in plan
-    # the corpus side must never hash-partition on the shortlist key
+    assert "MapInPandas" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan, join
     assert "hashpartitioning(c_id" not in plan
-    assert "CartesianProduct" not in plan
 
 
 def test_decontaminate_broadcasts_benchmark(spark, entry):
