@@ -93,87 +93,6 @@ def hyperplane_sigs_df(
     )
 
 
-def kernel_scored_candidates(
-    cand: DataFrame,
-    corpus: DataFrame,
-    queries: DataFrame,
-    *,
-    corpus_id: str,
-    corpus_vec: str,
-    query_id: str,
-    query_vec: str,
-    max_query_bytes: int = 256_000_000,
-    local_queries=None,
-) -> DataFrame:
-    """Attach exact cosine scores to a (q_id, c_id) candidate set via a
-    vectorized Arrow kernel instead of the expression-level ``cosine``.
-
-    Spark evaluates higher-order array lambdas interpreted PER ELEMENT
-    — at dims=64 that is ~130 interpreted ops per candidate pair, and
-    candidate volume grows with the corpus, so the expression path's
-    cost is linear in exactly the quantity LSH/IVF bucketing exists to
-    bound. The kernel does one row-wise numpy multiply-sum per Arrow
-    batch against the broadcast normalized query matrix (queries are
-    the small side by the same contract as :func:`brute_force_topk`;
-    a too-big query set raises via ``bounded_local_vectors``).
-
-    Map-only: the candidate→vector join shuffles as before; scoring
-    itself adds no exchange.
-
-    ``local_queries`` lets a caller that ALREADY collected the query
-    matrix (e.g. :func:`ivf_topk`, which needs it driver-side for the
-    probe assignment anyway) pass the ``(ids, raw float64 matrix)``
-    pair straight in — skipping this function's own estimate+collect
-    jobs. Ids must be sorted ascending with rows re-ordered to match
-    (exactly what ``bounded_local_vectors`` returns).
-    """
-    import numpy as np
-
-    from sdvg_spark.ops.dedup import bounded_local_vectors
-
-    spark = cand.sparkSession
-    if local_queries is None:
-        loc = bounded_local_vectors(
-            queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
-            "q_id",
-            "__qv",
-            max_query_bytes,
-        )
-        if loc is None:
-            raise ValueError("query set exceeds max_query_bytes")
-    else:
-        loc = local_queries
-    q_ids, Q = loc  # ids sorted ascending (searchsorted below relies on it)
-    if len(q_ids):
-        qn = np.linalg.norm(Q, axis=1)
-        qn[qn == 0] = 1.0
-        Q = Q / qn[:, None]
-    bc = spark.sparkContext.broadcast((q_ids, Q))
-    cv = corpus.select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
-    withv = cand.select("q_id", "c_id").join(cv, "c_id")
-
-    def run(batches):
-        import pandas as pd
-
-        b_qids, b_Q = bc.value
-        if len(b_qids) == 0:  # no queries -> no candidates can exist
-            return
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.array(list(pdf["__cv"]), dtype=np.float64)
-            cn = np.linalg.norm(C, axis=1)
-            cn[cn == 0] = 1.0
-            C = C / cn[:, None]
-            idx = np.searchsorted(b_qids, pdf["q_id"].to_numpy(dtype=np.int64))
-            sims = (C * b_Q[idx]).sum(axis=1)
-            yield pd.DataFrame(
-                {"q_id": pdf["q_id"], "c_id": pdf["c_id"], "cosine": sims}
-            )
-
-    return withv.mapInPandas(run, "q_id long, c_id long, cosine double")
-
-
 def _partition_topk_kernel(bc, vec_col: str, top_n: int, score, out_col: str = "score"):
     """mapInPandas kernel factory: deterministic partition-local top-k
     per query over an arbitrary scoring function.
@@ -420,7 +339,8 @@ def _quantized_fused_kernel(bc, short_n: int):
     keeps the partition-local approx top-``short_n`` per query
     (boundary ties survive to the c_id tiebreak), and attaches the
     EXACT cosine (normalized multiply-sum, the
-    ``kernel_scored_candidates`` formulation) for just those rows."""
+    normalized multiply-sum formulation shared by every search kernel
+    here) for just those rows."""
     import numpy as np
     import pandas as pd
 
@@ -742,8 +662,8 @@ def ivf_topk(
     cent = cent / cnorm[:, None]
     spark = corpus.sparkSession
 
-    # Queries are driver-bounded by contract (same cap as
-    # kernel_scored_candidates), so collect them ONCE and derive the
+    # Queries are driver-bounded by contract (256 MB byte cap), so
+    # collect them ONCE and derive the
     # probe assignment locally with the exact arithmetic of
     # _centroid_assign_kernel (float64 normalize, stable argsort); the
     # inverted cell→queries map then rides the broadcast into the fused
@@ -1043,7 +963,7 @@ def ivf_index_topk(
     before any bytes are read. Candidates come out of the scan WITH
     their vectors (the layout stores them; the quantized layout
     reconstructs code·scale inside the kernel), so scoring is the same
-    vectorized Arrow kernel as :func:`kernel_scored_candidates` — no
+    normalized multiply-sum Arrow kernel as the other search paths — no
     corpus re-attach shuffle, no interpreted per-element cosine.
     """
     import numpy as np
