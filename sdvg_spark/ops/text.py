@@ -46,9 +46,18 @@ def regex_token_count(text: Column) -> Column:
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:
-    """Occurrence count of ``lang``'s stopwords in a token array."""
-    sw = F.lit(STOPWORDS[lang])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    """Occurrence count of ``lang``'s stopwords in a token array.
+
+    One hash-map lookup per token (``try_element_at`` on a literal map —
+    NULL-on-miss under ANSI too) instead of an O(|stopwords|) array
+    scan per token; counts are identical integers either way.
+    """
+    m = F.create_map(
+        *[x for w in sorted(STOPWORDS[lang]) for x in (F.lit(w), F.lit(1))]
+    )
+    return F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.coalesce(F.try_element_at(m, t), F.lit(0))
+    )
 
 
 def stopword_ratio(text: Column, lang: str = "en", toks: Column | None = None) -> Column:
@@ -75,12 +84,37 @@ def detect_language(text: Column, toks: Column | None = None) -> Column:
     returns the FIRST (alphabetically-first) language on ties. Linear
     expression size — a when-chain fold here doubles per language and
     re-runs tokenization exponentially many times.
+
+    All languages' hit counters accumulate in ONE pass over the tokens:
+    a literal map sends each token to its per-language 0/1 indicator
+    vector (``try_element_at`` — one hash lookup, NULL-on-miss under
+    ANSI too) folded with ``zip_with`` adds — O(tokens · langs) instead
+    of O(tokens · stopwords · langs); the counts are identical
+    integers, so the oracle mirror is untouched.
     """
     if toks is None:
         toks = tokens(text)
     cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
     total = F.greatest(F.length(text), F.lit(1))
-    hits = F.array(*[stopword_hits(toks, lang) for lang in LANGS])
+    entries: dict[str, list[int]] = {}
+    for li, lang in enumerate(LANGS):
+        for w in STOPWORDS[lang]:
+            entries.setdefault(w, [0] * len(LANGS))[li] = 1
+    m = F.create_map(
+        *[
+            x
+            for w in sorted(entries)
+            for x in (F.lit(w), F.array(*[F.lit(v) for v in entries[w]]))
+        ]
+    )
+    zero = F.array(*[F.lit(0) for _ in LANGS])
+    hits = F.aggregate(
+        toks,
+        zero,
+        lambda a, t: F.zip_with(
+            a, F.coalesce(F.try_element_at(m, t), zero), lambda x, y: x + y
+        ),
+    )
     mx = F.array_max(hits)
     best = F.when(
         mx > 0,
@@ -159,16 +193,35 @@ def token_entropy(text: Column, toks: Column | None = None) -> Column:
     text. Standard corpus-quality signal next to the dup ratios.
 
     Computed as ln(n) − (Σ c·ln c)/n over per-distinct-token counts c —
-    pure array expressions (distinct → per-token filter count), no UDF;
-    O(distinct·tokens) per row in codegen, fine at document size.
+    pure array expressions, no UDF. Counts come from RUN LENGTHS of the
+    sorted token array (start positions of each distinct run, diffed
+    against the next start): O(n log n) per row instead of the
+    O(distinct·n) per-distinct filter scan, which goes quadratic on
+    long mostly-distinct documents. The counts are identical integers;
+    only the float summation ORDER changes (sorted-run vs
+    first-occurrence), which the round-9 consumer contract already
+    absorbs — the DuckDB mirror accumulates in its own order today.
+    All element_at indices are proven in-bounds (guarded branches), so
+    the expression is ANSI-safe.
     """
     if toks is None:
         toks = tokens(text)
     n = F.size(toks)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double"),
+    srt = F.array_sort(toks)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(srt, i) != F.element_at(srt, i - F.lit(1))
+        ),
     )
+    m = F.size(starts)
+    nexts = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda j: F.when(j < m, F.element_at(starts, j + F.lit(1))).otherwise(
+            n + F.lit(1)
+        ),
+    )
+    counts = F.zip_with(starts, nexts, lambda a, b: (b - a).cast("double"))
     sum_clnc = F.aggregate(
         counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
     )
