@@ -193,37 +193,64 @@ def token_entropy(text: Column, toks: Column | None = None) -> Column:
     text. Standard corpus-quality signal next to the dup ratios.
 
     Computed as ln(n) − (Σ c·ln c)/n over per-distinct-token counts c —
-    pure array expressions, no UDF. Counts come from RUN LENGTHS of the
-    sorted token array (start positions of each distinct run, diffed
-    against the next start): O(n log n) per row instead of the
-    O(distinct·n) per-distinct filter scan, which goes quadratic on
-    long mostly-distinct documents. The counts are identical integers;
-    only the float summation ORDER changes (sorted-run vs
-    first-occurrence), which the round-9 consumer contract already
-    absorbs — the DuckDB mirror accumulates in its own order today.
-    All element_at indices are proven in-bounds (guarded branches), so
-    the expression is ANSI-safe.
+    pure array expressions, no UDF. Counts come from one run-length
+    FOLD over the sorted token array (struct accumulator: previous
+    token, open run length, closed-run Σ c·ln c): O(n log n) sort +
+    O(n) fold per row instead of the O(distinct·n) per-distinct filter
+    scan, which goes quadratic on long mostly-distinct documents.
+    (A positional starts/nexts formulation is a trap here: expression
+    trees re-evaluate un-staged subexpressions per element inside
+    higher-order functions, turning element_at(starts, j) into a full
+    filter re-run — measured 10× SLOWER than the quadratic form.)
+    The counts are identical integers; only the float summation ORDER
+    changes (sorted-run vs first-occurrence), which the round-9
+    consumer contract already absorbs — the DuckDB mirror accumulates
+    in its own order today.
     """
     if toks is None:
         toks = tokens(text)
     n = F.size(toks)
     srt = F.array_sort(toks)
-    starts = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when(i == 1, F.lit(True)).otherwise(
-            F.element_at(srt, i) != F.element_at(srt, i - F.lit(1))
-        ),
+
+    def clnc(r: Column) -> Column:
+        c = r.cast("double")
+        return c * F.log(c)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0.0).alias("s"),
     )
-    m = F.size(starts)
-    nexts = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda j: F.when(j < m, F.element_at(starts, j + F.lit(1))).otherwise(
-            n + F.lit(1)
-        ),
-    )
-    counts = F.zip_with(starts, nexts, lambda a, b: (b - a).cast("double"))
+
+    def step(acc: Column, t: Column) -> Column:
+        return (
+            F.when(
+                acc["r"] == 0,  # first token opens the first run
+                F.struct(
+                    t.alias("p"), F.lit(1).cast("long").alias("r"), acc["s"].alias("s")
+                ),
+            )
+            .when(
+                t == acc["p"],  # run continues
+                F.struct(
+                    t.alias("p"), (acc["r"] + F.lit(1)).alias("r"), acc["s"].alias("s")
+                ),
+            )
+            .otherwise(  # run closes: fold its c·ln c, open the next
+                F.struct(
+                    t.alias("p"),
+                    F.lit(1).cast("long").alias("r"),
+                    (acc["s"] + clnc(acc["r"])).alias("s"),
+                )
+            )
+        )
+
     sum_clnc = F.aggregate(
-        counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+        srt,
+        init,
+        step,
+        lambda acc: acc["s"]
+        + F.when(acc["r"] > 0, clnc(acc["r"])).otherwise(F.lit(0.0)),
     )
     return F.when(
         n > 0, F.log(n.cast("double")) - sum_clnc / n.cast("double")
