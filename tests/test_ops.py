@@ -1016,3 +1016,52 @@ def test_incremental_exact_dedup(spark):
     assert got == {10, 13}  # 11 = batch dup of 10; 12 = already in store
     # admitted rows carry their hash so the store can be appended
     assert all(len(r.content_hash) == 64 for r in out)
+
+
+def test_simhash_blocking_ladder_and_invariance(spark):
+    """The block count is a pure cost knob: with subset size b-d the
+    pigeonhole guarantee holds for every b >= d+1, so results must be
+    IDENTICAL across n_docs regimes that select different b. Also pin
+    the ladder's shape: small corpora stay at the minimum block count,
+    larger ones climb to wider effective keys."""
+    from math import comb
+
+    from sdvg_spark.ops.dedup import _simhash_blocking, simhash_pairs
+
+    assert _simhash_blocking(500, 3) == 4  # minimum b, 4 single-block keys
+    big = _simhash_blocking(50_000_000, 3)
+    assert big > 4 and comb(big, big - 3) <= 256
+    # ladder is monotone in n (wider keys for bigger corpora)
+    bs = [_simhash_blocking(n, 6) for n in (100, 100_000, 10_000_000)]
+    assert bs == sorted(bs)
+
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(
+            _docs(spark), "doc_id", "text", max_distance=6, n_docs=10
+        ).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(
+            _docs(spark), "doc_id", "text", max_distance=6, n_docs=50_000_000
+        ).collect()
+    }
+    assert base == wide and base  # same pairs under any valid blocking
+
+
+def test_bounded_local_vectors_known_dims_single_job(spark):
+    """The known_dims path must return the same (ids, matrix) as the
+    estimate path, and still refuse an over-cap input (row cap derived
+    from the byte cap)."""
+    import numpy as np
+
+    from sdvg_spark.ops.dedup import bounded_local_vectors
+
+    df = _embeddings(spark, n=40, dims=8)
+    a = bounded_local_vectors(df, "vec_id", "embedding", 1 << 20)
+    b = bounded_local_vectors(df, "vec_id", "embedding", 1 << 20, known_dims=8)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    # cap of 5 rows' worth of bytes -> known_dims path must refuse 40 rows
+    tiny = 5 * (8 * 8 + 8)
+    assert bounded_local_vectors(df, "vec_id", "embedding", tiny, known_dims=8) is None
