@@ -1008,32 +1008,6 @@ def bounded_local_vectors(
     return ids, mat
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays — native zip_with/aggregate.
-
-    Elements are cast to double BEFORE multiplying: a float32 product
-    loses ~3 decimal digits per term, enough to flip ranking order
-    against a float64 oracle; the all-double form matches numpy / DuckDB
-    sequential accumulation.
-    """
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-    def sq_norm(v: Column) -> Column:
-        return F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-
-    na = F.sqrt(sq_norm(a))
-    nb = F.sqrt(sq_norm(b))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
-
-
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1065,8 +1039,6 @@ def embedding_dup_pairs(
     signature, verify cosine within blocks.
     """
     df = widen(df)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
         import numpy as np
         import pandas as pd
@@ -1115,30 +1087,88 @@ def embedding_dup_pairs(
             return df.select(F.col(id_col).alias("id_a")).mapInPandas(
                 block_pairs, "id_a long, id_b long, cosine double"
             )
-    # LSH tier (also the exact-overflow fallback)
+    # LSH tier (also the exact-overflow fallback): one map pass emits
+    # (signature, id, vector), then a groupBy(sig).applyInPandas matmul
+    # verifies cosine WITHIN each bucket — the same per-bucket kernel
+    # shape as semantic_dedup. The previous form self-joined ids on the
+    # signature (materializing every candidate pair as rows), then
+    # re-attached both vectors with two more corpus joins and verified
+    # with the interpreted per-element cosine; this shape shuffles the
+    # corpus once, keeps pairs inside numpy, and never evaluates an
+    # interpreted lambda per candidate. Oversized buckets (skewed /
+    # near-constant corpora) raise with the actionable knob instead of
+    # OOMing a task; the matmul is row-blocked so peak memory is
+    # O(block × bucket), not O(bucket²).
+    import numpy as np
+    import pandas as pd
+
     if dims is None:
         dims = _infer_dims(df, vec_col)
-    from sdvg_spark.ops.similarity import hyperplane_sigs_df
+    from sdvg_spark.ops.similarity import hyperplane_weights
 
-    # single-table signatures from the vectorized matmul kernel;
-    # the bucket self-join moves ids+signature only — vectors
-    # re-attach to the (much smaller) candidate set afterwards
-    sig = hyperplane_sigs_df(
-        df, id_col, vec_col, n_planes=n_planes, n_tables=1, seed=seed, dims=dims
-    ).drop("__t")
-    sa = sig.select(F.col("__id").alias("id_a"), "__sig")
-    sb = sig.select(F.col("__id").alias("id_b"), "__sig")
-    cand = (
-        sa.join(sb, "__sig")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .join(a, "id_a")
-        .join(b, "id_b")
-    )
-    return (
-        cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine")
+    w_flat = hyperplane_weights(n_planes, 1, seed, dims).reshape(n_planes, dims)
+    thr = float(threshold)
+
+    def sig_kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            bits = (M @ w_flat.T) >= 0  # sign rule ≡ hyperplane_sigs_df
+            sig = np.zeros(n, dtype=np.int64)
+            for p in range(n_planes):
+                sig |= bits[:, p].astype(np.int64) << p
+            yield pd.DataFrame(
+                {"__sig": sig, "__id": pdf["__id"], "__v": pdf["__v"]}
+            )
+
+    def bucket_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        if n > 32_768:
+            raise ValueError(
+                f"embedding_dup_pairs LSH bucket has {n} rows (> 32768): raise "
+                "n_planes (narrower buckets) or pre-split degenerate clusters"
+            )
+        M = np.array(list(pdf["__v"]), dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = 1.0
+        Mn = M / nrm[:, None]
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        out_a, out_b, out_s = [], [], []
+        for s0 in range(0, n, 2048):
+            S = Mn[s0 : s0 + 2048] @ Mn.T  # (block, n)
+            ra, cb = np.nonzero(S >= thr)
+            ga = ra + s0
+            keep = ga < cb
+            if keep.any():
+                ai, bi = ga[keep], cb[keep]
+                lo, hi = np.minimum(ids[ai], ids[bi]), np.maximum(ids[ai], ids[bi])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(S[ra[keep], cb[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    vec_type = dict(df.dtypes)[vec_col]
+    sigged = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(sig_kernel, f"__sig long, __id long, __v {vec_type}")
+    return sigged.groupBy("__sig").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
     )
 
 

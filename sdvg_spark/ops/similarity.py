@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sdvg_spark.ops.dedup import cosine
 
 
 def hyperplane_weights(n_planes: int, n_tables: int, seed: int, dims: int):
