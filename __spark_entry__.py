@@ -851,6 +851,29 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_FRACTIONS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sample: exactly 7 docs per source, ranked
+    by the frf(id) draw with id tiebreak — partition-stable and
+    engine-exact, unlike Bernoulli sampleBy
+    (ops/sampling.py:stratified_sample_exact)."""
+    from sdvg_spark.ops.sampling import stratified_sample_exact
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_exact(
+        docs, "doc_id", "source", n_per_stratum=7, seed=11
+    )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 12-token spans (bounded substring-level
+    dedup signal): ids + 60-bit fingerprints shuffle, gram text never
+    does (ops/corpus.py:duplicate_spans)."""
+    from sdvg_spark.ops.corpus import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", span_tokens=12, min_docs=2)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
@@ -922,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_chunks": q_doc_chunks,
             "corpus_mix": q_corpus_mix,
             "dedup_incremental": q_dedup_incremental,
+            "stratified_sample": q_stratified_sample,
+            "duplicate_spans": q_duplicate_spans,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -944,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_string_simple",
         "gen_template",
         "gen_slice_resume",
+        "gen_enum",
+        "gen_uuid",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}
@@ -1228,6 +1255,19 @@ FROM grid ASOF LEFT JOIN obs
         fractions=_MIX_FRACTIONS,
         default=0.1,
         seed=11,
+    )
+    from sdvg_spark.ops.corpus import duplicate_spans_oracle_sql
+    from sdvg_spark.ops.sampling import stratified_sample_exact_oracle_sql
+
+    out["stratified_sample"] = stratified_sample_exact_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        strata_col="source",
+        n_per_stratum=7,
+        seed=11,
+    )
+    out["duplicate_spans"] = duplicate_spans_oracle_sql(
+        span_tokens=12, min_docs=2
     )
 
     out["events_percentiles"] = """

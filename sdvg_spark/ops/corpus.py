@@ -362,3 +362,90 @@ SELECT {id_col}, chunk_seq,
   len(list_slice(toks, chunk_seq * {stride} + 1, chunk_seq * {stride} + {chunk_tokens})) AS n_chunk_tokens,
   array_to_string(list_slice(toks, chunk_seq * {stride} + 1, chunk_seq * {stride} + {chunk_tokens}), ' ') AS chunk_text
 FROM c"""
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token spans — one row per OCCURRENCE of
+    a ``span_tokens``-token window whose exact text appears in at least
+    ``min_docs`` distinct documents: (id, span_start [1-based token
+    index], span_fp, n_docs).
+
+    This is the bounded, equi-join-costed cousin of suffix-array
+    substring dedup (the "dedup training data at the substring level"
+    step): fixed-width windows catch every repeated run of
+    ≥ span_tokens tokens (a longer shared substring simply yields a run
+    of flagged windows), and the follow-up policy — trim the span, drop
+    the doc, or weight it down — stays with the caller.
+
+    Plan shape: positional explode of per-doc windows (corpus ×
+    ~n_tokens rows, but ids + 60-bit md5-fold fingerprints only — the
+    gram TEXT never shuffles), one groupBy(fp) census keeping only
+    fingerprints seen in ≥ min_docs docs (tiny by construction), then
+    an inner join back that AQE can broadcast. Skewed boilerplate
+    fingerprints split under AQE skew-join like any hot equi-key.
+    """
+    from sdvg_spark.ops.text import tokens
+
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(span_tokens - 1)),
+            lambda i: F.array_join(F.slice(toks, i, span_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("__p", "__g")
+    ).select(
+        F.col(id_col),
+        (F.col("__p") + F.lit(1)).cast("long").alias("span_start"),
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("span_fp"),
+    )
+    census = (
+        occ.groupBy("span_fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+    return occ.join(census, "span_fp").select(
+        id_col, "span_start", "span_fp", "n_docs"
+    )
+
+
+def duplicate_spans_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`duplicate_spans` — same tokenization,
+    same positional windows, same md5-prefix 60-bit fingerprint, same
+    distinct-doc census."""
+    toks = sql_tokens(text_col)
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+w AS (
+  SELECT id, p AS span_start,
+    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, p, p + {span_tokens - 1}), ' ')), 1, 15))::UBIGINT AS BIGINT) AS span_fp
+  FROM d, unnest(CASE WHEN len(toks) >= {span_tokens}
+                 THEN range(1, len(toks) - {span_tokens - 1} + 1)
+                 ELSE []::BIGINT[] END) AS u(p)),
+c AS (SELECT span_fp, count(DISTINCT id) AS n_docs FROM w GROUP BY span_fp
+      HAVING count(DISTINCT id) >= {int(min_docs)})
+SELECT w.id AS {id_col}, w.span_start, w.span_fp, c.n_docs
+FROM w JOIN c USING (span_fp)"""

@@ -16,7 +16,7 @@ functions of (id, seed) via the engine's synced fastRandomFloat
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sdvg_spark.core.rng import frf_col
@@ -195,4 +195,71 @@ def stratified_sample_oracle_sql(
     return (
         f"WITH src AS (SELECT {cols} FROM {table}), {chain} "
         f"SELECT {cols} FROM {final} WHERE u < {thresh}"
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    n_per_stratum: int,
+    seed: int = 0,
+    out_rank: str = "samp_rank",
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum,
+    deterministically — the exact-count companion to
+    :func:`stratified_sample`'s Bernoulli draw (eval sets, per-domain
+    caps, balanced fine-tuning mixes need exact counts).
+
+    Rows rank within their stratum by the frf(id + seed) unit draw
+    (string ids fold through the md5-prefix integer), ties broken by
+    id; keep rank ≤ n. The draw is a pure f(id), so the selected set is
+    identical under any partitioning and engine — unlike
+    ``df.sampleBy``, which is neither exact-count nor partition-stable.
+
+    Scale shape: ``row_number() ≤ n`` over a per-stratum window —
+    Spark's WindowGroupLimit pushes the limit MAP-SIDE (each partition
+    forwards at most n rows per stratum into the single shuffle), so a
+    hot stratum costs one bounded sorted partition, not its full row
+    count.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    u = _draw(df, id_col, seed)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(id_col).asc())
+    return df.withColumn(out_rank, F.row_number().over(w)).where(
+        F.col(out_rank) <= F.lit(int(n_per_stratum))
+    )
+
+
+def stratified_sample_exact_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+    id_is_string: bool = False,
+    carry: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`stratified_sample_exact`: the same frf
+    draw ranked by the same (u, id) order within each stratum."""
+    from sdvg_spark.core.rng import frf_cte_chain
+
+    carry = carry or [id_col, strata_col]
+    if id_is_string:
+        key = (
+            f"CAST(('0x' || substr(md5(coalesce({id_col}, '')), 1, 15))::UBIGINT"
+            f" AS BIGINT)"
+        )
+    else:
+        key = id_col
+    chain, final = frf_cte_chain("src", f"{key} + {int(seed)}", carry=carry, out="u")
+    cols = ", ".join(carry)
+    return (
+        f"WITH src AS (SELECT {cols} FROM {table}), {chain}, "
+        f"r AS (SELECT {cols}, row_number() OVER "
+        f"(PARTITION BY {strata_col} ORDER BY u, {id_col}) AS samp_rank FROM {final}) "
+        f"SELECT {cols}, samp_rank FROM r WHERE samp_rank <= {int(n_per_stratum)}"
     )

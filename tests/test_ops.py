@@ -1065,3 +1065,48 @@ def test_bounded_local_vectors_known_dims_single_job(spark):
     # cap of 5 rows' worth of bytes -> known_dims path must refuse 40 rows
     tiny = 5 * (8 * 8 + 8)
     assert bounded_local_vectors(df, "vec_id", "embedding", tiny, known_dims=8) is None
+
+
+def test_stratified_sample_exact_counts_and_stability(spark):
+    """Exact per-stratum counts, capped by stratum size, identical
+    under different partition layouts (pure f(id) draw)."""
+    from sdvg_spark.ops.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)], "id long, s string"
+    )
+    out = stratified_sample_exact(df, "id", "s", n_per_stratum=12, seed=3)
+    rows = [(r.id, r.s, r.samp_rank) for r in out.collect()]
+    by_s = {}
+    for _, s, _ in rows:
+        by_s[s] = by_s.get(s, 0) + 1
+    assert by_s == {"a": 12, "b": 10}  # b has only 10 rows
+    again = stratified_sample_exact(
+        df.repartition(7), "id", "s", n_per_stratum=12, seed=3
+    )
+    assert sorted(rows) == sorted((r.id, r.s, r.samp_rank) for r in again.collect())
+    import pytest
+
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample_exact(df, "id", "s", n_per_stratum=0)
+
+
+def test_duplicate_spans_flags_shared_windows_only(spark):
+    """Docs sharing a >= span-length run are flagged at every window
+    inside the run; unique docs never appear."""
+    from sdvg_spark.ops.corpus import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro one"),
+            (2, f"other {shared} ending two"),
+            (3, "completely unrelated text with many unique tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(df, "doc_id", "text", span_tokens=5, min_docs=2)
+    rows = [(r.doc_id, r.span_start, r.n_docs) for r in out.collect()]
+    assert {d for d, _, _ in rows} == {1, 2}
+    assert (1, 2, 2) in rows and (2, 2, 2) in rows  # the shared run's window
+    assert all(n == 2 for _, _, n in rows)
