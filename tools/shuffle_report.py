@@ -54,6 +54,8 @@ QUERIES = [
     "doc_chunks",
     "corpus_mix",
     "dedup_incremental",
+    "stratified_sample",
+    "duplicate_spans",
 ]
 
 
