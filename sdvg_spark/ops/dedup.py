@@ -873,6 +873,8 @@ def connected_components(
             break
         prev_sum = total
     und.unpersist()
+    # introspection for scale reports: rounds actually run this call
+    connected_components.last_rounds = it + 1
     sub = lab.select(F.col("v").alias(id_col), F.col("rep").alias("__rep"))
     return (
         nodes.select(id_col)
