@@ -874,6 +874,17 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "doc_id", "text", span_tokens=12, min_docs=2)
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup REWRITE: every flagged span keeps its
+    first (doc, start) occurrence and is masked everywhere else; docs
+    come back as the trimmed normalized token stream with mask counts
+    (ops/corpus.py:remove_duplicate_spans)."""
+    from sdvg_spark.ops.corpus import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", span_tokens=12, min_docs=2)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
@@ -947,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_incremental": q_dedup_incremental,
             "stratified_sample": q_stratified_sample,
             "duplicate_spans": q_duplicate_spans,
+            "remove_duplicate_spans": q_remove_duplicate_spans,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -971,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_slice_resume",
         "gen_enum",
         "gen_uuid",
+        "gen_text",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}
@@ -1267,6 +1280,11 @@ FROM grid ASOF LEFT JOIN obs
         seed=11,
     )
     out["duplicate_spans"] = duplicate_spans_oracle_sql(
+        span_tokens=12, min_docs=2
+    )
+    from sdvg_spark.ops.corpus import remove_duplicate_spans_oracle_sql
+
+    out["remove_duplicate_spans"] = remove_duplicate_spans_oracle_sql(
         span_tokens=12, min_docs=2
     )
 

@@ -449,3 +449,118 @@ c AS (SELECT span_fp, count(DISTINCT id) AS n_docs FROM w GROUP BY span_fp
       HAVING count(DISTINCT id) >= {int(min_docs)})
 SELECT w.id AS {id_col}, w.span_start, w.span_fp, c.n_docs
 FROM w JOIN c USING (span_fp)"""
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REWRITE step of substring-level dedup: every flagged window
+    from :func:`duplicate_spans` keeps its CANONICAL occurrence (the
+    lexicographically-first (doc, start)) and is masked out of every
+    other document carrying it. Returns one row per input document:
+    (id, trimmed_text, n_tokens, n_masked) — ``trimmed_text`` is the
+    surviving tokens of the NORMALIZED stream (lowercased,
+    whitespace-split, single-space rejoined; span masking is defined on
+    tokens, so the rewrite operates on the same stream the detector
+    hashed), ``n_masked`` how many token positions were removed.
+
+    Plan shape: the detector's occurrence table (ids + fingerprints)
+    ranks canonicals with one window, non-canonical occurrences explode
+    to masked token positions (≤ span_tokens rows each), and the
+    corpus tokens anti-join them positionally before regrouping —
+    O(corpus tokens) shuffle, which a corpus-rewriting operator pays by
+    definition. No all-pairs term anywhere; a boilerplate span shared
+    by millions of docs is one fingerprint group in the canonical
+    window (AQE-skew-splittable) and its masks stay per-doc-bounded.
+    """
+    from sdvg_spark.ops.text import tokens
+
+    occ = duplicate_spans(
+        docs, id_col, text_col, span_tokens=span_tokens, min_docs=min_docs
+    )
+    w = Window.partitionBy("span_fp").orderBy(F.col(id_col), F.col("span_start"))
+    masked_occ = (
+        occ.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)  # canonical occurrence survives
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("span_start"),
+                    F.col("span_start") + F.lit(span_tokens - 1),
+                )
+            ).alias("__mp"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p0", "__tok")
+    ).select(F.col(id_col), (F.col("__p0") + F.lit(1)).alias("__mp"), "__tok")
+    kept = toks.join(masked_occ, [id_col, "__mp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__mp", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_masked"),
+    )
+
+
+def remove_duplicate_spans_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`remove_duplicate_spans` — same detector,
+    same canonical rule, same positional masking and rejoin."""
+    toks = sql_tokens(text_col)
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+w AS (
+  SELECT id, p AS span_start,
+    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, p, p + {span_tokens - 1}), ' ')), 1, 15))::UBIGINT AS BIGINT) AS span_fp
+  FROM d, unnest(CASE WHEN len(toks) >= {span_tokens}
+                 THEN range(1, len(toks) - {span_tokens - 1} + 1)
+                 ELSE []::BIGINT[] END) AS u(p)),
+c AS (SELECT span_fp FROM w GROUP BY span_fp
+      HAVING count(DISTINCT id) >= {int(min_docs)}),
+occ AS (
+  SELECT w.id, w.span_start, w.span_fp,
+    row_number() OVER (PARTITION BY w.span_fp ORDER BY w.id, w.span_start) AS rn
+  FROM w JOIN c USING (span_fp)),
+mask AS (
+  SELECT DISTINCT id, unnest(range(span_start, span_start + {span_tokens})) AS mp
+  FROM occ WHERE rn > 1),
+tk AS (SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p FROM d),
+kept AS (
+  SELECT tk.id, tk.tok, tk.p FROM tk
+  WHERE NOT EXISTS (SELECT 1 FROM mask m WHERE m.id = tk.id AND m.mp = tk.p)),
+reb AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY p) AS trimmed_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY id)
+SELECT d.id AS {id_col},
+  coalesce(r.trimmed_text, '') AS trimmed_text,
+  len(d.toks)::BIGINT AS n_tokens,
+  (len(d.toks) - coalesce(r.n_kept, 0))::BIGINT AS n_masked
+FROM d LEFT JOIN reb r ON r.id = d.id"""

@@ -1110,3 +1110,29 @@ def test_duplicate_spans_flags_shared_windows_only(spark):
     assert {d for d, _, _ in rows} == {1, 2}
     assert (1, 2, 2) in rows and (2, 2, 2) in rows  # the shared run's window
     assert all(n == 2 for _, _, n in rows)
+
+
+def test_remove_duplicate_spans_masks_non_canonical(spark):
+    """The canonical (first) occurrence keeps its text; every other doc
+    carrying the span loses exactly the span's tokens."""
+    from sdvg_spark.ops.corpus import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro"),
+            (2, f"other {shared} ending"),
+            (3, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.trimmed_text, r.n_tokens, r.n_masked)
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", span_tokens=5, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (f"intro {shared} outro", 7, 0)  # canonical survives
+    assert out[2][2] > 0 and "gamma" not in out[2][0]  # masked elsewhere
+    assert out[2][0].startswith("other") and out[2][0].endswith("ending")
+    assert out[3] == ("totally unrelated words only here", 5, 0)
