@@ -151,6 +151,8 @@ def main() -> None:
         "doc_chunks",
         "corpus_mix",
         "dedup_incremental",
+        "stratified_sample",
+        "duplicate_spans",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -56,6 +56,7 @@ QUERIES = [
     "dedup_incremental",
     "stratified_sample",
     "duplicate_spans",
+    "remove_duplicate_spans",
 ]
 
 
