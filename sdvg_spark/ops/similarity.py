@@ -101,9 +101,13 @@ def _partition_topk_kernel(bc, vec_col: str, top_n: int, score, out_col: str = "
     an (m × n_queries) similarity matrix. Boundary ties must all
     survive to the (score DESC, c_id ASC) lexsort (duplicate vectors ⇒
     identical scores), so every row ≥ the top_n-th value is kept before
-    the id tiebreak cuts — the partition-local cut can then never drop
-    a row the global top-k needs. Yields nothing for empty partitions
-    or an empty query set (np.concatenate on zero arrays would throw).
+    the id tiebreak cuts — the local cut can then never drop a row the
+    global top-k needs. The cut is applied PER ARROW BATCH and the
+    ranking window reduces across batches and partitions alike (a
+    global top-k row is top-k within every subset containing it, so a
+    finer cut stays correct) — peak memory is O(batch), never
+    O(partition vectors), and wide 100 TB partitions cannot OOM the
+    task. Yields nothing for empty partitions or an empty query set.
     """
     import numpy as np
     import pandas as pd
@@ -113,38 +117,34 @@ def _partition_topk_kernel(bc, vec_col: str, top_n: int, score, out_col: str = "
         b_qids = payload[0]
         if len(b_qids) == 0:
             return
-        chunks = []
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
-            chunks.append((pdf["c_id"].to_numpy(dtype=np.int64), score(C, payload)))
-        if not chunks:
-            return
-        c_ids = np.concatenate([c for c, _ in chunks])
-        sims = np.vstack([s for _, s in chunks])  # (m_part, n_queries)
-        m = len(c_ids)
-        top = min(top_n, m)
-        out_q, out_c, out_s = [], [], []
-        for j in range(len(b_qids)):
-            col = sims[:, j]
-            if m > top:
-                thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                cand = np.flatnonzero(col >= thresh)
-            else:
-                cand = np.arange(m)
-            order = np.lexsort((c_ids[cand], -col[cand]))[:top]
-            sel = cand[order]
-            out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
-            out_c.append(c_ids[sel])
-            out_s.append(col[sel])
-        yield pd.DataFrame(
-            {
-                "q_id": np.concatenate(out_q),
-                "c_id": np.concatenate(out_c),
-                out_col: np.concatenate(out_s),
-            }
-        )
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            sims = score(C, payload)  # (m_batch, n_queries)
+            m = len(c_ids)
+            top = min(top_n, m)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(b_qids)):
+                col = sims[:, j]
+                if m > top:
+                    thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                    cand = np.flatnonzero(col >= thresh)
+                else:
+                    cand = np.arange(m)
+                order = np.lexsort((c_ids[cand], -col[cand]))[:top]
+                sel = cand[order]
+                out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
+                out_c.append(c_ids[sel])
+                out_s.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    out_col: np.concatenate(out_s),
+                }
+            )
 
     return run
 
@@ -335,11 +335,13 @@ def _quantized_fused_kernel(bc, short_n: int):
     half-away-from-zero rounding compared on the exact double — see
     :func:`quantized_rescore_topk`), scores codes against the query
     codes (all-integer float64 arithmetic — bit-exact across engines),
-    keeps the partition-local approx top-``short_n`` per query
-    (boundary ties survive to the c_id tiebreak), and attaches the
-    EXACT cosine (normalized multiply-sum, the
+    keeps the approx top-``short_n`` per query (boundary ties survive
+    to the c_id tiebreak), and attaches the EXACT cosine (the
     normalized multiply-sum formulation shared by every search kernel
-    here) for just those rows."""
+    here) for just those rows. The cut applies PER ARROW BATCH — the
+    shortlist window reduces across batches/partitions (finer local
+    cuts stay correct), and peak memory is O(batch), never
+    O(partition vectors)."""
     import numpy as np
     import pandas as pd
 
@@ -347,53 +349,48 @@ def _quantized_fused_kernel(bc, short_n: int):
         q_ids, q_codes, q_cc, Qn = bc.value
         if len(q_ids) == 0:
             return
-        M_chunks, id_chunks = [], []
         for pdf in batches:
             if not len(pdf):
                 continue
-            M_chunks.append(np.array(list(pdf["__v"]), dtype=np.float64))
-            id_chunks.append(pdf["c_id"].to_numpy(dtype=np.int64))
-        if not M_chunks:
-            return
-        M = np.vstack(M_chunks)
-        c_ids = np.concatenate(id_chunks)
-        amax = np.abs(M).max(axis=1)
-        scale = np.where(amax > 0, amax / 127.0, 1.0)
-        scaled = M / scale[:, None]
-        whole = np.trunc(scaled)
-        frac = scaled - whole
-        codes = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
-        cc = (codes * codes).sum(axis=1)
-        dots = codes @ q_codes.T  # exact integer values in float64
-        denom = np.sqrt(np.outer(cc, q_cc))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            approx = np.where(denom > 0, dots / denom, -2.0)
-        nrm = np.linalg.norm(M, axis=1)
-        nrm[nrm == 0] = 1.0
-        C = M / nrm[:, None]
-        m = len(c_ids)
-        top = min(short_n, m)
-        out_q, out_c, out_a, out_s = [], [], [], []
-        for j in range(len(q_ids)):
-            col = approx[:, j]
-            if m > top:
-                thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                sel = np.flatnonzero(col >= thresh)
-            else:
-                sel = np.arange(m)
-            sel = sel[np.lexsort((c_ids[sel], -col[sel]))[:top]]
-            out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
-            out_c.append(c_ids[sel])
-            out_a.append(col[sel])
-            out_s.append((C[sel] * Qn[j]).sum(axis=1))
-        yield pd.DataFrame(
-            {
-                "q_id": np.concatenate(out_q),
-                "c_id": np.concatenate(out_c),
-                "approx": np.concatenate(out_a),
-                "cosine": np.concatenate(out_s),
-            }
-        )
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            amax = np.abs(M).max(axis=1)
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            scaled = M / scale[:, None]
+            whole = np.trunc(scaled)
+            frac = scaled - whole
+            codes = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
+            cc = (codes * codes).sum(axis=1)
+            dots = codes @ q_codes.T  # exact integer values in float64
+            denom = np.sqrt(np.outer(cc, q_cc))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = np.where(denom > 0, dots / denom, -2.0)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C = M / nrm[:, None]
+            m = len(c_ids)
+            top = min(short_n, m)
+            out_q, out_c, out_a, out_s = [], [], [], []
+            for j in range(len(q_ids)):
+                col = approx[:, j]
+                if m > top:
+                    thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                    sel = np.flatnonzero(col >= thresh)
+                else:
+                    sel = np.arange(m)
+                sel = sel[np.lexsort((c_ids[sel], -col[sel]))[:top]]
+                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+                out_c.append(c_ids[sel])
+                out_a.append(col[sel])
+                out_s.append((C[sel] * Qn[j]).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "approx": np.concatenate(out_a),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
 
     return run
 
@@ -410,10 +407,13 @@ def _lsh_fused_kernel(bc, top_n: int):
     vectors, signs them against the hyperplane tensor, scores each
     locally-present probed bucket's rows against that bucket's queries,
     dedups candidates per query across tables (same-pair collisions in
-    several tables count once — the fused equivalent of the old global
-    ``dropDuplicates``), and keeps the partition top-k with the usual
+    several tables count once — legal per batch because a corpus row
+    lives in exactly one batch, so cross-table duplicates of a pair
+    never straddle batches), and keeps the top-k with the usual
     boundary-tie rule (every row ≥ the k-th score survives to the c_id
-    tiebreak)."""
+    tiebreak). The cut applies PER ARROW BATCH — the ranking window
+    reduces across batches/partitions (finer local cuts stay correct),
+    and peak memory is O(batch), never O(partition vectors)."""
     import numpy as np
     import pandas as pd
 
@@ -421,68 +421,63 @@ def _lsh_fused_kernel(bc, top_n: int):
         q_ids, Qn, w_flat, n_tables, n_planes, tables = bc.value
         if len(q_ids) == 0:
             return
-        M_chunks, id_chunks = [], []
+        nq = len(q_ids)
         for pdf in batches:
             if not len(pdf):
                 continue
-            M_chunks.append(np.array(list(pdf["__v"]), dtype=np.float64))
-            id_chunks.append(pdf["c_id"].to_numpy(dtype=np.int64))
-        if not M_chunks:
-            return
-        M = np.vstack(M_chunks)
-        c_ids = np.concatenate(id_chunks)
-        bits = (M @ w_flat.T) >= 0  # sign rule ≡ hyperplane_sigs_df
-        sigs = np.zeros((len(M), n_tables), dtype=np.int64)
-        for t in range(n_tables):
-            for p in range(n_planes):
-                sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
-        nrm = np.linalg.norm(M, axis=1)
-        nrm[nrm == 0] = 1.0
-        C = M / nrm[:, None]
-        nq = len(q_ids)
-        cand_c: list[list] = [[] for _ in range(nq)]
-        cand_s: list[list] = [[] for _ in range(nq)]
-        for t in range(n_tables):
-            tbl = tables[t]
-            col = sigs[:, t]
-            uniq, inv = np.unique(col, return_inverse=True)
-            for ui in range(len(uniq)):
-                qidx = tbl.get(int(uniq[ui]))
-                if qidx is None:
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            bits = (M @ w_flat.T) >= 0  # sign rule ≡ hyperplane_sigs_df
+            sigs = np.zeros((len(M), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for p in range(n_planes):
+                    sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C = M / nrm[:, None]
+            cand_c: list[list] = [[] for _ in range(nq)]
+            cand_s: list[list] = [[] for _ in range(nq)]
+            for t in range(n_tables):
+                tbl = tables[t]
+                col = sigs[:, t]
+                uniq, inv = np.unique(col, return_inverse=True)
+                for ui in range(len(uniq)):
+                    qidx = tbl.get(int(uniq[ui]))
+                    if qidx is None:
+                        continue
+                    rows = np.flatnonzero(inv == ui)
+                    sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
+                    block_ids = c_ids[rows]
+                    for jj in range(len(qidx)):
+                        cand_c[qidx[jj]].append(block_ids)
+                        cand_s[qidx[jj]].append(sims[:, jj])
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                if not cand_c[qi]:
                     continue
-                rows = np.flatnonzero(inv == ui)
-                sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
-                block_ids = c_ids[rows]
-                for jj in range(len(qidx)):
-                    cand_c[qidx[jj]].append(block_ids)
-                    cand_s[qidx[jj]].append(sims[:, jj])
-        out_q, out_c, out_s = [], [], []
-        for qi in range(nq):
-            if not cand_c[qi]:
-                continue
-            cc = np.concatenate(cand_c[qi])
-            ss = np.concatenate(cand_s[qi])
-            cc, first = np.unique(cc, return_index=True)  # cross-table dedup
-            ss = ss[first]
-            m = len(cc)
-            top = min(top_n, m)
-            if m > top:
-                thresh = ss[np.argpartition(-ss, top - 1)[top - 1]]
-                sel = np.flatnonzero(ss >= thresh)
-            else:
-                sel = np.arange(m)
-            sel = sel[np.lexsort((cc[sel], -ss[sel]))[:top]]
-            out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
-            out_c.append(cc[sel])
-            out_s.append(ss[sel])
-        if out_q:
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "c_id": np.concatenate(out_c),
-                    "cosine": np.concatenate(out_s),
-                }
-            )
+                cc = np.concatenate(cand_c[qi])
+                ss = np.concatenate(cand_s[qi])
+                cc, first = np.unique(cc, return_index=True)  # cross-table dedup
+                ss = ss[first]
+                m = len(cc)
+                top = min(top_n, m)
+                if m > top:
+                    thresh = ss[np.argpartition(-ss, top - 1)[top - 1]]
+                    sel = np.flatnonzero(ss >= thresh)
+                else:
+                    sel = np.arange(m)
+                sel = sel[np.lexsort((cc[sel], -ss[sel]))[:top]]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_c.append(cc[sel])
+                out_s.append(ss[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "c_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
 
     return run
 
@@ -532,14 +527,15 @@ def _ivf_fused_kernel(bc, top_n: int):
     ``bc`` broadcasts ``(q_ids, Qn, cent, probing)`` — normalized query
     matrix, normalized centroid matrix, and ``probing[cell]`` = indices
     into ``Qn`` of the queries whose n_probe nearest cells include
-    ``cell``. Each partition buffers its (normalized vector, cell, id)
-    triples, then for every locally-present cell scores that cell's
-    block against only its probing queries and keeps the block's top-k
-    per query. A corpus vector belongs to exactly one cell, so the
-    union of per-cell winners per partition is duplicate-free and any
-    global top-k row survives its own (partition, cell) cut — same
-    boundary-tie rule as :func:`_partition_topk_kernel` (every row ≥
-    the k-th score is kept before the c_id tiebreak cuts)."""
+    ``cell``. Each Arrow batch assigns its vectors to cells, scores
+    every locally-present cell's block against only its probing
+    queries, and keeps the block's top-k per query. A corpus vector
+    belongs to exactly one cell (and one batch), so the union of
+    winners is duplicate-free and any global top-k row survives its
+    own (batch, cell) cut — same boundary-tie rule as
+    :func:`_partition_topk_kernel` (every row ≥ the k-th score is kept
+    before the c_id tiebreak cuts). Per-batch processing keeps peak
+    memory at O(batch), never O(partition vectors)."""
     import numpy as np
     import pandas as pd
 
@@ -547,49 +543,44 @@ def _ivf_fused_kernel(bc, top_n: int):
         q_ids, Qn, cent, probing = bc.value
         if len(q_ids) == 0:
             return
-        C_chunks, id_chunks = [], []
         for pdf in batches:
             if not len(pdf):
                 continue
             M = np.array(list(pdf["__v"]), dtype=np.float64)
             nrm = np.linalg.norm(M, axis=1)
             nrm[nrm == 0] = 1.0
-            C_chunks.append(M / nrm[:, None])
-            id_chunks.append(pdf["c_id"].to_numpy(dtype=np.int64))
-        if not C_chunks:
-            return
-        C = np.vstack(C_chunks)
-        c_ids = np.concatenate(id_chunks)
-        cells = np.argmax(C @ cent.T, axis=1)  # first max = lowest cell
-        out_q, out_c, out_s = [], [], []
-        for cell in np.unique(cells):
-            qidx = probing[cell]
-            if not len(qidx):
-                continue
-            rows = np.flatnonzero(cells == cell)
-            block_ids = c_ids[rows]
-            sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
-            m = len(rows)
-            top = min(top_n, m)
-            for jj in range(len(qidx)):
-                col = sims[:, jj]
-                if m > top:
-                    thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                    cand = np.flatnonzero(col >= thresh)
-                else:
-                    cand = np.arange(m)
-                sel = cand[np.lexsort((block_ids[cand], -col[cand]))[:top]]
-                out_q.append(np.full(len(sel), q_ids[qidx[jj]], dtype=np.int64))
-                out_c.append(block_ids[sel])
-                out_s.append(col[sel])
-        if out_q:
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "c_id": np.concatenate(out_c),
-                    "cosine": np.concatenate(out_s),
-                }
-            )
+            C = M / nrm[:, None]
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            cells = np.argmax(C @ cent.T, axis=1)  # first max = lowest cell
+            out_q, out_c, out_s = [], [], []
+            for cell in np.unique(cells):
+                qidx = probing[cell]
+                if not len(qidx):
+                    continue
+                rows = np.flatnonzero(cells == cell)
+                block_ids = c_ids[rows]
+                sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
+                m = len(rows)
+                top = min(top_n, m)
+                for jj in range(len(qidx)):
+                    col = sims[:, jj]
+                    if m > top:
+                        thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                        cand = np.flatnonzero(col >= thresh)
+                    else:
+                        cand = np.arange(m)
+                    sel = cand[np.lexsort((block_ids[cand], -col[cand]))[:top]]
+                    out_q.append(np.full(len(sel), q_ids[qidx[jj]], dtype=np.int64))
+                    out_c.append(block_ids[sel])
+                    out_s.append(col[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "c_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
 
     return run
 
