@@ -874,6 +874,17 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "doc_id", "text", span_tokens=12, min_docs=2)
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc mean negative
+    log-likelihood + perplexity under a Lidstone-smoothed top-500
+    unigram model fit on the corpus itself; token-order-deterministic
+    folds on both engines (ops/corpus.py:unigram_nll)."""
+    from sdvg_spark.ops.corpus import unigram_nll
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_nll(docs, "doc_id", "text", top_n=500)
+
+
 def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup REWRITE: every flagged span keeps its
     first (doc, start) occurrence and is masked everywhere else; docs
@@ -959,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stratified_sample": q_stratified_sample,
             "duplicate_spans": q_duplicate_spans,
             "remove_duplicate_spans": q_remove_duplicate_spans,
+            "unigram_nll": q_unigram_nll,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -984,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_enum",
         "gen_uuid",
         "gen_text",
+        "gen_datetime_ordered",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}
@@ -1287,6 +1300,9 @@ FROM grid ASOF LEFT JOIN obs
     out["remove_duplicate_spans"] = remove_duplicate_spans_oracle_sql(
         span_tokens=12, min_docs=2
     )
+    from sdvg_spark.ops.corpus import unigram_nll_oracle_sql
+
+    out["unigram_nll"] = unigram_nll_oracle_sql(top_n=500)
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

@@ -564,3 +564,140 @@ SELECT d.id AS {id_col},
   len(d.toks)::BIGINT AS n_tokens,
   (len(d.toks) - coalesce(r.n_kept, 0))::BIGINT AS n_masked
 FROM d LEFT JOIN reb r ON r.id = d.id"""
+
+
+def unigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 1000,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    negative log-likelihood (and perplexity) under a Lidstone-smoothed
+    top-``top_n`` unigram model fit on the corpus itself. Low-ppl docs
+    read like the corpus's bulk; high-ppl docs are noise/boilerplate —
+    the classic LM-filter axis next to the heuristic quality score.
+
+    Model: p(tok) = (tf + α)/(N + α·(V+1)) for the ``top_n``
+    most-frequent tokens (ties broken by token, same cut as
+    :func:`corpus_vocab`); every other token shares the OOV mass
+    α/(N + α·(V+1)). N = total corpus tokens, V = distinct corpus
+    tokens — one column-pruned aggregate at plan-build time (the same
+    count-as-literal pattern as tfidf's N; a 1-row crossJoin would plan
+    a BroadcastNestedLoopJoin).
+
+    Determinism: each doc's Σ ln p folds in TOKEN ORDER (positional
+    sort before the fold — a plain grouped SUM would accumulate in
+    partition order and make the last float bits partition-dependent);
+    the oracle folds the same way, and outputs are round-``round_digits``
+    like the other float features.
+
+    Returns (id, n_tokens, n_oov, nll, ppl); empty docs carry nll 0.
+
+    Plan shape: token explode → broadcast join against the top-N vocab
+    (vocab is top_n rows by construction) → one groupBy(doc) with an
+    ordered fold. One corpus-token shuffle — the same class as
+    tfidf/vocab; no all-pairs, no driver data beyond the N/V scalars.
+    """
+    from sdvg_spark.ops.text import tokens
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = tokens(F.col(text_col))
+    tok_rows = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("__p", "__tok")
+    )
+    stats = tok_rows.select(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("__tok").alias("v")
+    ).first()
+    n_total, v_total = int(stats["n"] or 0), int(stats["v"] or 0)
+    denom = float(n_total) + alpha * (v_total + 1)
+    vocab = (
+        tok_rows.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .orderBy(F.desc("__tf"), F.asc("__tok"))
+        .limit(top_n)
+        .select(
+            "__tok",
+            F.log((F.col("__tf") + F.lit(float(alpha))) / F.lit(denom)).alias("__lnp"),
+        )
+    )
+    ln_oov = F.log(F.lit(float(alpha)) / F.lit(denom))
+    scored = (
+        tok_rows.join(F.broadcast(vocab), "__tok", "left")
+        .select(
+            id_col,
+            "__p",
+            F.coalesce(F.col("__lnp"), ln_oov).alias("__lnp"),
+            F.col("__lnp").isNull().cast("long").alias("__oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__oov").alias("n_oov"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__p", "__lnp"))),
+                    lambda s: s["__lnp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__sum_lnp"),
+        )
+        .select(
+            id_col,
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(-F.col("__sum_lnp") / F.col("__n"), round_digits).alias("nll"),
+            F.round(F.exp(-F.col("__sum_lnp") / F.col("__n")), round_digits).alias("ppl"),
+        )
+    )
+    base = docs.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.coalesce("nll", F.lit(0.0)).alias("nll"),
+        F.coalesce("ppl", F.lit(1.0)).alias("ppl"),
+    )
+
+
+def unigram_nll_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`unigram_nll` — same vocab cut, same
+    smoothing arithmetic on the same doubles, same token-order fold."""
+    toks = sql_tokens(text_col)
+    a = repr(float(alpha))
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+tk AS (SELECT id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p FROM d),
+st AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM tk),
+vocab AS (
+  SELECT tok, ln((count(*) + {a}) / (st.n + {a} * (st.v + 1))) AS lnp
+  FROM tk, st GROUP BY tok, st.n, st.v
+  ORDER BY count(*) DESC, tok LIMIT {int(top_n)}),
+sc AS (
+  SELECT tk.id, tk.p,
+    coalesce(v.lnp, (SELECT ln({a} / (n + {a} * (v + 1))) FROM st)) AS lnp,
+    (v.tok IS NULL)::INT AS oov
+  FROM tk LEFT JOIN vocab v USING (tok)),
+agg AS (
+  SELECT id, count(*) AS n_tokens, sum(oov) AS n_oov,
+    list_sum(list_transform(list_sort(list({{'p': p, 'l': lnp}})), r -> r.l)) AS slnp
+  FROM sc GROUP BY id)
+SELECT d.id AS {id_col},
+  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(a.n_oov, 0)::BIGINT AS n_oov,
+  coalesce(round(-a.slnp / a.n_tokens, {round_digits}), 0.0) AS nll,
+  coalesce(round(exp(-a.slnp / a.n_tokens), {round_digits}), 1.0) AS ppl
+FROM d LEFT JOIN agg a ON a.id = d.id"""

@@ -1136,3 +1136,17 @@ def test_remove_duplicate_spans_masks_non_canonical(spark):
     assert out[2][2] > 0 and "gamma" not in out[2][0]  # masked elsewhere
     assert out[2][0].startswith("other") and out[2][0].endswith("ending")
     assert out[3] == ("totally unrelated words only here", 5, 0)
+
+
+def test_unigram_nll_scores_common_text_lower(spark):
+    """A doc made of corpus-frequent tokens must score lower NLL than a
+    doc of out-of-vocabulary noise; counts/ratios are exact."""
+    from sdvg_spark.ops.corpus import unigram_nll
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows.append((100, "zxqv wvut qqzz pplm"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_nll(df, "doc_id", "text", top_n=5).collect()}
+    assert out[0].n_oov == 0 and out[100].n_oov == 4  # top-5 = the corpus bulk
+    assert out[0].nll < out[100].nll and out[0].ppl < out[100].ppl
+    assert out[0].n_tokens == 6 and out[100].n_tokens == 4
