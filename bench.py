@@ -153,6 +153,7 @@ def main() -> None:
         "dedup_incremental",
         "stratified_sample",
         "duplicate_spans",
+        "unigram_nll",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -57,6 +57,7 @@ QUERIES = [
     "stratified_sample",
     "duplicate_spans",
     "remove_duplicate_spans",
+    "unigram_nll",
 ]
 
 
