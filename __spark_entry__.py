@@ -896,6 +896,50 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, "doc_id", "text", span_tokens=12, min_docs=2)
 
 
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-doc char fraction covered
+    by the most frequent 2-/3-gram and by all duplicated 5-grams —
+    map-only sorted-run folds, zero shuffle
+    (ops/text.py:repetition_features)."""
+    from sdvg_spark.ops import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+    rf = T.repetition_features(F.col("__toks"), F.col("__toks"))
+    return staged.select(
+        "doc_id",
+        *[F.round(c, 9).alias(k) for k, c in rf.items()],
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel with a 7-day conversion
+    window from funnel entry: per-step min-agg + user-keyed left
+    joins, one row per entered user with step timestamps and depth
+    (ops/analytics.py:funnel)."""
+    from sdvg_spark.ops.analytics import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_seconds=7 * 86400,
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: cohort = day of first event,
+    n_users active per (cohort_day, day_offset) — user-keyed shuffles
+    only (ops/analytics.py:cohort_retention)."""
+    from sdvg_spark.ops.analytics import cohort_retention
+
+    ev = _read(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
@@ -971,18 +1015,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "duplicate_spans": q_duplicate_spans,
             "remove_duplicate_spans": q_remove_duplicate_spans,
             "unigram_nll": q_unigram_nll,
+            "repetition_features": q_repetition_features,
+            "events_funnel": q_events_funnel,
+            "events_retention": q_events_retention,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 59 exist, so 9 sit past the cap every round. Rotate
+    # this dict; 66 exist, so 16 sit past the cap every round. Rotate
     # long-stable generator rows (hash-green since r03/r04) into the
     # tail so the newest operators always get a hard driver row; the
-    # full 59 stay covered by tools/check_entry.py (EXACT=1) locally.
-    # The in-window set keeps one representative per generator /
-    # modifier family: LFSR random (gen_integer_random), distinct
-    # (gen_integer_distinct), ordered+datetime (gen_datetime_ordered),
-    # float+null (gen_float_null), ranges, foreign_key, slice/resume,
-    # uuid, enum, text.
+    # full 66 stay covered by tools/check_entry.py (EXACT=1) locally.
+    # The in-window set keeps the LFSR-random representative
+    # (gen_integer_random) and the FK-modifier representative
+    # (gen_foreign_key); every other generator family has been
+    # driver-green since r03/r04 and rotates to the tail.
     deferred = [
         "gen_integer_ordered",
         "gen_float32",
@@ -997,6 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_uuid",
         "gen_text",
         "gen_datetime_ordered",
+        "gen_integer_distinct",
+        "gen_float_null",
+        "gen_ranges",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}
@@ -1303,6 +1352,18 @@ FROM grid ASOF LEFT JOIN obs
     from sdvg_spark.ops.corpus import unigram_nll_oracle_sql
 
     out["unigram_nll"] = unigram_nll_oracle_sql(top_n=500)
+
+    out["repetition_features"] = T.repetition_features_oracle_sql()
+
+    from sdvg_spark.ops.analytics import (
+        cohort_retention_oracle_sql,
+        funnel_oracle_sql,
+    )
+
+    out["events_funnel"] = funnel_oracle_sql(
+        steps=["view", "click", "purchase"], within_seconds=7 * 86400
+    )
+    out["events_retention"] = cohort_retention_oracle_sql()
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

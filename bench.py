@@ -154,6 +154,9 @@ def main() -> None:
         "stratified_sample",
         "duplicate_spans",
         "unigram_nll",
+        "repetition_features",
+        "events_funnel",
+        "events_retention",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -257,6 +257,141 @@ def token_entropy(text: Column, toks: Column | None = None) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def word_ngram_list(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty when the
+    document is shorter than ``n`` tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda gi: F.array_join(F.slice(toks, gi, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_cover(grams: Column) -> Column:
+    """Char-cover totals of an n-gram list as a struct
+    ``(top_chars, dup_chars)``:
+
+    - ``top_chars`` — count × char-length of the most frequent gram
+      (ties resolve to the lexicographically-smallest gram);
+    - ``dup_chars`` — Σ count × char-length over every gram occurring
+      more than once.
+
+    One run-length FOLD over the sorted gram array (the token_entropy
+    trick): O(g log g) sort + O(g) fold per row, zero shuffle, pure
+    integers — so the DuckDB mirror's group-by formulation produces
+    bit-identical values.
+    """
+    srt = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("bc"),  # best (max) run count so far
+        F.lit(0).cast("long").alias("top"),  # covered chars of that run
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def closed(acc: Column) -> tuple[Column, Column, Column]:
+        """(bc, top, dup) after closing the currently-open run."""
+        cover = acc["r"] * F.length(acc["p"]).cast("long")
+        better = acc["r"] > acc["bc"]  # strict: first max in sorted order wins
+        return (
+            F.when(better, acc["r"]).otherwise(acc["bc"]),
+            F.when(better, cover).otherwise(acc["top"]),
+            acc["dup"] + F.when(acc["r"] > 1, cover).otherwise(F.lit(0).cast("long")),
+        )
+
+    def step(acc: Column, t: Column) -> Column:
+        bc, top, dup = closed(acc)
+        return (
+            F.when(
+                acc["r"] == 0,  # first gram opens the first run
+                F.struct(
+                    t.alias("p"),
+                    F.lit(1).cast("long").alias("r"),
+                    acc["bc"].alias("bc"),
+                    acc["top"].alias("top"),
+                    acc["dup"].alias("dup"),
+                ),
+            )
+            .when(
+                t == acc["p"],  # run continues
+                F.struct(
+                    t.alias("p"),
+                    (acc["r"] + F.lit(1)).alias("r"),
+                    acc["bc"].alias("bc"),
+                    acc["top"].alias("top"),
+                    acc["dup"].alias("dup"),
+                ),
+            )
+            .otherwise(  # run closes: fold it, open the next
+                F.struct(
+                    t.alias("p"),
+                    F.lit(1).cast("long").alias("r"),
+                    bc.alias("bc"),
+                    top.alias("top"),
+                    dup.alias("dup"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        bc, top, dup = closed(acc)
+        return F.when(
+            acc["r"] > 0, F.struct(top.alias("top_chars"), dup.alias("dup_chars"))
+        ).otherwise(
+            F.struct(
+                F.lit(0).cast("long").alias("top_chars"),
+                F.lit(0).cast("long").alias("dup_chars"),
+            )
+        )
+
+    return F.aggregate(srt, init, step, finish)
+
+
+def repetition_features(
+    text: Column,
+    toks: Column | None = None,
+    *,
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> dict[str, Column]:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1):
+    for each n in ``top_ns``, ``top{n}gram_frac`` — the fraction of the
+    normalized text's characters covered by the single most frequent
+    word n-gram; for each n in ``dup_ns``, ``dup{n}gram_frac`` — the
+    fraction covered by ALL n-grams occurring more than once. Fractions
+    are capped at 1.0 (overlapping windows can cover a character more
+    than once; the cap keeps the signal a proper [0,1] ratio).
+
+    "Normalized text" is the lowercased single-space token stream —
+    char totals use ``len(array_join(toks, ' '))`` so both engines
+    divide identical integers. Map-only expressions: no shuffle, no
+    UDF; a 100 TB corpus scan computes these at full codegen speed.
+    """
+    if toks is None:
+        toks = tokens(text)
+    chars = F.length(F.array_join(toks, " ")).cast("long")
+
+    def frac(cover: Column) -> Column:
+        return F.when(
+            chars > 0,
+            F.least(F.lit(1.0), cover.cast("double") / chars.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    out: dict[str, Column] = {}
+    for n in top_ns:
+        out[f"top{n}gram_frac"] = frac(
+            _gram_cover(word_ngram_list(toks, n))["top_chars"]
+        )
+    for n in dup_ns:
+        out[f"dup{n}gram_frac"] = frac(
+            _gram_cover(word_ngram_list(toks, n))["dup_chars"]
+        )
+    return out
+
+
 def fingerprint(text: Column, toks: Column | None = None) -> Column:
     """Polynomial rolling hash over token codepoint-sums, mod 1e9+7.
 
@@ -386,6 +521,81 @@ def sql_token_entropy(col: str) -> str:
         f"ln(len({l})::DOUBLE) - "
         f"list_sum(list_transform({counts}, c -> c * ln(c))) / len({l})::DOUBLE "
         f"ELSE 0.0 END"
+    )
+
+
+def repetition_features_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`repetition_features` as a full query
+    (one row per document, same column names as the Spark entry).
+
+    Formulated relationally — unnest the n-gram list, GROUP BY
+    (doc, gram) for counts, then per-doc reduce — instead of nested
+    list lambdas: DuckDB executes the unnest/group-by plan in
+    milliseconds where per-distinct-gram ``list_filter`` rescans are
+    quadratic per row and planner-hostile (measured: minutes at
+    sf0.01). The top-gram tie resolves via ``ORDER BY c DESC, gram``
+    row_number = the lexicographically-smallest most-frequent gram,
+    exactly the Column fold's first-max-in-sorted-order rule.
+    Identical integers → identical capped double ratios.
+    """
+    chars = f"length(array_to_string({sql_tokens(text_col)}, ' '))::BIGINT"
+    ctes = [
+        f"base AS (SELECT {id_col} AS id, {chars} AS chars, "
+        f"{sql_tokens(text_col)} AS toks FROM {table})"
+    ]
+    joins: list[str] = []
+    cols: list[str] = []
+
+    def frac(cover: str) -> str:
+        return (
+            f"round(CASE WHEN chars > 0 THEN "
+            f"least(1.0, coalesce({cover}, 0)::DOUBLE / chars::DOUBLE) "
+            f"ELSE 0.0 END, {round_digits})"
+        )
+
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(
+            f"g{n} AS (SELECT id, unnest(CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(range(1, len(toks) - {n - 1} + 1), "
+            f"gi -> array_to_string(list_slice(toks, gi, gi + {n - 1}), ' ')) "
+            f"ELSE []::VARCHAR[] END) AS gram FROM base)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT id, gram, count(*)::BIGINT AS c "
+            f"FROM g{n} GROUP BY id, gram)"
+        )
+    for n in top_ns:
+        ctes.append(
+            f"top{n} AS (SELECT id, cover FROM ("
+            f"SELECT id, c * length(gram)::BIGINT AS cover, "
+            f"row_number() OVER (PARTITION BY id ORDER BY c DESC, gram) AS rn "
+            f"FROM c{n}) WHERE rn = 1)"
+        )
+        joins.append(f"LEFT JOIN top{n} ON top{n}.id = base.id")
+        cols.append(frac(f"top{n}.cover") + f" AS top{n}gram_frac")
+    for n in dup_ns:
+        ctes.append(
+            f"dup{n} AS (SELECT id, sum(CASE WHEN c > 1 "
+            f"THEN c * length(gram)::BIGINT ELSE 0 END) AS cover "
+            f"FROM c{n} GROUP BY id)"
+        )
+        joins.append(f"LEFT JOIN dup{n} ON dup{n}.id = base.id")
+        cols.append(frac(f"dup{n}.cover") + f" AS dup{n}gram_frac")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT base.id AS {id_col}, "
+        + ", ".join(cols)
+        + "\nFROM base "
+        + " ".join(joins)
     )
 
 

@@ -1150,3 +1150,124 @@ def test_unigram_nll_scores_common_text_lower(spark):
     assert out[0].n_oov == 0 and out[100].n_oov == 4  # top-5 = the corpus bulk
     assert out[0].nll < out[100].nll and out[0].ppl < out[100].ppl
     assert out[0].n_tokens == 6 and out[100].n_tokens == 4
+
+
+def test_repetition_features_known_counts(spark):
+    """Hand-computed Gopher fractions on a fixed token stream, plus the
+    lexicographic tie rule and the [0,1] cap on degenerate repetition."""
+    from sdvg_spark.ops.text import repetition_features, tokens
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b c": 2-grams = [a b, b a, a b, b c] -> top "a b"
+            # count 2, len 3; dup(2) covers 2*3 = 6 of 9 chars
+            (1, "a b a b c"),
+            (2, "x x x x x x"),  # degenerate: cap at 1.0
+            (3, "unique words only here"),  # no repeated grams
+            (4, "ab"),  # shorter than every n: all zero
+            (5, ""),  # empty: all zero
+        ],
+        "doc_id long, text string",
+    )
+    staged = df.select("doc_id", tokens(F.col("text")).alias("t"))
+    rf = repetition_features(F.col("t"), F.col("t"), top_ns=(2,), dup_ns=(2,))
+    out = {
+        r.doc_id: (r.top, r.dup)
+        for r in staged.select(
+            "doc_id", rf["top2gram_frac"].alias("top"), rf["dup2gram_frac"].alias("dup")
+        ).collect()
+    }
+    assert out[1] == (pytest.approx(6 / 9), pytest.approx(6 / 9))
+    assert out[2] == (1.0, 1.0)  # 5 identical grams cover > all chars, capped
+    # all grams count 1: tie -> lexicographically smallest ("only here", 9 chars)
+    assert out[3] == (pytest.approx(9 / 22), 0.0)
+    assert out[4] == (0.0, 0.0)
+    assert out[5] == (0.0, 0.0)
+
+
+def test_repetition_features_tie_is_lexicographic(spark):
+    """Two grams with equal max count: covered chars come from the
+    lexicographically-smallest one (matters when lengths differ)."""
+    from sdvg_spark.ops.text import repetition_features, tokens
+
+    # grams "b cc" and "cc b" both occur twice in: b cc b cc b
+    df = spark.createDataFrame([(1, "b cc b cc b")], "doc_id long, text string")
+    staged = df.select("doc_id", tokens(F.col("text")).alias("t"))
+    rf = repetition_features(F.col("t"), F.col("t"), top_ns=(2,), dup_ns=())
+    (row,) = staged.select(rf["top2gram_frac"].alias("v")).collect()
+    # normalized chars = 11; "b cc" (len 4) wins the tie over "cc b"
+    assert row.v == pytest.approx(2 * 4 / 11)
+
+
+def test_funnel_depths_and_window(spark):
+    """Ordered-step semantics: steps must advance in time, the
+    conversion window is measured from funnel entry, and users missing
+    step 1 are absent entirely."""
+    from datetime import datetime
+
+    from sdvg_spark.ops.analytics import funnel
+
+    T = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # u1 completes in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click BEFORE the first view -> depth 1
+        (2, T(2), "view"), (2, T(1), "click"),
+        # u3: purchase before click -> depth 2 (click ok, purchase not after click)
+        (3, T(1), "view"), (3, T(3), "click"), (3, T(2), "purchase"),
+        # u4: click outside the 7-day window -> depth 1
+        (4, T(1), "view"), (4, T(20), "click"),
+        # u5: no view at all -> not in output
+        (5, T(1), "click"), (5, T(2), "purchase"),
+        # u6: same-timestamp view+click counts (>= comparison)
+        (6, T(5), "view"), (6, T(5), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: r
+        for r in funnel(
+            ev, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_seconds=7 * 86400,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert out[1].depth == 3 and out[1].step_3_ts == T(3)
+    assert out[2].depth == 1 and out[2].step_2_ts is None
+    assert out[3].depth == 2
+    assert out[4].depth == 1
+    assert out[6].depth == 2 and out[6].step_2_ts == T(5)
+
+
+def test_funnel_validates_args(spark):
+    from sdvg_spark.ops.analytics import funnel
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        funnel(ev, "user_id", "ts", "event_type", ["view"])
+    with pytest.raises(ValueError):
+        funnel(ev, "user_id", "ts", "event_type", ["a", "b"], within_seconds=0)
+
+
+def test_cohort_retention_matrix(spark):
+    """Offset 0 equals cohort size; repeat activity within a day counts
+    once; later days land on the right offset."""
+    from datetime import datetime
+
+    from sdvg_spark.ops.analytics import cohort_retention
+
+    T = lambda d, h=0: datetime(2024, 3, d, h)
+    D = lambda d: datetime(2024, 3, d).date()
+    rows = [
+        (1, T(1, 9)), (1, T(1, 17)), (1, T(3)),   # cohort 3/1, active d0+d2
+        (2, T(1)), (2, T(2)),                      # cohort 3/1, active d0+d1
+        (3, T(2)), (3, T(2, 5)),                   # cohort 3/2, active d0 only
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert out == {
+        (D(1), 0): 2, (D(1), 1): 1, (D(1), 2): 1,
+        (D(2), 0): 1,
+    }

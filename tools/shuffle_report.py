@@ -58,6 +58,9 @@ QUERIES = [
     "duplicate_spans",
     "remove_duplicate_spans",
     "unigram_nll",
+    "repetition_features",
+    "events_funnel",
+    "events_retention",
 ]
 
 
