@@ -940,6 +940,16 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts")
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations (pair_count >= 3) — integer-count
+    shuffles, single-division deterministic ranking, PMI display-only
+    (ops/corpus.py:collocations)."""
+    from sdvg_spark.ops.corpus import collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return collocations(docs, "doc_id", "text", min_count=3, top_n=50)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
@@ -1018,18 +1028,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "repetition_features": q_repetition_features,
             "events_funnel": q_events_funnel,
             "events_retention": q_events_retention,
+            "collocations": q_collocations,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 66 exist, so 16 sit past the cap every round. Rotate
+    # this dict; 67 exist, so 17 sit past the cap every round. Rotate
     # long-stable generator rows (hash-green since r03/r04) into the
     # tail so the newest operators always get a hard driver row; the
-    # full 66 stay covered by tools/check_entry.py (EXACT=1) locally.
+    # full 67 stay covered by tools/check_entry.py (EXACT=1) locally.
     # The in-window set keeps the LFSR-random representative
-    # (gen_integer_random) and the FK-modifier representative
-    # (gen_foreign_key); every other generator family has been
-    # driver-green since r03/r04 and rotates to the tail.
+    # (gen_integer_random); every other generator/modifier family —
+    # including gen_foreign_key, driver-green r03–r05 — rotates to
+    # the tail.
     deferred = [
+        "gen_foreign_key",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1364,6 +1376,10 @@ FROM grid ASOF LEFT JOIN obs
         steps=["view", "click", "purchase"], within_seconds=7 * 86400
     )
     out["events_retention"] = cohort_retention_oracle_sql()
+
+    from sdvg_spark.ops.corpus import collocations_oracle_sql
+
+    out["collocations"] = collocations_oracle_sql(min_count=3, top_n=50)
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

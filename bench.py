@@ -157,6 +157,7 @@ def main() -> None:
         "repetition_features",
         "events_funnel",
         "events_retention",
+        "collocations",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

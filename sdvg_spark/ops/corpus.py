@@ -701,3 +701,133 @@ SELECT d.id AS {id_col},
   coalesce(round(-a.slnp / a.n_tokens, {round_digits}), 0.0) AS nll,
   coalesce(round(exp(-a.slnp / a.n_tokens), {round_digits}), 1.0) AS ppl
 FROM d LEFT JOIN agg a ON a.id = d.id"""
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_n: int = 50,
+    round_digits: int = 9,
+) -> DataFrame:
+    """PMI collocation mining — the word2vec/phrase-detection step that
+    finds token pairs occurring together far more often than chance
+    (Mikolov et al. 2013 §4's data-driven phrases; classic pointwise
+    mutual information over adjacent-bigram counts).
+
+    PMI(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) = c_xy/N_bi over
+    bigram windows and p(x) = c_x/N_uni over tokens. Pairs below
+    ``min_count`` are dropped first (PMI's low-frequency pathologies),
+    then the top ``top_n`` survive by score.
+
+    Determinism: the cut ranks by ``c_xy / (c_x·c_y)`` — a SINGLE IEEE
+    division of exactly-representable doubles, monotone in PMI for
+    fixed corpus totals (ln is monotone; N²/N_bi is a constant factor)
+    — with (w1, w2) tie-breaks, so both engines cut identically without
+    comparing ln outputs. The displayed ``pmi`` is round-``round_digits``.
+
+    Returns (w1, w2, pair_count, w1_count, w2_count, pmi, rank).
+
+    Plan shape: one tokenize scan feeds a token-keyed unigram agg and a
+    pair-keyed bigram agg (two shuffles of corpus tokens — the same
+    class as corpus_vocab); ``min_count`` filters the pair table BEFORE
+    its two unigram joins, so the joins move only surviving pairs;
+    TakeOrdered(top_n) — never a global sort. Corpus totals are two
+    scalars computed once at plan-build time (the count-as-literal
+    pattern; a 1-row crossJoin would plan a BroadcastNestedLoopJoin).
+    No broadcast of the unigram table: a 100 TB corpus's vocabulary
+    can exceed broadcast limits, and the post-filter pair table is the
+    small side anyway.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    t = tokens(F.col(text_col))
+    staged = docs.select(t.alias("__t"))
+    tot = staged.select(
+        F.coalesce(F.sum(F.size("__t")), F.lit(0)).alias("n_uni"),
+        F.coalesce(
+            F.sum(F.greatest(F.size("__t") - F.lit(1), F.lit(0))), F.lit(0)
+        ).alias("n_bi"),
+    ).first()
+    n_uni, n_bi = int(tot["n_uni"]), int(tot["n_bi"])
+    uni = (
+        staged.select(F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - F.lit(1)),
+            lambda i: F.struct(
+                F.get("__t", i - F.lit(1)).alias("w1"),
+                F.get("__t", i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        staged.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+    )
+    u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("w1_count"))
+    u2 = uni.select(F.col("__w").alias("w2"), F.col("__c").alias("w2_count"))
+    joined = bi.join(u1, "w1").join(u2, "w2")
+    score = F.col("pair_count").cast("double") / (
+        F.col("w1_count").cast("double") * F.col("w2_count").cast("double")
+    )
+    p_xy = F.col("pair_count").cast("double") / F.lit(float(n_bi))
+    p_x = F.col("w1_count").cast("double") / F.lit(float(n_uni))
+    p_y = F.col("w2_count").cast("double") / F.lit(float(n_uni))
+    top = joined.orderBy(
+        score.desc(), F.asc("w1"), F.asc("w2")
+    ).limit(top_n)
+    w = Window.orderBy(score.desc(), F.asc("w1"), F.asc("w2"))
+    return (
+        top.withColumn("pmi", F.round(F.log(p_xy / (p_x * p_y)), round_digits))
+        .withColumn("rank", F.row_number().over(w))
+        .select("w1", "w2", "pair_count", "w1_count", "w2_count", "pmi", "rank")
+    )
+
+
+def collocations_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`collocations` — same integer counts,
+    same single-division ranking score, same PMI arithmetic order."""
+    tk = sql_tokens(text_col)
+    return f"""
+WITH d AS (SELECT {tk} AS t FROM {table}),
+tot AS (SELECT coalesce(sum(len(t)), 0)::BIGINT AS n_uni,
+               coalesce(sum(greatest(len(t) - 1, 0)), 0)::BIGINT AS n_bi
+        FROM d),
+tks AS (SELECT unnest(t) AS w FROM d),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM tks GROUP BY w),
+bi AS (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+       FROM d),
+bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS pair_count
+       FROM bi GROUP BY 1, 2 HAVING count(*) >= {int(min_count)}),
+j AS (SELECT w1, w2, pair_count, u1.c AS w1_count, u2.c AS w2_count
+      FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2),
+r AS (SELECT *, row_number() OVER (
+        ORDER BY pair_count::DOUBLE / (w1_count::DOUBLE * w2_count::DOUBLE)
+                 DESC, w1, w2) AS rank
+      FROM j)
+SELECT w1, w2, pair_count, w1_count, w2_count,
+  round(ln((pair_count::DOUBLE / n_bi::DOUBLE) /
+           ((w1_count::DOUBLE / n_uni::DOUBLE) *
+            (w2_count::DOUBLE / n_uni::DOUBLE))), {int(round_digits)}) AS pmi,
+  rank
+FROM r, tot WHERE rank <= {int(top_n)}"""

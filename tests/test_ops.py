@@ -1271,3 +1271,43 @@ def test_cohort_retention_matrix(spark):
         (D(1), 0): 2, (D(1), 1): 1, (D(1), 2): 1,
         (D(2), 0): 1,
     }
+
+
+def test_collocations_counts_and_pmi(spark):
+    """Hand-checked bigram/unigram counts, min_count filtering, and the
+    PMI value on a tiny corpus."""
+    import math
+
+    from sdvg_spark.ops.corpus import collocations
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york new york city"),
+            (2, "new york is big"),
+            (3, "the city is big"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): r
+        for r in collocations(df, min_count=2, top_n=10).collect()
+    }
+    # corpus: 13 tokens, 10 bigram windows; "new york" x3, "is big" x2
+    assert set(out) == {("new", "york"), ("is", "big")}
+    ny = out[("new", "york")]
+    assert (ny.pair_count, ny.w1_count, ny.w2_count) == (3, 3, 3)
+    assert ny.pmi == pytest.approx(math.log((3 / 10) / ((3 / 13) * (3 / 13))))
+    # score c_xy/(c_x*c_y): "is big" 2/(2*2)=0.5 outranks "new york" 1/3
+    ib = out[("is", "big")]
+    assert (ib.rank, ny.rank) == (1, 2)
+
+
+def test_collocations_min_count_and_validation(spark):
+    from sdvg_spark.ops.corpus import collocations
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e")], "doc_id long, text string")
+    assert collocations(df, min_count=2, top_n=5).count() == 0
+    with pytest.raises(ValueError):
+        collocations(df, min_count=0)
+    with pytest.raises(ValueError):
+        collocations(df, top_n=0)

@@ -61,6 +61,7 @@ QUERIES = [
     "repetition_features",
     "events_funnel",
     "events_retention",
+    "collocations",
 ]
 
 
