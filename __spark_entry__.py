@@ -940,6 +940,22 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts")
 
 
+def q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift scorecard: KL/JS divergence between the unigram
+    distributions of the even- and odd-doc_id halves of documents —
+    one row of nats, token-ordered folds (ops/corpus.py:
+    token_divergence)."""
+    from sdvg_spark.ops.corpus import token_divergence
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_divergence(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "text",
+        top_n=500,
+    )
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations (pair_count >= 3) — integer-count
     shuffles, single-division deterministic ranking, PMI display-only
@@ -1029,19 +1045,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_funnel": q_events_funnel,
             "events_retention": q_events_retention,
             "collocations": q_collocations,
+            "token_divergence": q_token_divergence,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 67 exist, so 17 sit past the cap every round. Rotate
-    # long-stable generator rows (hash-green since r03/r04) into the
-    # tail so the newest operators always get a hard driver row; the
-    # full 67 stay covered by tools/check_entry.py (EXACT=1) locally.
-    # The in-window set keeps the LFSR-random representative
-    # (gen_integer_random); every other generator/modifier family —
-    # including gen_foreign_key, driver-green r03–r05 — rotates to
-    # the tail.
+    # this dict; 68 exist, so 18 sit past the cap every round. Rotate
+    # long-stable rows (hash-green since r03/r04) into the tail so the
+    # newest operators always get a hard driver row; the full 68 stay
+    # covered by tools/check_entry.py (EXACT=1) locally. The in-window
+    # set keeps the LFSR-random representative (gen_integer_random)
+    # and one row per operator family: gen_foreign_key (driver-green
+    # r03–r05) and data_split_by_source (the hash-split family's
+    # second row next to in-window data_split) rotate to the tail.
     deferred = [
         "gen_foreign_key",
+        "data_split_by_source",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1380,6 +1398,12 @@ FROM grid ASOF LEFT JOIN obs
     from sdvg_spark.ops.corpus import collocations_oracle_sql
 
     out["collocations"] = collocations_oracle_sql(min_count=3, top_n=50)
+
+    from sdvg_spark.ops.corpus import token_divergence_oracle_sql
+
+    out["token_divergence"] = token_divergence_oracle_sql(
+        where_a="doc_id % 2 = 0", where_b="doc_id % 2 = 1", top_n=500
+    )
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

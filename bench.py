@@ -158,6 +158,7 @@ def main() -> None:
         "events_funnel",
         "events_retention",
         "collocations",
+        "token_divergence",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

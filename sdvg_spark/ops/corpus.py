@@ -23,6 +23,8 @@ UDFs, whole-stage codegen end-to-end, exact DuckDB SQL mirrors.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -831,3 +833,174 @@ SELECT w1, w2, pair_count, w1_count, w2_count,
             (w2_count::DOUBLE / n_uni::DOUBLE))), {int(round_digits)}) AS pmi,
   rank
 FROM r, tot WHERE rank <= {int(top_n)}"""
+
+
+def token_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    *,
+    top_n: int = 1000,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Distribution drift between two corpus slices: KL(a‖b), KL(b‖a)
+    and Jensen–Shannon divergence of their smoothed unigram
+    distributions — the dataset-shift monitor a pipeline runs when a
+    new crawl/domain lands next to the existing training mix.
+
+    Model: the shared vocabulary is the ``top_n`` tokens by COMBINED
+    frequency (ties by token — a total order, deterministic cut); each
+    side's distribution is Lidstone-smoothed over vocab + one OOV
+    bucket, p(t) = (c(t)+α)/(N+α·(V+1)), which sums to exactly 1.
+    Natural-log divergences (nats).
+
+    Returns ONE row: (n_tokens_a, n_tokens_b, vocab_size, kl_ab,
+    kl_ba, js).
+
+    Determinism: per-token float terms fold in TOKEN ORDER over the
+    ≤``top_n``-element vocab array (the unigram_nll pattern), the OOV
+    bucket's term is added last, and every double expression has the
+    same textual shape as the oracle's — so both engines emit
+    identical bits before rounding.
+
+    Plan shape: one token-keyed count agg per side, a full-outer merge
+    of two count tables, TakeOrdered(top_n) for the vocab, and a
+    single ≤top_n-row fold. Corpus totals and vocab-mass sums are four
+    scalars (count-as-literal pattern). The vocab is traversed twice
+    (scalar job + fold job) — persist upstream counts if the corpus
+    scan dominates.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    a = float(alpha)
+
+    def counts(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca, cb = counts(docs_a, "__ca"), counts(docs_b, "__cb")
+    merged = ca.join(cb, "__w", "full_outer").select(
+        "__w",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    vocab = merged.orderBy(
+        (F.col("__ca") + F.col("__cb")).desc(), F.asc("__w")
+    ).limit(top_n)
+    sc = vocab.select(
+        F.count(F.lit(1)).alias("v"),
+        F.coalesce(F.sum("__ca"), F.lit(0)).alias("sva"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).alias("svb"),
+    ).first()
+    na = int(
+        docs_a.select(
+            F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        ).first()[0]
+    )
+    nb = int(
+        docs_b.select(
+            F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        ).first()[0]
+    )
+    v, sva, svb = int(sc["v"]), int(sc["sva"]), int(sc["svb"])
+    den_a = float(na) + a * (v + 1)
+    den_b = float(nb) + a * (v + 1)
+
+    pa = (F.col("__ca").cast("double") + F.lit(a)) / F.lit(den_a)
+    pb = (F.col("__cb").cast("double") + F.lit(a)) / F.lit(den_b)
+    m = (pa + pb) / F.lit(2.0)
+    terms = vocab.select(
+        F.struct(
+            F.col("__w").alias("w"),
+            (pa * F.log(pa / pb)).alias("a"),
+            (pb * F.log(pb / pa)).alias("b"),
+            ((pa * F.log(pa / m) + pb * F.log(pb / m)) / F.lit(2.0)).alias("j"),
+        ).alias("__s")
+    )
+
+    # OOV bucket, appended AFTER the token-ordered fold on both engines
+    pa_o = (float(na - sva) + a) / den_a
+    pb_o = (float(nb - svb) + a) / den_b
+    m_o = (pa_o + pb_o) / 2.0
+    oov_a = pa_o * math.log(pa_o / pb_o)
+    oov_b = pb_o * math.log(pb_o / pa_o)
+    oov_j = (pa_o * math.log(pa_o / m_o) + pb_o * math.log(pb_o / m_o)) / 2.0
+
+    def fold(field: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list("__s")), lambda s: s[field]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return terms.agg(
+        F.lit(na).cast("long").alias("n_tokens_a"),
+        F.lit(nb).cast("long").alias("n_tokens_b"),
+        F.lit(v).cast("long").alias("vocab_size"),
+        F.round(fold("a") + F.lit(oov_a), round_digits).alias("kl_ab"),
+        F.round(fold("b") + F.lit(oov_b), round_digits).alias("kl_ba"),
+        F.round(fold("j") + F.lit(oov_j), round_digits).alias("js"),
+    )
+
+
+def token_divergence_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    where_a: str,
+    where_b: str,
+    top_n: int = 1000,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`token_divergence` — same vocab cut,
+    same smoothing shape, same token-order fold, OOV term added last."""
+    tk = sql_tokens(text_col)
+    a = repr(float(alpha))
+    r = int(round_digits)
+    return f"""
+WITH ta AS (SELECT unnest({tk}) AS w FROM {table} WHERE {where_a}),
+tb AS (SELECT unnest({tk}) AS w FROM {table} WHERE {where_b}),
+ka AS (SELECT w, count(*)::BIGINT AS ca FROM ta GROUP BY w),
+kb AS (SELECT w, count(*)::BIGINT AS cb FROM tb GROUP BY w),
+u AS (SELECT coalesce(ka.w, kb.w) AS w, coalesce(ca, 0) AS ca,
+             coalesce(cb, 0) AS cb
+      FROM ka FULL OUTER JOIN kb ON ka.w = kb.w),
+vocab AS (SELECT w, ca, cb FROM u ORDER BY (ca + cb) DESC, w LIMIT {int(top_n)}),
+sc AS (SELECT (SELECT count(*) FROM ta)::BIGINT AS na,
+              (SELECT count(*) FROM tb)::BIGINT AS nb,
+              (SELECT count(*) FROM vocab)::BIGINT AS v,
+              (SELECT coalesce(sum(ca), 0) FROM vocab)::BIGINT AS sva,
+              (SELECT coalesce(sum(cb), 0) FROM vocab)::BIGINT AS svb),
+terms AS (SELECT w,
+    (ca + {a}) / (na + {a} * (v + 1)) AS pa,
+    (cb + {a}) / (nb + {a} * (v + 1)) AS pb
+  FROM vocab, sc),
+folded AS (SELECT
+    list_sort(list({{'w': w,
+      'a': pa * ln(pa / pb),
+      'b': pb * ln(pb / pa),
+      'j': (pa * ln(pa / ((pa + pb) / 2)) + pb * ln(pb / ((pa + pb) / 2))) / 2
+    }})) AS arr
+  FROM terms),
+oov AS (SELECT
+    ((na - sva) + {a}) / (na + {a} * (v + 1)) AS pa,
+    ((nb - svb) + {a}) / (nb + {a} * (v + 1)) AS pb
+  FROM sc)
+SELECT sc.na AS n_tokens_a, sc.nb AS n_tokens_b, sc.v AS vocab_size,
+  round(coalesce(list_sum(list_transform(arr, x -> x.a)), 0.0)
+        + oov.pa * ln(oov.pa / oov.pb), {r}) AS kl_ab,
+  round(coalesce(list_sum(list_transform(arr, x -> x.b)), 0.0)
+        + oov.pb * ln(oov.pb / oov.pa), {r}) AS kl_ba,
+  round(coalesce(list_sum(list_transform(arr, x -> x.j)), 0.0)
+        + (oov.pa * ln(oov.pa / ((oov.pa + oov.pb) / 2))
+           + oov.pb * ln(oov.pb / ((oov.pa + oov.pb) / 2))) / 2, {r}) AS js
+FROM sc, folded, oov"""

@@ -1311,3 +1311,55 @@ def test_collocations_min_count_and_validation(spark):
         collocations(df, min_count=0)
     with pytest.raises(ValueError):
         collocations(df, top_n=0)
+
+
+def test_token_divergence_identical_halves_near_zero(spark):
+    """Identical slices diverge only through the OOV-mass asymmetry of
+    equal corpora — which is zero here — so KL and JS are exactly 0."""
+    from sdvg_spark.ops.corpus import token_divergence
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    (row,) = token_divergence(
+        df.where(F.col("doc_id") == 1), df.where(F.col("doc_id") == 2)
+    ).collect()
+    assert (row.n_tokens_a, row.n_tokens_b, row.vocab_size) == (3, 3, 3)
+    assert row.kl_ab == 0.0 and row.kl_ba == 0.0 and row.js == 0.0
+
+
+def test_token_divergence_hand_computed(spark):
+    """Two-token vocab, hand-computed smoothed KL in nats."""
+    import math
+
+    from sdvg_spark.ops.corpus import token_divergence
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y y y")], "doc_id long, text string"
+    )
+    (row,) = token_divergence(
+        df.where(F.col("doc_id") == 1),
+        df.where(F.col("doc_id") == 2),
+        alpha=0.5,
+    ).collect()
+    # V=2, denom = 4 + 0.5*3 = 5.5 each side; token probs:
+    pa = {"x": 3.5 / 5.5, "y": 1.5 / 5.5}
+    pb = {"x": 1.5 / 5.5, "y": 3.5 / 5.5}
+    po = 0.5 / 5.5  # OOV both sides
+    kl = sum(pa[t] * math.log(pa[t] / pb[t]) for t in ("x", "y"))
+    kl += po * math.log(po / po)
+    assert row.kl_ab == pytest.approx(kl, abs=1e-9)
+    assert row.kl_ba == pytest.approx(kl, abs=1e-9)  # symmetric by construction
+    assert 0.0 < row.js < row.kl_ab
+    assert row.vocab_size == 2
+
+
+def test_token_divergence_validates_args(spark):
+    from sdvg_spark.ops.corpus import token_divergence
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        token_divergence(df, df, top_n=0)
+    with pytest.raises(ValueError):
+        token_divergence(df, df, alpha=0.0)

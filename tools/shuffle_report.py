@@ -62,6 +62,7 @@ QUERIES = [
     "events_funnel",
     "events_retention",
     "collocations",
+    "token_divergence",
 ]
 
 
