@@ -24,6 +24,7 @@ def funnel(
     steps: list[str],
     *,
     within_seconds: int | None = None,
+    mode: str = "fold",
 ) -> DataFrame:
     """Ordered conversion funnel.
 
@@ -39,22 +40,39 @@ def funnel(
     with NULL timestamps past the deepest step reached and
     ``depth`` = number of steps completed.
 
-    Plan shape: one aggregation per step plus a left join per step
-    after the first, ALL keyed by the user column — K user-keyed
-    shuffles total, no window over an unpartitioned stream, no
-    driver-side state. Timestamps compare at full microsecond
-    precision, so results are exact and partitioning-independent.
+    Two value-identical execution tiers (pytest asserts agreement on
+    randomized data):
+
+    * ``mode="fold"`` (default, the 100 TB path): filter to the K step
+      types, ONE user-keyed shuffle collecting each user's (ts, step)
+      events, then a greedy left fold over the time-sorted array.
+      Greedy-equals-min because each step's timestamp is fixed at the
+      first qualifying event of a time-ordered scan; within an equal
+      timestamp the fold orders by step index, so a step-k event at
+      exactly step-(k-1)'s timestamp still qualifies (the chain's
+      ``>=``). Per-user state is its own filtered event list — the
+      same bound as any per-entity window.
+    * ``mode="chain"``: one min-aggregation per step plus a left join
+      per step after the first — K user-keyed shuffles. The shape the
+      SQL oracle mirrors 1:1.
+
+    Timestamps compare at full microsecond precision, so results are
+    exact and partitioning-independent.
     """
     if len(steps) < 2:
         raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
     if within_seconds is not None and within_seconds < 1:
         raise ValueError(f"within_seconds must be >= 1, got {within_seconds}")
+    if mode not in ("fold", "chain"):
+        raise ValueError(f"mode must be 'fold' or 'chain', got {mode!r}")
 
     ev = events.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
         F.col(type_col).alias("__t"),
     )
+    if mode == "fold":
+        return _funnel_fold(ev, user_col, steps, within_seconds)
     cur = (
         ev.where(F.col("__t") == steps[0])
         .groupBy("__u")
@@ -87,6 +105,79 @@ def funnel(
     return cur.select(
         F.col("__u").alias(user_col),
         *[f"step_{k}_ts" for k in range(1, len(steps) + 1)],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def _funnel_fold(
+    ev: DataFrame,
+    user_col: str,
+    steps: list[str],
+    within_seconds: int | None,
+) -> DataFrame:
+    """Single-shuffle funnel tier: greedy fold over each user's
+    time-sorted step events (see :func:`funnel` for the equivalence
+    argument). Event structs carry (epoch-µs, step-index) so ties at
+    one timestamp fold in step order; duplicate step TYPES map to one
+    index and the fold's sequential within-event update lets a single
+    event satisfy consecutive same-type steps, exactly like the
+    chain's ``>=`` min-aggregation."""
+    k_n = len(steps)
+    # fold on the NATIVE timestamp type (TIMESTAMP or TIMESTAMP_NTZ):
+    # comparisons, sort_array and the INTERVAL window bound all work on
+    # either, and the output columns keep the chain tier's exact type
+    ts_type = ev.schema["__ts"].dataType.simpleString()
+    bound = (
+        None
+        if within_seconds is None
+        else F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+    )
+    # index of each event = FIRST step position of its type
+    idx: Column = F.lit(None).cast("int")
+    for pos in range(k_n - 1, -1, -1):
+        idx = F.when(F.col("__t") == steps[pos], F.lit(pos)).otherwise(idx)
+    # e fills step k (0-based) iff its type equals steps[k] <=> its
+    # first-occurrence index equals first_index_of(steps[k])
+    fi = [steps.index(steps[k]) for k in range(k_n)]
+
+    arr = (
+        ev.select("__u", F.col("__ts"), idx.alias("__i"))
+        .where(F.col("__i").isNotNull())
+        .groupBy("__u")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__ts").alias("ts"), F.col("__i").alias("i")))
+            ).alias("__evs")
+        )
+    )
+
+    nul = F.lit(None).cast(ts_type)
+    init = F.struct(*[nul.alias(f"t{k}") for k in range(k_n)])
+
+    def step_fn(acc: Column, e: Column) -> Column:
+        new: list[Column] = []
+        for k in range(k_n):
+            cur = acc[f"t{k}"]
+            cond = cur.isNull() & (e["i"] == F.lit(fi[k]))
+            if k > 0:
+                prev = new[k - 1]  # sequentially updated within this event
+                cond = cond & prev.isNotNull() & (e["ts"] >= prev)
+                if bound is not None:
+                    cond = cond & (e["ts"] <= new[0] + bound)
+            new.append(F.when(cond, e["ts"]).otherwise(cur))
+        return F.struct(*[c.alias(f"t{k}") for k, c in enumerate(new)])
+
+    folded = arr.select(
+        "__u", F.aggregate("__evs", init, step_fn).alias("__f")
+    ).where(F.col("__f.t0").isNotNull())
+    depth: Column = F.lit(1)
+    for k in range(1, k_n):
+        depth = depth + F.when(
+            F.col(f"__f.t{k}").isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+    return folded.select(
+        F.col("__u").alias(user_col),
+        *[F.col(f"__f.t{k}").alias(f"step_{k + 1}_ts") for k in range(k_n)],
         depth.cast("int").alias("depth"),
     )
 

@@ -1363,3 +1363,55 @@ def test_token_divergence_validates_args(spark):
         token_divergence(df, df, top_n=0)
     with pytest.raises(ValueError):
         token_divergence(df, df, alpha=0.0)
+
+
+def test_funnel_fold_and_chain_agree_randomized(spark):
+    """The single-shuffle fold tier and the K-shuffle chain tier are
+    value-identical on randomized event streams (incl. ts ties and a
+    conversion window), and on a funnel with a REPEATED step type."""
+    import random
+    from datetime import datetime, timedelta
+
+    from sdvg_spark.ops.analytics import funnel
+
+    rng = random.Random(13)
+    base = datetime(2024, 5, 1)
+    rows = [
+        (
+            u,
+            base + timedelta(hours=rng.randrange(0, 200)),  # coarse -> many ties
+            rng.choice(["view", "click", "purchase", "other"]),
+        )
+        for u in range(60)
+        for _ in range(rng.randrange(0, 12))
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    for steps, w in [
+        (["view", "click", "purchase"], 3 * 86400),
+        (["view", "click"], None),
+        (["view", "view", "click"], 7 * 86400),  # duplicate step type
+    ]:
+        a = sorted(
+            map(tuple, funnel(ev, "user_id", "ts", "event_type", steps,
+                              within_seconds=w, mode="fold").collect())
+        )
+        b = sorted(
+            map(tuple, funnel(ev, "user_id", "ts", "event_type", steps,
+                              within_seconds=w, mode="chain").collect())
+        )
+        assert a == b, f"tiers disagree for steps={steps} w={w}"
+
+
+def test_funnel_fold_single_shuffle_plan(spark):
+    """The fold tier's plan contains exactly ONE Exchange (the
+    user-keyed aggregation) — the chain tier needs K."""
+    from sdvg_spark.ops.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(1, None, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    plan = funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"],
+        mode="fold",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
