@@ -66,7 +66,11 @@ def funnel(
     if mode not in ("fold", "chain"):
         raise ValueError(f"mode must be 'fold' or 'chain', got {mode!r}")
 
-    ev = events.select(
+    # NULL-timestamp events carry no ordering information and are
+    # dropped up front — keeps both tiers (and the SQL oracle, which
+    # filters identically) agreeing on the degenerate corner where a
+    # user's only step-1 events are unstamped.
+    ev = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
         F.col(type_col).alias("__t"),
@@ -195,7 +199,7 @@ def funnel_oracle_sql(
     min-aggregation + left-join chain, microsecond-exact."""
     parts = [
         f"e AS (SELECT {user_col} AS u, {ts_col}::TIMESTAMP AS ts, "
-        f"{type_col} AS t FROM {table})",
+        f"{type_col} AS t FROM {table} WHERE {ts_col} IS NOT NULL)",
         f"s1 AS (SELECT u, min(ts) AS step_1_ts FROM e "
         f"WHERE t = '{steps[0]}' GROUP BY u)",
     ]

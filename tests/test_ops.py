@@ -1379,7 +1379,11 @@ def test_funnel_fold_and_chain_agree_randomized(spark):
     rows = [
         (
             u,
-            base + timedelta(hours=rng.randrange(0, 200)),  # coarse -> many ties
+            # coarse grid -> many ties; ~8% unstamped events (dropped
+            # identically by both tiers)
+            None
+            if rng.random() < 0.08
+            else base + timedelta(hours=rng.randrange(0, 200)),
             rng.choice(["view", "click", "purchase", "other"]),
         )
         for u in range(60)
