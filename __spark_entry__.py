@@ -940,6 +940,17 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts")
 
 
+def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band quality gate: events rows whose value sits inside
+    the exact [p05, p95] corpus band — single-scan exact-percentile
+    bounds, then a pushed map-only filter (ops/sampling.py:
+    quantile_band_filter)."""
+    from sdvg_spark.ops.sampling import quantile_band_filter
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    return quantile_band_filter(ev, "value", lower_q=0.05, upper_q=0.95)
+
+
 def q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift scorecard: KL/JS divergence between the unigram
     distributions of the even- and odd-doc_id halves of documents —
@@ -1046,20 +1057,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_retention": q_events_retention,
             "collocations": q_collocations,
             "token_divergence": q_token_divergence,
+            "quality_band": q_quality_band,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 68 exist, so 18 sit past the cap every round. Rotate
+    # this dict; 69 exist, so 19 sit past the cap every round. Rotate
     # long-stable rows (hash-green since r03/r04) into the tail so the
-    # newest operators always get a hard driver row; the full 68 stay
+    # newest operators always get a hard driver row; the full 69 stay
     # covered by tools/check_entry.py (EXACT=1) locally. The in-window
     # set keeps the LFSR-random representative (gen_integer_random)
     # and one row per operator family: gen_foreign_key (driver-green
-    # r03–r05) and data_split_by_source (the hash-split family's
-    # second row next to in-window data_split) rotate to the tail.
+    # r03–r05), data_split_by_source (hash-split family's second row
+    # next to in-window data_split) and media_audio_features
+    # (multimodal family's second row next to in-window
+    # media_features) rotate to the tail.
     deferred = [
         "gen_foreign_key",
         "data_split_by_source",
+        "media_audio_features",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1403,6 +1418,13 @@ FROM grid ASOF LEFT JOIN obs
 
     out["token_divergence"] = token_divergence_oracle_sql(
         where_a="doc_id % 2 = 0", where_b="doc_id % 2 = 1", top_n=500
+    )
+
+    from sdvg_spark.ops.sampling import quantile_band_filter_oracle_sql
+
+    out["quality_band"] = quantile_band_filter_oracle_sql(
+        table="events", col="value", lower_q=0.05, upper_q=0.95,
+        select="event_id, value",
     )
 
     out["events_percentiles"] = """

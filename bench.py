@@ -159,6 +159,7 @@ def main() -> None:
         "events_retention",
         "collocations",
         "token_divergence",
+        "quality_band",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -263,3 +263,62 @@ def stratified_sample_exact_oracle_sql(
         f"(PARTITION BY {strata_col} ORDER BY u, {id_col}) AS samp_rank FROM {final}) "
         f"SELECT {cols}, samp_rank FROM r WHERE samp_rank <= {int(n_per_stratum)}"
     )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    col: str,
+    *,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``col`` lies within the corpus's exact
+    [``lower_q``, ``upper_q``] quantile band — the trim-the-tails
+    quality gate (drop the shortest/most-repetitive/highest-perplexity
+    slices without hand-picking absolute thresholds; Gopher and CCNet
+    both gate on quantiles of exactly such per-doc signals).
+
+    Bounds use Spark's EXACT interpolated ``percentile`` (the
+    quantile_cont definition DuckDB shares, so the oracle filters on
+    bit-identical thresholds); rows with NULL ``col`` are dropped
+    (their band membership is unknowable). Inclusive on both edges.
+
+    Plan shape: one single-scan aggregate computes both bounds
+    (count-as-literal pattern — two scalars to the driver, no 1-row
+    crossJoin), then the filter is a map-only predicate pushed at the
+    second scan. Two passes over the input by construction; persist
+    upstream if the scan dominates.
+    """
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_q <= upper_q <= 1, got {lower_q}, {upper_q}"
+        )
+    row = df.select(
+        F.expr(
+            f"percentile({col}, array({float(lower_q)}D, {float(upper_q)}D))"
+        ).alias("b")
+    ).first()
+    bounds = row["b"]
+    if bounds is None or bounds[0] is None:  # empty/all-NULL input
+        return df.where(F.lit(False))
+    lo, hi = float(bounds[0]), float(bounds[1])
+    return df.where(F.col(col).isNotNull() & F.col(col).between(lo, hi))
+
+
+def quantile_band_filter_oracle_sql(
+    *,
+    table: str,
+    col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    select: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`quantile_band_filter` —
+    ``quantile_cont`` shares Spark ``percentile``'s interpolated
+    definition, so both engines cut on identical doubles."""
+    return f"""
+WITH b AS (SELECT quantile_cont({col}, {float(lower_q)}) AS lo,
+                  quantile_cont({col}, {float(upper_q)}) AS hi
+           FROM {table})
+SELECT {select} FROM {table}, b
+WHERE {col} IS NOT NULL AND {col} >= b.lo AND {col} <= b.hi"""

@@ -1419,3 +1419,27 @@ def test_funnel_fold_single_shuffle_plan(spark):
         mode="fold",
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_band_filter(spark):
+    """Band edges are inclusive, NULLs drop, and degenerate inputs
+    (empty / all-NULL) return zero rows instead of erroring."""
+    from sdvg_spark.ops.sampling import quantile_band_filter
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)],
+        "id long, v double",
+    )
+    # p05 of 1..100 (interpolated) = 5.95; p95 = 95.05
+    kept = {r.id for r in quantile_band_filter(df, "v").collect()}
+    assert kept == set(range(6, 96))
+    assert 999 not in kept
+    # inclusive edges: band [min, max] keeps everything non-null
+    assert quantile_band_filter(df, "v", lower_q=0.0, upper_q=1.0).count() == 100
+    # degenerate inputs
+    empty = spark.createDataFrame([], "id long, v double")
+    assert quantile_band_filter(empty, "v").count() == 0
+    allnull = spark.createDataFrame([(1, None)], "id long, v double")
+    assert quantile_band_filter(allnull, "v").count() == 0
+    with pytest.raises(ValueError):
+        quantile_band_filter(df, "v", lower_q=0.9, upper_q=0.1)

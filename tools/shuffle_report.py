@@ -63,6 +63,7 @@ QUERIES = [
     "events_retention",
     "collocations",
     "token_divergence",
+    "quality_band",
 ]
 
 
