@@ -1443,3 +1443,29 @@ def test_quantile_band_filter(spark):
     assert quantile_band_filter(allnull, "v").count() == 0
     with pytest.raises(ValueError):
         quantile_band_filter(df, "v", lower_q=0.9, upper_q=0.1)
+
+
+def test_cohort_retention_max_offset(spark):
+    """The reporting-horizon cap trims offsets past the bound and
+    leaves the in-band matrix untouched."""
+    from datetime import datetime
+
+    from sdvg_spark.ops.analytics import cohort_retention
+
+    T = lambda d: datetime(2024, 3, d)
+    ev = spark.createDataFrame(
+        [(1, T(1)), (1, T(2)), (1, T(9))], "user_id long, ts timestamp"
+    )
+    full = {
+        r.day_offset for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    capped = {
+        r.day_offset
+        for r in cohort_retention(
+            ev, "user_id", "ts", max_offset_days=7
+        ).collect()
+    }
+    assert full == {0, 1, 8}
+    assert capped == {0, 1}
+    with pytest.raises(ValueError):
+        cohort_retention(ev, "user_id", "ts", max_offset_days=-1)
