@@ -44,7 +44,11 @@ def main() -> int:
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; tools/make_scale.py
+        # fixtures are Spark-written part-file directories
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     qs = E.queries()
     oracles = E.oracle_sql()
