@@ -4,6 +4,7 @@ from sdvg_spark.streaming.ops import (
     stream_running_totals_tws,
     sessionize_stream,
     stream_dedup,
+    stream_funnel,
     windowed_agg,
 )
 
@@ -12,6 +13,7 @@ __all__ = [
     "windowed_agg",
     "sessionize_stream",
     "stream_dedup",
+    "stream_funnel",
     "stream_running_totals",
     "stream_running_totals_tws",
 ]

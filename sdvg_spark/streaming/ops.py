@@ -251,3 +251,104 @@ def stream_running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming twin of ``ops/analytics.py:funnel``: a per-user funnel
+    state machine via ``applyInPandasWithState``.
+
+    State is K epoch-µs step timestamps per user (-1 = not reached —
+    a fixed-width long row in Spark's state store, bytes per user, any
+    cardinality). Each micro-batch's rows are sorted by
+    (ts, step-index) and replayed through the SAME greedy update as
+    the batch fold tier — including its tie rule and the sequential
+    within-event update that lets one event satisfy consecutive
+    duplicate-type steps — so when each user's events arrive
+    event-time-ordered ACROSS micro-batches (per-user in-order
+    delivery, e.g. a Kafka topic keyed by user), the final emitted row
+    per user is IDENTICAL to the batch funnel of the concatenated
+    input; pytest asserts it. Out-of-order arrival across batches
+    degrades gracefully: a step already locked at its first qualifying
+    seen event stays locked (the streaming-analytics convention —
+    reprocess in batch for exact backfills).
+
+    Emits one updated (user, step_1_ts..step_K_ts, depth) row per
+    entered user per micro-batch (update mode — latest row per user
+    wins). ``state_timeout_ms`` > 0 expires idle users' state.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"stream_funnel needs >= 2 steps, got {steps!r}")
+    if within_seconds is not None and within_seconds < 1:
+        raise ValueError(f"within_seconds must be >= 1, got {within_seconds}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k_n = len(steps)
+    fi = [steps.index(steps[k]) for k in range(k_n)]
+    first_index = {}
+    for pos, s in enumerate(steps):
+        first_index.setdefault(s, pos)
+    w_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        t = list(state.get) if state.exists else [-1] * k_n
+        for pdf in pdfs:
+            sub = pdf[[ts_col, type_col]].dropna(subset=[ts_col])
+            idx = sub[type_col].map(first_index)
+            sub = sub.assign(__i=idx).dropna(subset=["__i"])
+            if sub.empty:
+                continue
+            us = sub[ts_col].values.astype("datetime64[us]").astype("int64")
+            order = sorted(range(len(us)), key=lambda r: (us[r], sub["__i"].iloc[r]))
+            for r in order:
+                e_us, e_i = int(us[r]), int(sub["__i"].iloc[r])
+                for k in range(k_n):
+                    if t[k] != -1 or fi[k] != e_i:
+                        continue
+                    if k > 0 and (
+                        t[k - 1] == -1
+                        or e_us < t[k - 1]
+                        or (w_us is not None and e_us > t[0] + w_us)
+                    ):
+                        continue
+                    t[k] = e_us
+        state.update(tuple(t))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        if t[0] == -1:
+            return
+        row = {user_col: [key[0]]}
+        for k in range(k_n):
+            row[f"step_{k + 1}_ts"] = [
+                pd.Timestamp(t[k], unit="us") if t[k] != -1 else pd.NaT
+            ]
+        row["depth"] = [sum(1 for v in t if v != -1)]
+        yield pd.DataFrame(row)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    key_dtype = dict(df.dtypes)[user_col]
+    step_cols = ", ".join(f"step_{k + 1}_ts timestamp" for k in range(k_n))
+    return df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} {key_dtype}, {step_cols}, depth int",
+        stateStructType=", ".join(f"t{k} long" for k in range(k_n)),
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -294,3 +294,80 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 12:00 window is still open (watermark < 13:00), so append
     # mode withholds it
     assert 12 not in by_hour
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Per-user in-order delivery across micro-batches -> the final
+    emitted row per user is identical to the batch funnel (fold tier)
+    of the concatenated input, including conversion-window drops."""
+    from datetime import datetime, timedelta
+    import random
+
+    from sdvg_spark.ops.analytics import funnel
+    from sdvg_spark.streaming import stream_funnel
+
+    rng = random.Random(29)
+    base = datetime(2024, 6, 1)
+    rows = [
+        (
+            u,
+            base + timedelta(hours=rng.randrange(0, 300)),
+            rng.choice(["view", "click", "purchase", "other"]),
+        )
+        for u in range(40)
+        for _ in range(rng.randrange(0, 10))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    # split into 3 micro-batches by GLOBAL time thirds: every user's
+    # events then arrive in event-time order across batches
+    cuts = [base + timedelta(hours=100), base + timedelta(hours=200)]
+    src = str(tmp_path / "sf_src")
+    df.where(F.col("ts") < cuts[0]).coalesce(1).write.parquet(src)
+    df.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    df.where(F.col("ts") >= cuts[1]).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_funnel(
+        sdf, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=5 * 86400,
+    )
+    name = f"sf_sink_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sf_ck"))
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.depth)
+        for r in spark.sql(
+            f"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+            f"ORDER BY depth DESC) rn FROM {name}) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.depth)
+        for r in funnel(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_seconds=5 * 86400,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_funnel_validates_args(spark):
+    from sdvg_spark.streaming import stream_funnel
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stream_funnel(df, "user_id", "ts", "event_type", ["view"])
+    with _pt.raises(ValueError):
+        stream_funnel(df, "user_id", "ts", "event_type", ["a", "b"], within_seconds=0)
