@@ -253,6 +253,32 @@ def stream_running_totals_tws(
     )
 
 
+def _funnel_replay(t, pdf, ts_col, type_col, first_index, fi, w_us):
+    """Replay one micro-batch's rows for one user through the greedy
+    funnel update (shared by both stateful-API variants; semantics ==
+    the batch fold tier, see ops/analytics.py:_funnel_fold)."""
+    sub = pdf[[ts_col, type_col]].dropna(subset=[ts_col])
+    idx = sub[type_col].map(first_index)
+    sub = sub.assign(__i=idx).dropna(subset=["__i"])
+    if sub.empty:
+        return t
+    us = sub[ts_col].values.astype("datetime64[us]").astype("int64")
+    iv = sub["__i"].astype(int).tolist()
+    for r in sorted(range(len(us)), key=lambda r: (us[r], iv[r])):
+        e_us, e_i = int(us[r]), iv[r]
+        for k in range(len(t)):
+            if t[k] != -1 or fi[k] != e_i:
+                continue
+            if k > 0 and (
+                t[k - 1] == -1
+                or e_us < t[k - 1]
+                or (w_us is not None and e_us > t[0] + w_us)
+            ):
+                continue
+            t[k] = e_us
+    return t
+
+
 def stream_funnel(
     df: DataFrame,
     user_col: str,
@@ -306,25 +332,7 @@ def stream_funnel(
             return
         t = list(state.get) if state.exists else [-1] * k_n
         for pdf in pdfs:
-            sub = pdf[[ts_col, type_col]].dropna(subset=[ts_col])
-            idx = sub[type_col].map(first_index)
-            sub = sub.assign(__i=idx).dropna(subset=["__i"])
-            if sub.empty:
-                continue
-            us = sub[ts_col].values.astype("datetime64[us]").astype("int64")
-            order = sorted(range(len(us)), key=lambda r: (us[r], sub["__i"].iloc[r]))
-            for r in order:
-                e_us, e_i = int(us[r]), int(sub["__i"].iloc[r])
-                for k in range(k_n):
-                    if t[k] != -1 or fi[k] != e_i:
-                        continue
-                    if k > 0 and (
-                        t[k - 1] == -1
-                        or e_us < t[k - 1]
-                        or (w_us is not None and e_us > t[0] + w_us)
-                    ):
-                        continue
-                    t[k] = e_us
+            t = _funnel_replay(t, pdf, ts_col, type_col, first_index, fi, w_us)
         state.update(tuple(t))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
@@ -351,4 +359,80 @@ def stream_funnel(
         stateStructType=", ".join(f"t{k} long" for k in range(k_n)),
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def stream_funnel_tws(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """:func:`stream_funnel` on the ``transformWithStateInPandas`` API
+    (Spark 4.x ``StatefulProcessor``) — same greedy replay
+    (:func:`_funnel_replay`), same state shape (K epoch-µs longs, -1 =
+    unreached), same emitted rows; pytest (protobuf-gated, like
+    :func:`stream_running_totals_tws`) asserts both variants match the
+    batch funnel on the same in-order micro-batches.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-server protocol); it is not installed — "
+            "use stream_funnel (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if len(steps) < 2:
+        raise ValueError(f"stream_funnel_tws needs >= 2 steps, got {steps!r}")
+    if within_seconds is not None and within_seconds < 1:
+        raise ValueError(f"within_seconds must be >= 1, got {within_seconds}")
+
+    k_n = len(steps)
+    fi = [steps.index(steps[k]) for k in range(k_n)]
+    first_index = {}
+    for pos, s in enumerate(steps):
+        first_index.setdefault(s, pos)
+    w_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+    state_schema = ", ".join(f"t{k} long" for k in range(k_n))
+
+    class Funnel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("steps", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            t = list(self._state.get()) if self._state.exists() else [-1] * k_n
+            for pdf in rows:
+                t = _funnel_replay(t, pdf, ts_col, type_col, first_index, fi, w_us)
+            self._state.update(tuple(t))
+            if t[0] == -1:
+                return
+            row = {user_col: [key[0]]}
+            for k in range(k_n):
+                row[f"step_{k + 1}_ts"] = [
+                    pd.Timestamp(t[k], unit="us") if t[k] != -1 else pd.NaT
+                ]
+            row["depth"] = [sum(1 for v in t if v != -1)]
+            yield pd.DataFrame(row)
+
+        def close(self) -> None:
+            pass
+
+    key_dtype = dict(df.dtypes)[user_col]
+    step_cols = ", ".join(f"step_{k + 1}_ts timestamp" for k in range(k_n))
+    return df.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=Funnel(),
+        outputStructType=f"{user_col} {key_dtype}, {step_cols}, depth int",
+        outputMode="Update",
+        timeMode="None",
     )

@@ -296,15 +296,24 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert 12 not in by_hour
 
 
-def test_stream_funnel_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("variant", ["apply", "tws"])
+def test_stream_funnel_matches_batch(spark, tmp_path, variant):
     """Per-user in-order delivery across micro-batches -> the final
     emitted row per user is identical to the batch funnel (fold tier)
-    of the concatenated input, including conversion-window drops."""
+    of the concatenated input, including conversion-window drops.
+    Both stateful APIs must agree (tws is protobuf-gated)."""
     from datetime import datetime, timedelta
     import random
 
     from sdvg_spark.ops.analytics import funnel
-    from sdvg_spark.streaming import stream_funnel
+    from sdvg_spark.streaming import stream_funnel, stream_funnel_tws
+
+    if variant == "tws":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            pytest.skip("transformWithStateInPandas needs protobuf (not in container)")
+    stream_op = stream_funnel if variant == "apply" else stream_funnel_tws
 
     rng = random.Random(29)
     base = datetime(2024, 6, 1)
@@ -329,11 +338,11 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     df.where(F.col("ts") >= cuts[1]).coalesce(1).write.mode("append").parquet(src)
 
     sdf = spark.readStream.schema(df.schema).parquet(src)
-    out = stream_funnel(
+    out = stream_op(
         sdf, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], within_seconds=5 * 86400,
     )
-    name = f"sf_sink_{int(time.time() * 1000)}"
+    name = f"sf_sink_{variant}_{int(time.time() * 1000)}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
