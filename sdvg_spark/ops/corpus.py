@@ -136,15 +136,22 @@ def decontaminate(
     from sdvg_spark.ops.dedup import widen
 
     # a small parquet input arrives as one partition and would run the
-    # whole gram explode on one core; at real scale widen() is a no-op
-    doc_grams = widen(docs).select(
-        F.col(id_col).alias("__doc"),
-        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("gram"),
+    # whole gram explode on one core; at real scale widen() is a no-op.
+    # Tokenization is staged behind a projection boundary on both sides:
+    # word_ngrams' slice-lambda defeats subexpression elimination, so an
+    # inlined tokens() would retokenize the document once per gram.
+    doc_grams = (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("__doc"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select("__doc", F.explode(word_ngrams(F.col("__toks"), n)).alias("gram"))
     )
     bench_grams = bench.select(
         F.col(bench_id_col).alias("__bench"),
-        F.explode(word_ngrams(tokens(F.col(bench_text_col)), n)).alias("gram"),
-    )
+        tokens(F.col(bench_text_col)).alias("__toks"),
+    ).select("__bench", F.explode(word_ngrams(F.col("__toks"), n)).alias("gram"))
     right = F.broadcast(bench_grams) if broadcast_bench else bench_grams
     hits = (
         doc_grams.join(right, "gram")
@@ -399,7 +406,12 @@ def duplicate_spans(
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = tokens(F.col(text_col))
+    # stage tokenization behind a projection boundary: `toks` is
+    # referenced once per WINDOW below, and higher-order lambdas defeat
+    # subexpression elimination — inlining retokenizes the document per
+    # window (measured 6.4x slower at sf0.1, the q_text_features lesson)
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     grams = F.when(
         n >= span_tokens,
@@ -408,7 +420,7 @@ def duplicate_spans(
             lambda i: F.array_join(F.slice(toks, i, span_tokens), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = docs.select(
+    occ = staged.select(
         F.col(id_col), F.posexplode(grams).alias("__p", "__g")
     ).select(
         F.col(id_col),
