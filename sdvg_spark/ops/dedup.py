@@ -57,15 +57,23 @@ def char_shingles(text: Column, k: int = 5, lowercase: bool = True) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
-def word_shingles(text: Column, k: int = 3, lowercase: bool = True) -> Column:
-    """Distinct word k-shingles (space-joined) as an array<string>."""
-    t = F.lower(text) if lowercase else text
-    words = F.split(F.trim(t), r"\s+")
+def word_shingles_from(words: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a pre-split word array. Take this
+    entry point (with the word array STAGED behind a projection
+    boundary) when shingling a corpus: the slice lambda below defeats
+    subexpression elimination, so an inlined split would re-split the
+    document once per shingle."""
     n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n - F.lit(1))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i + F.lit(1), k), " "))
     )
+
+
+def word_shingles(text: Column, k: int = 3, lowercase: bool = True) -> Column:
+    """Distinct word k-shingles (space-joined) as an array<string>."""
+    t = F.lower(text) if lowercase else text
+    return word_shingles_from(F.split(F.trim(t), r"\s+"), k)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -316,12 +324,23 @@ def minhash_lsh_pairs(
     estimate job entirely.
     """
     rows_per_band = n_hashes // bands
-    sh = (
-        word_shingles(F.col(text_col), 3)
-        if use_word_shingles
-        else char_shingles(F.col(text_col), shingle_k)
-    )
-    shingled = widen(df).select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+    # stage the per-window-referenced input (lowered text / word array)
+    # behind a projection boundary: the shingle lambdas defeat
+    # subexpression elimination, so inlining would re-lower/re-split
+    # the document once per shingle (O(len^2) per doc)
+    if use_word_shingles:
+        staged = widen(df).select(
+            F.col(id_col).alias("__id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__in"),
+        )
+        sh = word_shingles_from(F.col("__in"), 3)
+    else:
+        staged = widen(df).select(
+            F.col(id_col).alias("__id"),
+            F.lower(F.col(text_col)).alias("__in"),
+        )
+        sh = char_shingles(F.col("__in"), shingle_k, lowercase=False)
+    shingled = staged.select("__id", sh.alias("__sh"))
     if mode == "auto":
         est = df.select(F.sum(F.length(F.col(text_col))).alias("c")).first()
         est_bytes = 8 * int(est["c"] or 0)
@@ -547,8 +566,14 @@ def ngram_jaccard_pairs(
     threshold > 0). The small-scale / oracle-checkable path; for
     100 TB use :func:`minhash_lsh_pairs`.
     """
-    base = widen(df).select(
-        F.col(id_col).alias("__id"), char_shingles(F.col(text_col), shingle_k).alias("__sh")
+    base = (
+        # staged lowering: char_shingles' substr lambda would otherwise
+        # re-lower the document once per shingle (O(len^2) per doc)
+        widen(df)
+        .select(F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__lt"))
+        .select(
+            "__id", char_shingles(F.col("__lt"), shingle_k, lowercase=False).alias("__sh")
+        )
     )
     inv = base.select("__id", F.explode("__sh").alias("__s"))
     # |A ∩ B| directly from the inverted index: shingles are distinct
