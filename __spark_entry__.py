@@ -940,6 +940,16 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts")
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health scalar: least-squares Zipf slope/intercept/r2 of
+    ln(tf) on ln(rank) over the top-500 vocabulary — rank-ordered
+    folds, one token shuffle (ops/corpus.py:zipf_fit)."""
+    from sdvg_spark.ops.corpus import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, "doc_id", "text", top_n=500)
+
+
 def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-band quality gate: events rows whose value sits inside
     the exact [p05, p95] corpus band — single-scan exact-percentile
@@ -1058,23 +1068,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "collocations": q_collocations,
             "token_divergence": q_token_divergence,
             "quality_band": q_quality_band,
+            "zipf_fit": q_zipf_fit,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 69 exist, so 19 sit past the cap every round. Rotate
+    # this dict; 70 exist, so 20 sit past the cap every round. Rotate
     # long-stable rows (hash-green since r03/r04) into the tail so the
-    # newest operators always get a hard driver row; the full 69 stay
+    # newest operators always get a hard driver row; the full 70 stay
     # covered by tools/check_entry.py (EXACT=1) locally. The in-window
     # set keeps the LFSR-random representative (gen_integer_random)
     # and one row per operator family: gen_foreign_key (driver-green
     # r03–r05), data_split_by_source (hash-split family's second row
-    # next to in-window data_split) and media_audio_features
-    # (multimodal family's second row next to in-window
-    # media_features) rotate to the tail.
+    # next to in-window data_split), media_audio_features (multimodal
+    # family's second row next to in-window media_features) and
+    # ann_lsh (similarity family keeps five other in-window rows incl.
+    # the recall scorecard) rotate to the tail.
     deferred = [
         "gen_foreign_key",
         "data_split_by_source",
         "media_audio_features",
+        "ann_lsh",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1426,6 +1439,10 @@ FROM grid ASOF LEFT JOIN obs
         table="events", col="value", lower_q=0.05, upper_q=0.95,
         select="event_id, value",
     )
+
+    from sdvg_spark.ops.corpus import zipf_fit_oracle_sql
+
+    out["zipf_fit"] = zipf_fit_oracle_sql(top_n=500)
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

@@ -160,6 +160,7 @@ def main() -> None:
         "collocations",
         "token_divergence",
         "quality_band",
+        "zipf_fit",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

@@ -1016,3 +1016,139 @@ SELECT sc.na AS n_tokens_a, sc.nb AS n_tokens_b, sc.v AS vocab_size,
         + (oov.pa * ln(oov.pa / ((oov.pa + oov.pb) / 2))
            + oov.pb * ln(oov.pb / ((oov.pa + oov.pb) / 2))) / 2, {r}) AS js
 FROM sc, folded, oov"""
+
+
+def zipf_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 1000,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Zipf-law fit of the corpus frequency-rank curve: least-squares
+    regression of ln(tf) on ln(rank) over the top-``top_n`` vocabulary
+    — natural text sits near slope -1; strong deviation flags
+    boilerplate/spam/templated corpora (a cheap corpus-health scalar
+    next to :func:`token_divergence`).
+
+    Returns ONE row: (n_ranks, slope, intercept, r2), with the
+    closed-form least-squares solution evaluated from rank-ordered
+    folded sums — the fold order, the ln inputs (exact integers), and
+    the final expression shapes are identical in the DuckDB oracle, so
+    the doubles match bitwise before rounding. Degenerate inputs
+    (fewer than 2 ranks, or zero x-variance) return 0.0 fits.
+
+    Plan shape: one corpus-token shuffle for term frequencies,
+    TakeOrdered(top_n) for the rank cut (tf DESC, token — a total
+    order), a ≤top_n-row window for ranks and one fold. Same cost
+    class as corpus_vocab.
+    """
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    tf = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .orderBy(F.desc("__tf"), F.asc("__w"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("__tf"), F.asc("__w"))
+    ranked = tf.withColumn("__r", F.row_number().over(w))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__tf").cast("double"))
+    terms = ranked.select(
+        F.struct(
+            F.col("__r").alias("r"),
+            x.alias("x"),
+            y.alias("y"),
+            (x * y).alias("xy"),
+            (x * x).alias("xx"),
+            (y * y).alias("yy"),
+        ).alias("__s")
+    )
+
+    def fold(field: str) -> Column:
+        return F.aggregate(
+            F.transform(F.sort_array(F.collect_list("__s")), lambda s: s[field]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+        fold("yy").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    ok = (F.col("n_ranks") >= 2) & (den != 0.0)
+    slope = F.when(ok, num / den).otherwise(F.lit(0.0))
+    intercept = F.when(ok, (F.col("sy") - (num / den) * F.col("sx")) / n).otherwise(
+        F.lit(0.0)
+    )
+    r2 = F.when(ok & (den_y != 0.0), (num * num) / (den * den_y)).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "n_ranks",
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+        F.round(r2, round_digits).alias("r2"),
+    )
+
+
+def zipf_fit_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    top_n: int = 1000,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`zipf_fit` — same rank cut, same
+    rank-ordered folds, same closed-form expression shapes."""
+    tk = sql_tokens(text_col)
+    r = int(round_digits)
+    return f"""
+WITH tks AS (SELECT unnest({tk}) AS w FROM {table}),
+v AS (SELECT w, count(*)::BIGINT AS tf FROM tks GROUP BY w
+      ORDER BY tf DESC, w LIMIT {int(top_n)}),
+rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS r FROM v),
+t AS (SELECT r, ln(r::DOUBLE) AS x, ln(tf::DOUBLE) AS y FROM rk),
+f AS (SELECT count(*)::BIGINT AS n_ranks,
+        list_sort(list({{'r': r, 'x': x, 'y': y,
+                         'xy': x * y, 'xx': x * x, 'yy': y * y}})) AS arr
+      FROM t),
+s AS (SELECT n_ranks,
+        coalesce(list_sum(list_transform(arr, e -> e.x)), 0.0) AS sx,
+        coalesce(list_sum(list_transform(arr, e -> e.y)), 0.0) AS sy,
+        coalesce(list_sum(list_transform(arr, e -> e.xy)), 0.0) AS sxy,
+        coalesce(list_sum(list_transform(arr, e -> e.xx)), 0.0) AS sxx,
+        coalesce(list_sum(list_transform(arr, e -> e.yy)), 0.0) AS syy
+      FROM f)
+SELECT n_ranks,
+  round(CASE WHEN n_ranks >= 2
+             AND n_ranks::DOUBLE * sxx - sx * sx != 0.0
+        THEN (n_ranks::DOUBLE * sxy - sx * sy)
+             / (n_ranks::DOUBLE * sxx - sx * sx)
+        ELSE 0.0 END, {r}) AS slope,
+  round(CASE WHEN n_ranks >= 2
+             AND n_ranks::DOUBLE * sxx - sx * sx != 0.0
+        THEN (sy - ((n_ranks::DOUBLE * sxy - sx * sy)
+                    / (n_ranks::DOUBLE * sxx - sx * sx)) * sx)
+             / n_ranks::DOUBLE
+        ELSE 0.0 END, {r}) AS intercept,
+  round(CASE WHEN n_ranks >= 2
+             AND n_ranks::DOUBLE * sxx - sx * sx != 0.0
+             AND n_ranks::DOUBLE * syy - sy * sy != 0.0
+        THEN ((n_ranks::DOUBLE * sxy - sx * sy)
+              * (n_ranks::DOUBLE * sxy - sx * sy))
+             / ((n_ranks::DOUBLE * sxx - sx * sx)
+                * (n_ranks::DOUBLE * syy - sy * sy))
+        ELSE 0.0 END, {r}) AS r2
+FROM s"""

@@ -64,6 +64,7 @@ QUERIES = [
     "collocations",
     "token_divergence",
     "quality_band",
+    "zipf_fit",
 ]
 
 
