@@ -108,14 +108,33 @@ def main() -> None:
             "spill_mb": sum(s.get("diskBytesSpilled", 0) for s in mine) / 1e6,
         }
 
-    run_tagged("warmup", QUERIES[0], sf_dirs[0])  # absorb scan/codegen init
+    # SHUFFLE_QUERIES=a,b,c restricts the sweep (large scale points);
+    # a query that errors at a given scale (e.g. a byte-capped tier
+    # refusing, by design) records err instead of killing the report
+    only = os.environ.get("SHUFFLE_QUERIES", "")
+    queries = [q for q in only.split(",") if q] or QUERIES
+
+    run_tagged("warmup", queries[0], sf_dirs[0])  # absorb scan/codegen init
 
     per_dir: dict[str, list[dict]] = {}
     for di, sf_dir in enumerate(sf_dirs):
         rows = []
-        for name in QUERIES:
+        for name in queries:
             tag = f"{name}#{di}"
-            run_tagged(tag, name, sf_dir)
+            try:
+                run_tagged(tag, name, sf_dir)
+            except Exception as e:
+                rows.append(
+                    {
+                        "query": name,
+                        "stages": 0,
+                        "shuffle_write_mb": 0.0,
+                        "shuffle_read_mb": 0.0,
+                        "spill_mb": 0.0,
+                        "err": f"{type(e).__name__}: {str(e)[:120]}",
+                    }
+                )
+                continue
             rows.append({"query": name, **collect(tag)})
         per_dir[sf_dir] = rows
 
@@ -149,8 +168,9 @@ def main() -> None:
         print("| query | stages | shuffle write MB | shuffle read MB | spill MB |")
         print("|---|---|---|---|---|")
         for r in rows:
+            name = r["query"] + (f" (ERR: {r['err']})" if r.get("err") else "")
             print(
-                f"| {r['query']} | {r['stages']} | {r['shuffle_write_mb']:.2f} "
+                f"| {name} | {r['stages']} | {r['shuffle_write_mb']:.2f} "
                 f"| {r['shuffle_read_mb']:.2f} | {r['spill_mb']:.2f} |"
             )
     if len(sf_dirs) == 2:
