@@ -180,3 +180,84 @@ def test_pii_redaction_is_idempotent_on_placeholders(parts):
 
     once = redact(text)
     assert redact(once) == once
+
+
+# ---------------------------------------------------------------------------
+# funnel greedy-replay core (pure pandas — the kernel both streaming
+# variants and the batch fold tier share semantics with)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from(["a", "b", "c", "x"])),
+        min_size=0,
+        max_size=60,
+    ),
+    steps=st.sampled_from([["a", "b"], ["a", "b", "c"], ["a", "a", "b"]]),
+    window=st.sampled_from([None, 5, 15]),
+)
+@settings(max_examples=120, deadline=None)
+def test_funnel_replay_equals_chain_and_composes(data, steps, window):
+    """The greedy replay (streaming/ops.py:_funnel_replay) equals the
+    per-step min-aggregation chain (the SQL-oracle semantics) on any
+    event multiset — including ts ties and duplicate step types — and
+    composes: replaying chronologically-partitioned batches one by one
+    gives the same state as one shot."""
+    import pandas as pd
+
+    from sdvg_spark.streaming.ops import _funnel_replay
+
+    k_n = len(steps)
+    fi = [steps.index(steps[k]) for k in range(k_n)]
+    first_index = {}
+    for pos, s in enumerate(steps):
+        first_index.setdefault(s, pos)
+    w_us = None if window is None else window * 1_000_000
+
+    def mkdf(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t * 1_000_000 for t, _ in rows], unit="us"),
+                "t": [ty for _, ty in rows],
+            }
+        )
+
+    # brute-force chain: step_k = min ts of type steps[k-1] at/after
+    # step_{k-1} (and <= step_1 + window for k >= 2)
+    def chain(rows):
+        out = [-1] * k_n
+        for k in range(k_n):
+            cands = [
+                t * 1_000_000
+                for t, ty in rows
+                if ty == steps[k]
+                and (k == 0 or (out[k - 1] != -1 and t * 1_000_000 >= out[k - 1]))
+                and (
+                    k == 0
+                    or w_us is None
+                    or (out[0] != -1 and t * 1_000_000 <= out[0] + w_us)
+                )
+            ]
+            if k > 0 and out[k - 1] == -1:
+                break
+            if cands:
+                out[k] = min(cands)
+        return out
+
+    one_shot = _funnel_replay(
+        [-1] * k_n, mkdf(data), "ts", "t", first_index, fi, w_us
+    )
+    assert one_shot == chain(data)
+
+    # composition: split the time-sorted stream at strict ts increases
+    srt = sorted(data, key=lambda r: r[0])
+    cut = len(srt) // 2
+    while 0 < cut < len(srt) and srt[cut - 1][0] == srt[cut][0]:
+        cut += 1  # never split a tie group across batches (in-order contract)
+    state = [-1] * k_n
+    for batch in (srt[:cut], srt[cut:]):
+        if batch:
+            state = _funnel_replay(
+                state, mkdf(batch), "ts", "t", first_index, fi, w_us
+            )
+    assert state == one_shot
