@@ -12,11 +12,13 @@ should grow ~linearly with the factor:
 * key columns shift by ``replica * 10^9`` (doc_id, vec_id, event_id,
   user_id, order/cust keys) — group counts grow 10x, group SIZES stay
   constant (sessionize/skew-agg scale the right way);
-* ``documents.text`` gets a per-replica Caesar rotation of the letter
-  alphabet (``F.translate``): lengths/token shapes are preserved, every
-  5-gram shingle changes, so duplicate classes replicate WITHIN a
-  replica but never across replicas — minhash/simhash pair counts grow
-  exactly linearly instead of quadratically;
+* ``documents.text`` gets a per-replica SEEDED permutation of the
+  letter alphabet (``F.translate``; replica 0 is the identity):
+  lengths/token shapes are preserved, every 5-gram shingle changes, so
+  duplicate classes replicate WITHIN a replica but never across
+  replicas — minhash/simhash pair counts grow exactly linearly instead
+  of quadratically (a Caesar rotation would collide mod 26 at
+  factor > 26);
 * ``documents.source`` gets a ``-r{i}`` suffix (group-keyed splits see
   10x groups of unchanged size);
 * ``embeddings.embedding`` is rotated by ``replica`` positions
@@ -56,10 +58,21 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
-def _caesar(col, r: int):
+def _permute_alphabet(col, r: int):
+    """Per-replica seeded letter-permutation of the text. A plain
+    Caesar rotation collides mod 26 — at factor > 26, replicas 26
+    apart would share IDENTICAL text, creating cross-replica duplicate
+    classes that grow quadratically with the factor (measured: a
+    factor-100 build drove minhash's candidate pairs into driver OOM).
+    A seeded permutation (26! space, replica 0 = identity) keeps
+    duplicate classes strictly within-replica at any factor."""
     if r == 0:
         return col
-    rl = _LOWER[r:] + _LOWER[:r]
+    import random
+
+    letters = list(_LOWER)
+    random.Random(0xC0FFEE + r).shuffle(letters)
+    rl = "".join(letters)
     return F.translate(col, _LOWER + _UPPER, rl + rl.upper())
 
 
@@ -74,7 +87,7 @@ def replica(df: DataFrame, table: str, r: int, dims: int | None) -> DataFrame:
     for k in KEY_SHIFTS.get(table, []):
         df = df.withColumn(k, F.col(k) + F.lit(r * SHIFT))
     if table == "documents":
-        df = df.withColumn("text", _caesar(F.col("text"), r)).withColumn(
+        df = df.withColumn("text", _permute_alphabet(F.col("text"), r)).withColumn(
             "source", F.concat(F.col("source"), F.lit(f"-r{r}"))
         )
     if table == "embeddings" and dims:
