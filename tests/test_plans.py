@@ -296,3 +296,25 @@ def test_chunking_and_mixing_are_map_only(spark, entry):
         plan = _plan(entry.queries()[name](spark, SF_DIR))
         tree = plan.split("\n\n")[0]
         assert "Exchange" not in tree, name
+
+
+def test_quality_band_filter_pushes_bounds_to_scan(spark, entry):
+    """The band predicate is two literal comparisons after the bounds
+    scan — it must reach the parquet reader as pushed filters, and the
+    filtered pass must stay exchange-free (map-only)."""
+    plan = _plan(entry.queries()["quality_band"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(value), GreaterThanOrEqual(value" in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_fold_tier_single_exchange_on_entry_query(spark, entry):
+    """The entry funnel (fold tier) plans exactly ONE hash exchange —
+    the user-keyed aggregation; no joins at all."""
+    import re
+
+    plan = _plan(entry.queries()["events_funnel"](spark, SF_DIR))
+    # formatted mode lists each operator once as "(N) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(__u" in plan
+    assert "Join" not in plan
