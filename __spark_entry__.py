@@ -410,6 +410,37 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_buckets=64)
 
 
+def q_pack_sequences_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing over the STORED ``n_chars`` column —
+    same distributed prefix-sum as `pack_sequences` with zero
+    tokenizer surface, so a driver mismatch here isolates the cumsum/
+    div/mod arithmetic from tokenization (r05 diagnostic: the
+    `pack_sequences` row hash-failed on the driver while being
+    bit-identical under every local replication, including a vanilla
+    default-config session)."""
+    from sdvg_spark.ops.corpus import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=8192, n_buckets=64)
+
+
+def q_pack_nostraddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit (no-straddle) packing — the other standard dataloader
+    convention: a doc that would overflow the pack opens a new one;
+    per-shard greedy via a searchsorted pack-jump kernel."""
+    from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.corpus import pack_sequences_nostraddle
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences_nostraddle(
+        docs, "doc_id", "n_tokens", budget=2048, n_shards=64
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (lineitem scan shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1045,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "corpus_vocab": q_corpus_vocab,
             "decontaminate": q_decontaminate,
             "pack_sequences": q_pack_sequences,
+            "pack_sequences_chars": q_pack_sequences_chars,
+            "pack_nostraddle": q_pack_nostraddle,
             "pii_redact": q_pii_redact,
             "curate": q_curate,
             "profile_events": q_profile_events,
@@ -1088,6 +1121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_split_by_source",
         "media_audio_features",
         "ann_lsh",
+        # r06: two more long-green rows rotate out so the pack variants
+        # (pack_sequences_chars, pack_nostraddle — the r05 red-cell
+        # diagnostics) sit inside the driver's 50-row window; their
+        # families keep in-window rows (ann_quantized, events_*).
+        "embedding_quantize",
+        "events_hourly",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1279,6 +1318,15 @@ FROM s GROUP BY user_id, session_seq"""
     from sdvg_spark.ops.corpus import pack_sequences_oracle_sql
 
     out["pack_sequences"] = pack_sequences_oracle_sql(budget=2048)
+
+    from sdvg_spark.ops.corpus import pack_sequences_nostraddle_oracle_sql
+
+    out["pack_sequences_chars"] = pack_sequences_oracle_sql(
+        n_tokens_sql="n_chars", budget=8192
+    )
+    out["pack_nostraddle"] = pack_sequences_nostraddle_oracle_sql(
+        budget=2048, n_shards=64
+    )
 
     from sdvg_spark.ops.pipeline import CurationConfig, curate_oracle_sql
 

@@ -243,7 +243,12 @@ def pack_sequences(
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
-    b = d.withColumn("__b", ((F.col("__id") - F.lit(lo)) / F.lit(width)).cast("long"))
+    # integer DIV, not `/`+cast: `/` is double division, which silently
+    # loses exactness past 2^53 — real 64-bit doc ids (and the global
+    # token cumsum at 100 TB) can exceed that
+    b = d.withColumn(
+        "__b", F.expr(f"(__id - {lo}L) DIV {width}L")
+    )
     sums = b.groupBy("__b").agg(F.sum("__n").alias("__bsum"))
     # exclusive prefix over the bucket sums: n_buckets rows, so the
     # unpartitioned window is intentionally tiny
@@ -264,8 +269,8 @@ def pack_sequences(
         .select(
             F.col("__id").alias(id_col),
             F.col("__n").cast("long").alias("n_tokens"),
-            (F.col("__start") / budget).cast("long").alias("pack_id"),
-            (F.col("__start") % budget).cast("long").alias("pack_offset"),
+            F.expr(f"__start DIV {int(budget)}L").alias("pack_id"),
+            F.pmod(F.col("__start"), F.lit(int(budget))).cast("long").alias("pack_offset"),
         )
     )
     return packed
@@ -296,6 +301,126 @@ SELECT id AS {id_col}, n AS n_tokens,
   (start // {budget})::BIGINT AS pack_id,
   (start % {budget})::BIGINT AS pack_offset
 FROM c"""
+
+
+def pack_sequences_nostraddle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    *,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """First-fit (no-straddle) sequence packing: documents never cross
+    a pack boundary — a doc that would push the pack past ``budget``
+    opens a new pack instead. This is the other standard dataloader
+    convention next to :func:`pack_sequences`' concat-then-chunk
+    (reference parity: the reference has no packer; this is part of
+    the beyond-parity training-data surface).
+
+    Packing is greedy within contiguous id-range SHARDS (pack ids are
+    per-shard), exactly how real dataloaders pack per worker/shard —
+    a single global greedy would serialize the corpus through one
+    task. Rule, applied in ``id_col`` order within a shard: keep a
+    running ``fill``; if ``fill + n > budget`` the doc starts a new
+    pack (so an oversized doc occupies a pack alone), else it lands at
+    offset ``fill``. Zero-length docs attach to the current pack.
+
+    Implementation: one range shuffle of (id, n) pairs into shards,
+    then a per-shard Arrow-batched kernel that jumps pack boundaries
+    with ``searchsorted`` over the shard cumsum — O(packs · log docs)
+    per shard, not a per-doc Python loop. Shard metadata is 16 B/doc;
+    at 25 B docs (100 TB corpus) and 4096 shards that is ~100 MB per
+    task — size ``n_shards`` accordingly.
+
+    Returns (id, n_tokens, shard, pack_id, pack_offset); ``pack_id``
+    is local to ``shard``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = docs.select(
+        F.col(id_col).alias("__id"), F.col(n_tokens_col).cast("long").alias("__n")
+    )
+    bounds = d.select(F.min("__id").alias("lo"), F.max("__id").alias("hi")).first()
+    spark = docs.sparkSession
+    out_schema = (
+        f"{id_col} long, n_tokens long, shard long, pack_id long, pack_offset long"
+    )
+    if bounds["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // n_shards + 1)
+    b = d.withColumn("__shard", F.expr(f"(__id - {lo}L) DIV {width}L"))
+    budget_ = int(budget)
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        n = pdf["__n"].to_numpy(dtype=np.int64)
+        c = np.cumsum(n)
+        packs = np.empty(len(n), dtype=np.int64)
+        offs = np.empty(len(n), dtype=np.int64)
+        start, base, pack = 0, 0, 0
+        while start < len(n):
+            end = int(np.searchsorted(c, base + budget_, side="right"))
+            if end <= start:  # oversized doc: a pack of its own
+                end = start + 1
+            packs[start:end] = pack
+            offs[start:end] = (c[start:end] - n[start:end]) - base
+            base = int(c[end - 1])
+            pack += 1
+            start = end
+        return pd.DataFrame(
+            {
+                id_col: pdf["__id"].to_numpy(),
+                "n_tokens": n,
+                "shard": pdf["__shard"].to_numpy(),
+                "pack_id": packs,
+                "pack_offset": offs,
+            }
+        )
+
+    return b.groupBy("__shard").applyInPandas(pack_shard, out_schema)
+
+
+def pack_sequences_nostraddle_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_tokens_sql: str | None = None,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences_nostraddle`: a per-doc
+    recursive CTE replays the greedy fill within each shard (recursion
+    depth = max docs per shard — an oracle-scale construct, the Spark
+    side is the scalable one). The shard rule recomputes the same
+    contiguous-range bucketing from the data's own min/max."""
+    n = n_tokens_sql or "len(" + sql_tokens("text") + ")"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT {id_col} AS id, {n}::BIGINT AS n FROM {table}
+), lim AS (
+  SELECT min(id) AS lo,
+         greatest(1, (max(id) - min(id)) // {n_shards} + 1) AS w FROM base
+), d AS (
+  SELECT (id - lo) // w AS shard, id, n,
+         row_number() OVER (PARTITION BY (id - lo) // w ORDER BY id) AS rn
+  FROM base, lim
+), s AS (
+  SELECT shard, rn, id, n,
+         0::BIGINT AS pack, 0::BIGINT AS off, n::BIGINT AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.id, d.n,
+         CASE WHEN s.fill + d.n > {budget} THEN s.pack + 1 ELSE s.pack END,
+         CASE WHEN s.fill + d.n > {budget} THEN 0 ELSE s.fill END,
+         CASE WHEN s.fill + d.n > {budget} THEN d.n ELSE s.fill + d.n END
+  FROM s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+)
+SELECT id AS {id_col}, n AS n_tokens, shard::BIGINT AS shard,
+       pack AS pack_id, off AS pack_offset
+FROM s"""
 
 
 def chunk_documents(

@@ -781,6 +781,69 @@ def test_pack_sequences_matches_global_cumsum(spark):
         assert got == naive, n_buckets
 
 
+def _greedy_nostraddle(rows, budget):
+    """Per-shard pure-python first-fit reference: new pack when the doc
+    would push fill past budget (oversized docs pack alone)."""
+    out = {}
+    for shard in sorted({s for s, _, _ in rows}):
+        fill, pack = None, 0
+        for s, doc_id, n in sorted(r for r in rows if r[0] == shard):
+            if fill is None:
+                fill, pack = n, 0
+                out[doc_id] = (shard, 0, 0)
+            elif fill + n > budget:
+                pack += 1
+                out[doc_id] = (shard, pack, 0)
+                fill = n
+            else:
+                out[doc_id] = (shard, pack, fill)
+                fill += n
+    return out
+
+
+def test_pack_nostraddle_matches_greedy_reference(spark):
+    """The searchsorted pack-jump kernel must replay the sequential
+    greedy exactly, including oversized docs (own pack), zero-length
+    docs (attach to current pack), and exact-fit boundaries."""
+    from sdvg_spark.ops.corpus import pack_sequences_nostraddle
+
+    # lengths hit every edge: 0s, exact budget, oversized, tiny
+    lens = [5, 0, 256, 251, 1, 0, 300, 256, 900, 0, 2, 254, 256, 10]
+    data = [(i * 3 + 7, lens[i % len(lens)] + (i % 11)) for i in range(200)]
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    for n_shards in (1, 5, 64):
+        got = {
+            r.doc_id: (r.shard, r.pack_id, r.pack_offset)
+            for r in pack_sequences_nostraddle(
+                df, "doc_id", "n_tokens", budget=256, n_shards=n_shards
+            ).collect()
+        }
+        lo = min(d for d, _ in data)
+        hi = max(d for d, _ in data)
+        width = max(1, (hi - lo) // n_shards + 1)
+        rows = [((d - lo) // width, d, n) for d, n in data]
+        assert got == _greedy_nostraddle(rows, 256), n_shards
+
+
+def test_pack_nostraddle_no_doc_straddles(spark):
+    """Invariant: offset + n_tokens <= budget for every doc that fits a
+    pack alone or with others (oversized docs sit at offset 0)."""
+    from sdvg_spark.ops.corpus import pack_sequences_nostraddle
+
+    df = spark.createDataFrame(
+        [(i, (i * 53) % 300) for i in range(500)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences_nostraddle(
+        df, "doc_id", "n_tokens", budget=256, n_shards=8
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r.n_tokens <= 256:
+            assert r.pack_offset + r.n_tokens <= 256, r
+        else:
+            assert r.pack_offset == 0, r
+
+
 def test_pii_redaction_categories_and_order(spark):
     """Each PII category redacts to its own placeholder; the specific
     patterns (email/IP/SSN/card) must win over the aggressive phone
