@@ -1272,14 +1272,13 @@ def semantic_dedup(
     cell; the smallest-id contract keeps every stage reproducible in
     plain SQL.
 
-    Storage contract: the cell assignment stays ``persist()``-ed (and
-    connected_components' final label checkpoint stays in block
-    storage) for the LIFETIME OF THE RETURNED PLAN — they are what the
-    lazy result recomputes from. In a long-lived session, release them
-    after materializing the decision (drop the reference and let the
-    ContextCleaner reap the blocks, or ``spark.catalog.clearCache()``
-    in a dedicated job); repeated invocations otherwise accumulate
-    cached blocks.
+    Storage contract: the corpus-scale (id, cell, vector) cache lives
+    only while pairs + components are computed — once CC converges it
+    is ``unpersist()``-ed, and the returned plan reads from a slim
+    (id, cell) checkpoint (~16 B/row) plus CC's label checkpoint, so
+    repeated invocations in a long-lived session accumulate only
+    output-scale blocks (drop the returned reference to let the
+    ContextCleaner reap those).
     """
     import numpy as np
 
@@ -1338,11 +1337,17 @@ def semantic_dedup(
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     pairs = assign.groupBy("cell").applyInPandas(cell_pairs, "id_a long, id_b long")
-    labels = connected_components(
-        assign.select(F.col("c_id")), pairs, id_col="c_id"
-    )
+    # Materialize the slim (id, cell) projection first (one job, which
+    # also populates the assign cache that the pair kernel then reads),
+    # run CC — its loop is eager, consuming `pairs` into its own
+    # checkpoints — and release the corpus-scale vector cache: the
+    # returned plan needs only slim + labels, so a long-lived session
+    # keeps output-scale blocks, not vector-width ones.
+    slim = assign.select("c_id", "cell").localCheckpoint(eager=True)
+    labels = connected_components(slim.select(F.col("c_id")), pairs, id_col="c_id")
+    assign.unpersist()
     return (
-        assign.join(labels, "c_id")
+        slim.join(labels, "c_id")
         .select(
             F.col("c_id").alias(id_col),
             "cell",
