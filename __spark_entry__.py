@@ -992,6 +992,50 @@ def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_band_filter(ev, "value", lower_q=0.05, upper_q=0.95)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first token-budget curation: documents ranked by round-9
+    quality score, selected while the global running token total fits
+    15k tokens — the bucketed float-axis prefix-sum (ops/sampling.py:
+    token_budget_sample), never a single-partition corpus window."""
+    from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.sampling import token_budget_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.col("text").alias("__t"), T.tokens(F.col("text")).alias("__toks")
+    )
+    scored = staged.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.round(T.quality_score(F.col("__t"), F.col("__toks")), 9).alias("q"),
+    )
+    return token_budget_sample(
+        scored, "doc_id", "n_tokens", "q", budget=15_000, n_bins=64
+    )
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: top-15 docs per source by round-9 quality
+    (ties by id) via the salted pre-prune + exact window
+    (ops/sampling.py: source_cap) — no single-task giant domains."""
+    from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.sampling import source_cap
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.col("text").alias("__t"),
+        T.tokens(F.col("text")).alias("__toks"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "source",
+        F.round(T.quality_score(F.col("__t"), F.col("__toks")), 9).alias("q"),
+    )
+    return source_cap(scored, "doc_id", "source", "q", max_rows=15)
+
+
 def q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift scorecard: KL/JS divergence between the unigram
     distributions of the even- and odd-doc_id halves of documents —
@@ -1102,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_divergence": q_token_divergence,
             "quality_band": q_quality_band,
             "zipf_fit": q_zipf_fit,
+            "token_budget_sample": q_token_budget_sample,
+            "source_cap": q_source_cap,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -1127,6 +1173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # families keep in-window rows (ann_quantized, events_*).
         "embedding_quantize",
         "events_hourly",
+        # r06: two more rotate out for token_budget_sample + source_cap
+        # (families stay covered: events_session_window and the window/
+        # running-agg shape in events_rollup/gapfill remain in-window).
+        "events_sessionize",
+        "user_running_value",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1491,6 +1542,27 @@ FROM grid ASOF LEFT JOIN obs
     from sdvg_spark.ops.corpus import zipf_fit_oracle_sql
 
     out["zipf_fit"] = zipf_fit_oracle_sql(top_n=500)
+
+    from sdvg_spark.ops.sampling import (
+        source_cap_oracle_sql,
+        token_budget_sample_oracle_sql,
+    )
+
+    _qsql = "round(" + T.sql_quality_score("text") + ", 9)"
+    out["token_budget_sample"] = token_budget_sample_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        n_tokens_sql=T.sql_whitespace_token_count("text"),
+        score_sql=_qsql,
+        budget=15_000,
+    )
+    out["source_cap"] = source_cap_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        group_col="source",
+        score_sql=_qsql,
+        max_rows=15,
+    )
 
     out["events_percentiles"] = """
 SELECT event_type, count(*) AS n_events,

@@ -322,3 +322,178 @@ WITH b AS (SELECT quantile_cont({col}, {float(lower_q)}) AS lo,
            FROM {table})
 SELECT {select} FROM {table}, b
 WHERE {col} IS NOT NULL AND {col} >= b.lo AND {col} <= b.hi"""
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    score_col: str,
+    *,
+    budget: int,
+    score_lo: float = 0.0,
+    score_hi: float = 1.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Best-first selection up to a global token budget: rank documents
+    by ``score_col`` DESC (ties by id ASC) and mark ``selected`` those
+    whose inclusive running token total stays within ``budget`` — the
+    "curate the best N-billion tokens" step that turns a scored corpus
+    into a fixed training budget (quality-weighted data selection à la
+    DSIR/QuRating pipelines, reduced to its deterministic core).
+
+    One row per scored input doc: (id, n_tokens, score, cum_tokens,
+    selected). Rows with NULL score or NULL token count are dropped
+    (their rank is unknowable). The output is a pure function of the
+    input (never of partitioning).
+
+    Distributed shape — the global score-ordered cumsum is the same
+    prefix-sum decomposition as :func:`~sdvg_spark.ops.corpus.
+    pack_sequences`, on a float axis: scores bin into ``n_bins``
+    fixed-width ranges over [``score_lo``, ``score_hi``] (binning is
+    monotone with the sort order, out-of-range scores clamp to the edge
+    bins), per-bin cumsums run PARTITIONED by bin at full parallelism,
+    and a tiny ``n_bins``-row window supplies exclusive bin offsets. No
+    single-partition corpus window; one range shuffle of (id, n, s)
+    triples total. Integer token sums stay exact past 2^53.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget!r}")
+    if not score_hi > score_lo:
+        raise ValueError(f"need score_hi > score_lo, got {score_lo}, {score_hi}")
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(n_tokens_col).cast("long").alias("__n"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).where(F.col("__n").isNotNull() & F.col("__s").isNotNull())
+    span = float(score_hi) - float(score_lo)
+    raw_bin = F.floor(
+        (F.lit(float(score_hi)) - F.col("__s")) / F.lit(span) * F.lit(int(n_bins))
+    )
+    b = d.withColumn(
+        "__b",
+        F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(n_bins) - 1)).cast("long"),
+    )
+    sums = b.groupBy("__b").agg(F.sum("__n").alias("__bsum"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "__b", F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__off")
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc("__s"), F.asc("__id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn("__cum", F.col("__off") + F.sum("__n").over(w))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").alias("n_tokens"),
+            F.col("__s").alias("score"),
+            F.col("__cum").cast("long").alias("cum_tokens"),
+            (F.col("__cum") <= F.lit(int(budget))).alias("selected"),
+        )
+    )
+
+
+def token_budget_sample_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    n_tokens_sql: str,
+    score_sql: str,
+    budget: int,
+) -> str:
+    """DuckDB mirror: the plain global-window cumsum IS the semantics
+    (HUGEINT window sums cast back to BIGINT — the driver's pandas
+    fetch otherwise floats them)."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, ({n_tokens_sql})::BIGINT AS n,
+         ({score_sql})::DOUBLE AS s
+  FROM {table}
+  WHERE ({n_tokens_sql}) IS NOT NULL AND ({score_sql}) IS NOT NULL
+), c AS (
+  SELECT id, n, s,
+         (sum(n) OVER (ORDER BY s DESC, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+  FROM d
+)
+SELECT id AS {id_col}, n AS n_tokens, s AS score,
+       cum AS cum_tokens, cum <= {int(budget)} AS selected
+FROM c"""
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    *,
+    max_rows: int,
+    pre_salts: int = 16,
+) -> DataFrame:
+    """Per-group quota: keep at most ``max_rows`` docs per
+    ``group_col`` (source/domain/author), best ``score_col`` first
+    (ties by id ASC) — the domain-cap step that stops one crawl domain
+    from dominating a training mix. Returns ONLY the kept rows:
+    (id, group, score, cap_rank) with ``cap_rank`` in [1, max_rows].
+
+    Skew-safe at 100 TB: a naive ``row_number() OVER (PARTITION BY
+    group)`` funnels each group through ONE task — a 10-billion-row
+    domain would serialize. Instead a salted PRE-PRUNE takes each
+    (group, salt)'s local top-``max_rows`` first (the global top-k of a
+    group is always contained in the union of its per-salt top-k), so
+    the exact final window sees ≤ ``pre_salts × max_rows`` rows per
+    group regardless of group size. Rows with NULL score are dropped.
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows!r}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).where(F.col("__s").isNotNull())
+    pre = (
+        Window.partitionBy("__g", "__salt")
+        .orderBy(F.desc("__s"), F.asc("__id"))
+    )
+    surv = (
+        base.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("__id")), F.lit(int(pre_salts)))
+        )
+        .withColumn("__pr", F.row_number().over(pre))
+        .where(F.col("__pr") <= max_rows)
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("__s"), F.asc("__id"))
+    return (
+        surv.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= max_rows)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__s").alias("score"),
+            "cap_rank",
+        )
+    )
+
+
+def source_cap_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    group_col: str,
+    score_sql: str,
+    max_rows: int,
+) -> str:
+    """DuckDB mirror of :func:`source_cap` — the pre-prune is an
+    implementation detail (provably lossless), so the oracle is the
+    plain per-group ranked filter."""
+    return f"""
+SELECT id AS {id_col}, g AS {group_col}, s AS score, rn AS cap_rank FROM (
+  SELECT {id_col} AS id, {group_col} AS g, ({score_sql})::DOUBLE AS s,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY ({score_sql})::DOUBLE DESC, {id_col}) AS rn
+  FROM {table} WHERE ({score_sql}) IS NOT NULL)
+WHERE rn <= {int(max_rows)}"""

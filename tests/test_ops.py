@@ -781,6 +781,66 @@ def test_pack_sequences_matches_global_cumsum(spark):
         assert got == naive, n_buckets
 
 
+def test_token_budget_sample_matches_naive_global_window(spark):
+    """The bucketed float-axis prefix-sum must equal the naive global
+    (score DESC, id) window cumsum for every row, across bin counts,
+    with out-of-range scores clamping into the edge bins."""
+    from pyspark.sql import Window
+
+    from sdvg_spark.ops.sampling import token_budget_sample
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 97 + 1).cast("long").alias("n_tokens"),
+        # scores in [-0.1, 1.1]: exercises the clamp on both edges,
+        # with duplicates (ties broken by id)
+        (((F.col("id") * 53) % 120).cast("double") / 100.0 - 0.1).alias("s"),
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = {
+        r.doc_id: (r.cum, r.cum <= 5000)
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    }
+    for n_bins in (1, 13, 256):
+        got = {
+            r.doc_id: (r.cum_tokens, r.selected)
+            for r in token_budget_sample(
+                df, "doc_id", "n_tokens", "s", budget=5000, n_bins=n_bins
+            ).collect()
+        }
+        assert got == naive, n_bins
+
+
+def test_source_cap_pre_prune_is_lossless(spark):
+    """The salted pre-prune must keep exactly the rows the plain
+    per-group window keeps — skewed group sizes and score ties
+    included — across salt counts."""
+    from pyspark.sql import Window
+
+    from sdvg_spark.ops.sampling import source_cap
+
+    # skewed groups: g0 has 600 rows, g1 40, g2 3; many tied scores
+    rows = [(i, f"g{0 if i < 600 else (1 if i < 640 else 2)}", float((i * 7) % 13))
+            for i in range(643)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, s double")
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("doc_id"))
+    naive = {
+        (r.doc_id, r.src): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+        if r.rn <= 25
+    }
+    for pre_salts in (1, 4, 32):
+        got = {
+            (r.doc_id, r.src): r.cap_rank
+            for r in source_cap(
+                df, "doc_id", "src", "s", max_rows=25, pre_salts=pre_salts
+            ).collect()
+        }
+        assert got == naive, pre_salts
+
+
 def _greedy_nostraddle(rows, budget):
     """Per-shard pure-python first-fit reference: new pack when the doc
     would push fill past budget (oversized docs pack alone)."""
