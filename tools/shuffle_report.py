@@ -65,6 +65,9 @@ QUERIES = [
     "token_divergence",
     "quality_band",
     "zipf_fit",
+    "pack_nostraddle",
+    "token_budget_sample",
+    "source_cap",
 ]
 
 
