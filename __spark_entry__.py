@@ -992,6 +992,38 @@ def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_band_filter(ev, "value", lower_q=0.05, upper_q=0.95)
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (ops/joins.py: interval_join): per user,
+    'view' activity windows [(ts, ts + 1..5 h)] overlapping 'error'
+    windows [(ts, ts + 1..3 h)], half-open — bucketed equi-join with
+    emit-once-at-overlap-start, never a nested loop."""
+    from sdvg_spark.ops.joins import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def windows(etype: str, idc: str, loc: str, hic: str, mod: int) -> DataFrame:
+        dur = (F.col("event_id") % mod + 1) * F.lit(3_600_000_000)
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(idc),
+            F.col("ts").alias(loc),
+            F.timestamp_micros(us + dur).alias(hic),
+        )
+
+    return interval_join(
+        windows("view", "v_id", "v_start", "v_end", 5),
+        windows("error", "e_id", "e_start", "e_end", 3),
+        on=["user_id"],
+        left_lo="v_start",
+        left_hi="v_end",
+        right_lo="e_start",
+        right_hi="e_end",
+        bucket=7_200_000_000,
+        bounds="[)",
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-first token-budget curation: documents ranked by round-9
     quality score, selected while the global running token total fits
@@ -1148,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "zipf_fit": q_zipf_fit,
             "token_budget_sample": q_token_budget_sample,
             "source_cap": q_source_cap,
+            "events_interval_join": q_events_interval_join,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -1178,6 +1211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # running-agg shape in events_rollup/gapfill remain in-window).
         "events_sessionize",
         "user_running_value",
+        # r06: one more rotates out for events_interval_join (the skew
+        # family keeps its two-stage rep via top_revenue's salted agg
+        # cousins; skew_salted_agg has been hash-green r03-r05).
+        "skew_salted_agg",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1547,6 +1584,17 @@ FROM grid ASOF LEFT JOIN obs
         source_cap_oracle_sql,
         token_budget_sample_oracle_sql,
     )
+
+    out["events_interval_join"] = """
+WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_start,
+             ts + (event_id % 5 + 1) * INTERVAL 1 HOUR AS v_end
+           FROM events WHERE event_type = 'view'),
+e AS (SELECT user_id, event_id AS e_id, ts AS e_start,
+             ts + (event_id % 3 + 1) * INTERVAL 1 HOUR AS e_end
+      FROM events WHERE event_type = 'error')
+SELECT v.user_id AS user_id, v_id, v_start, v_end, e_id, e_start, e_end
+FROM v JOIN e ON v.user_id = e.user_id
+             AND v_start < e_end AND e_start < v_end"""
 
     _qsql = "round(" + T.sql_quality_score("text") + ", 9)"
     out["token_budget_sample"] = token_budget_sample_oracle_sql(

@@ -297,6 +297,83 @@ def range_join(
     return ib.join(pb, [*on, b]).where(cond).drop(b)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str],
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket: int,
+    bounds: str = "[)",
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair of the same
+    ``on`` key whose intervals overlap — ``"[)"`` (half-open, the
+    session/outage convention: touching endpoints do NOT overlap) or
+    ``"[]"`` (closed: they do). Completes the temporal-join family
+    next to :func:`asof_join` (point↔point) and :func:`range_join`
+    (point↔interval).
+
+    Scale shape: both sides explode over the fixed-width bins their
+    interval covers (``(hi-lo)/bucket + 1`` each — choose ``bucket``
+    near the typical interval length so the factor stays ~2) and meet
+    in a plain equi-join on ``(keys…, bin)`` — hash/sort-merge,
+    AQE-skew-splittable, never a BroadcastNestedLoopJoin. A pair
+    sharing k bins would surface k times; instead of a
+    ``dropDuplicates`` shuffle, each pair is emitted EXACTLY ONCE, in
+    the bin where the overlap starts (``bin ==
+    floor(max(lo_l, lo_r)/bucket)`` — a map-side predicate).
+
+    Timestamp bounds are binned/compared on their epoch-µs image
+    (``bucket`` then in MICROSECONDS). Reversed intervals
+    (``hi < lo``) are dropped — Spark's ``sequence`` would otherwise
+    descend and fabricate bins. Column names must be disjoint across
+    the two inputs apart from ``on``.
+    """
+    if bounds not in ("[]", "[)"):
+        raise ValueError(f"bounds must be '[]' or '[)', got {bounds!r}")
+    if bucket < 1:
+        raise ValueError(f"bucket must be >= 1, got {bucket!r}")
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+
+    b = "__iv_bin"
+
+    def binned(df: DataFrame, lo_col: str, hi_col: str, lo_img: str) -> DataFrame:
+        lo_n = _as_number(df, lo_col)
+        hi_n = _as_number(df, hi_col)
+        return (
+            df.where(hi_n >= lo_n)
+            .withColumn(lo_img, lo_n)
+            .withColumn(
+                b,
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(lo_img) / F.lit(bucket)),
+                        F.floor(hi_n / F.lit(bucket)),
+                    )
+                ),
+            )
+        )
+
+    lb = binned(left, left_lo, left_hi, "__l_lo_n")
+    rb = binned(right, right_lo, right_hi, "__r_lo_n")
+    joined = lb.join(rb, [*on, b])
+    llo, lhi = F.col(left_lo), F.col(left_hi)
+    rlo, rhi = F.col(right_lo), F.col(right_hi)
+    if bounds == "[]":
+        cond = (llo <= rhi) & (rlo <= lhi)
+    else:
+        cond = (llo < rhi) & (rlo < lhi)
+    emit_once = F.col(b) == F.floor(
+        F.greatest(F.col("__l_lo_n"), F.col("__r_lo_n")) / F.lit(bucket)
+    )
+    return joined.where(cond & emit_once).drop(b, "__l_lo_n", "__r_lo_n")
+
+
 def gap_fill_locf(
     observations: DataFrame,
     *,

@@ -463,3 +463,71 @@ def test_asof_broadcast_tier_rejects_non_utc_session(spark):
                       payload=["v"], mode="broadcast")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_interval_join_matches_naive_predicate_join(spark):
+    """The bucketed emit-once form must equal the naive overlap
+    predicate join exactly — every pair once, across bucket widths that
+    slice intervals into 1..many bins, for both bounds conventions;
+    reversed intervals are dropped."""
+    from sdvg_spark.ops.joins import interval_join
+
+    left = spark.createDataFrame(
+        [
+            # (key, id, lo, hi): nested, touching, disjoint, zero-length,
+            # long spans, reversed (dropped)
+            (1, 10, 0, 100), (1, 11, 50, 60), (1, 12, 100, 200),
+            (1, 13, 500, 500), (2, 20, 0, 1000), (2, 21, 30, 20),
+        ],
+        "k int, l_id int, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 90, 60, 100), (1, 91, 100, 150), (1, 92, 55, 58),
+            (1, 93, 500, 500), (2, 95, 999, 2000), (2, 96, 1000, 1500),
+        ],
+        "k int, r_id int, r_lo long, r_hi long",
+    )
+    for bounds in ("[)", "[]"):
+        lo_l, hi_l = F.col("l_lo"), F.col("l_hi")
+        lo_r, hi_r = F.col("r_lo"), F.col("r_hi")
+        if bounds == "[]":
+            cond = (lo_l <= hi_r) & (lo_r <= hi_l)
+        else:
+            cond = (lo_l < hi_r) & (lo_r < hi_l)
+        naive = sorted(
+            (r.l_id, r.r_id)
+            for r in left.where(F.col("l_hi") >= F.col("l_lo"))
+            .join(right, "k")
+            .where(cond)
+            .collect()
+        )
+        for bucket in (1, 7, 64, 10_000):
+            got = sorted(
+                (r.l_id, r.r_id)
+                for r in interval_join(
+                    left, right, on=["k"],
+                    left_lo="l_lo", left_hi="l_hi",
+                    right_lo="r_lo", right_hi="r_hi",
+                    bucket=bucket, bounds=bounds,
+                ).collect()
+            )
+            assert got == naive, (bounds, bucket)
+
+
+def test_interval_join_rejects_bad_args(spark):
+    import pytest
+
+    from sdvg_spark.ops.joins import interval_join
+
+    df = spark.createDataFrame([(1, 0, 1)], "k int, lo long, hi long")
+    df2 = spark.createDataFrame([(1, 0, 1)], "k int, lo2 long, hi2 long")
+    with pytest.raises(ValueError, match="bucket"):
+        interval_join(df, df2, on=["k"], left_lo="lo", left_hi="hi",
+                      right_lo="lo2", right_hi="hi2", bucket=0)
+    with pytest.raises(ValueError, match="bounds"):
+        interval_join(df, df2, on=["k"], left_lo="lo", left_hi="hi",
+                      right_lo="lo2", right_hi="hi2", bucket=1, bounds="(]")
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_join(df, df, on=["k"], left_lo="lo", left_hi="hi",
+                      right_lo="lo", right_hi="hi", bucket=1)

@@ -68,6 +68,7 @@ QUERIES = [
     "pack_nostraddle",
     "token_budget_sample",
     "source_cap",
+    "events_interval_join",
 ]
 
 
