@@ -992,6 +992,23 @@ def q_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_band_filter(ev, "value", lower_q=0.05, upper_q=0.95)
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup increment admission (ops/dedup.py:
+    incremental_minhash_dedup): batch = doc_id % 7 = 0 probed against
+    the rest of the corpus through its (band, bhash) store — corpus
+    touched only via the index + candidate point lookups; decisions
+    exact-verified, so plain exact-Jaccard SQL is the oracle."""
+    from sdvg_spark.ops.dedup import incremental_minhash_dedup, minhash_band_store
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    store = minhash_band_store(corpus, "doc_id", "text", bands=21)
+    return incremental_minhash_dedup(
+        batch, corpus, store, "doc_id", "text", bands=21, threshold=0.4
+    )
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (ops/joins.py: interval_join): per user,
     'view' activity windows [(ts, ts + 1..5 h)] overlapping 'error'
@@ -1181,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_budget_sample": q_token_budget_sample,
             "source_cap": q_source_cap,
             "events_interval_join": q_events_interval_join,
+            "dedup_incremental_minhash": q_dedup_incremental_minhash,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -1211,10 +1229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # running-agg shape in events_rollup/gapfill remain in-window).
         "events_sessionize",
         "user_running_value",
-        # r06: one more rotates out for events_interval_join (the skew
-        # family keeps its two-stage rep via top_revenue's salted agg
-        # cousins; skew_salted_agg has been hash-green r03-r05).
+        # r06: two more rotate out for events_interval_join and
+        # dedup_incremental_minhash (skew_salted_agg hash-green
+        # r03-r05; doc_chunks r05-green, map-only, chunking family
+        # stays exercised through curate's packing stage).
         "skew_salted_agg",
+        "doc_chunks",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1583,6 +1603,12 @@ FROM grid ASOF LEFT JOIN obs
     from sdvg_spark.ops.sampling import (
         source_cap_oracle_sql,
         token_budget_sample_oracle_sql,
+    )
+
+    from sdvg_spark.ops.dedup import sql_incremental_minhash_dedup
+
+    out["dedup_incremental_minhash"] = sql_incremental_minhash_dedup(
+        batch_filter="doc_id % 7 = 0", threshold=0.4
     )
 
     out["events_interval_join"] = """

@@ -272,6 +272,200 @@ def minhash_signature_agg(
     )
 
 
+def minhash_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    n_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bhash) — the persisted LSH index of a deduplicated
+    corpus, the artifact :func:`incremental_minhash_dedup` probes so an
+    increment never re-signatures the corpus. ~24 B × ``bands`` per doc
+    (vs the corpus text itself); write it bucketed by (band, bhash)
+    (``sinks/bucketed.py``) so every increment's candidate join is
+    co-located, and append the admitted docs' rows after each batch.
+    """
+    staged = widen(df).select(
+        F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__in")
+    )
+    shingled = staged.select(
+        "__id", char_shingles(F.col("__in"), shingle_k, lowercase=False).alias("__sh")
+    )
+    sigs = minhash_signature_agg(shingled, n_hashes, seed)
+    return sigs.select(
+        F.col("__id").alias(id_col),
+        F.posexplode(
+            minhash_bands(F.col("__sig"), bands, n_hashes // bands)
+        ).alias("band", "bhash"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    n_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """NEAR-duplicate increment admission — the fuzzy sibling of
+    :func:`incremental_exact_dedup`: a new doc is admitted iff it has
+    no exact-verified near-duplicate (Jaccard ≥ ``threshold``) in the
+    existing corpus AND no smaller-id near-duplicate within the batch.
+
+    One row per batch doc: (id, drop_reason, admitted) with
+    ``drop_reason`` ∈ ('corpus', 'batch', NULL) — corpus wins when
+    both apply. The decision is a pure function of exact Jaccard, so a
+    plain SQL join is a value-exact oracle whenever the banding's
+    candidate recall holds (same bimodal-corpus argument as
+    ``dedup_minhash``: miss probability ≤ (1-s^r)^b per true pair,
+    every candidate exact-verified — no false positives ever).
+
+    Scale shape (the incremental contract): the corpus is touched only
+    through ``store`` — its pre-built (id, band, bhash) index
+    (:func:`minhash_band_store`, bucketed ⇒ co-located probe) — and
+    through point lookups of CANDIDATE docs' text for exact
+    verification. At a production threshold candidates are
+    batch-sized, so signatures, the store probe, and verification are
+    all increment-scale work; the 100 TB corpus is never rescanned.
+    ``new_df``/``corpus_df`` carry (id, text); band params must match
+    the store's by contract. The batch shingle projection stays
+    ``persist()``-ed for the lifetime of the returned plan (it feeds
+    signatures and both verification legs) — increment-scale blocks,
+    released with the returned reference.
+    """
+    rows_per_band = n_hashes // bands
+
+    def sh_of(df_: DataFrame, idc: str) -> DataFrame:
+        staged = widen(df_).select(
+            F.col(id_col).alias(idc), F.lower(F.col(text_col)).alias("__in")
+        )
+        return staged.select(
+            idc, char_shingles(F.col("__in"), shingle_k, lowercase=False).alias("__sh")
+        )
+
+    new_sh = sh_of(new_df, "__nid").persist()
+    sigs = minhash_signature_agg(
+        new_sh.select(F.col("__nid").alias("__id"), "__sh"), n_hashes, seed
+    )
+    nb = sigs.select(
+        F.col("__id").alias("__nid"),
+        F.posexplode(
+            minhash_bands(F.col("__sig"), bands, rows_per_band)
+        ).alias("band", "bhash"),
+    )
+
+    # corpus candidates: store probe -> distinct (new, corpus) pairs ->
+    # point-fetch candidate corpus text -> exact verify
+    cand = (
+        nb.join(
+            store.select(F.col(id_col).alias("__cid"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .select("__nid", "__cid")
+        .dropDuplicates(["__nid", "__cid"])
+    )
+    corp_sh = sh_of(
+        corpus_df.join(
+            cand.select(F.col("__cid").alias(id_col)).distinct(), id_col
+        ),
+        "__cid",
+    ).withColumnRenamed("__sh", "__csh")
+    corpus_hit = (
+        cand.join(new_sh, "__nid")
+        .join(corp_sh, "__cid")
+        .where(jaccard(F.col("__sh"), F.col("__csh")) >= F.lit(threshold))
+        .select("__nid")
+        .distinct()
+        .withColumn("__corpus_dup", F.lit(True))
+    )
+
+    # within-batch: banded self-join, keep only (smaller -> larger),
+    # exact verify, drop the larger side
+    bleft = nb.select(F.col("__nid").alias("__ida"), "band", "bhash")
+    bright = nb.select(F.col("__nid").alias("__idb"), "band", "bhash")
+    bpairs = (
+        bleft.join(bright, ["band", "bhash"])
+        .where(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb")
+        .dropDuplicates(["__ida", "__idb"])
+    )
+    batch_hit = (
+        bpairs.join(new_sh.select(F.col("__nid").alias("__ida"), "__sh"), "__ida")
+        .join(
+            new_sh.select(F.col("__nid").alias("__idb"), F.col("__sh").alias("__shb")),
+            "__idb",
+        )
+        .where(jaccard(F.col("__sh"), F.col("__shb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias("__nid"))
+        .distinct()
+        .withColumn("__batch_dup", F.lit(True))
+    )
+
+    out = (
+        new_df.select(F.col(id_col).alias("__nid"))
+        .join(corpus_hit, "__nid", "left")
+        .join(batch_hit, "__nid", "left")
+        .select(
+            F.col("__nid").alias(id_col),
+            F.when(F.col("__corpus_dup"), "corpus")
+            .when(F.col("__batch_dup"), "batch")
+            .alias("drop_reason"),
+        )
+        .withColumn("admitted", F.col("drop_reason").isNull())
+    )
+    return out
+
+
+def sql_incremental_minhash_dedup(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_filter: str,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB mirror of :func:`incremental_minhash_dedup` with batch =
+    rows matching ``batch_filter`` and corpus = the rest — exact
+    Jaccard on both legs (the banding is recall-certain on this
+    corpus and candidates are exact-verified, so the decisions
+    coincide)."""
+    k = int(shingle_k)
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(length(lower({text_col}))-{k-1}, 1)+1), "
+        f"i -> substr(lower({text_col}), i, {k})))"
+    )
+    jac = (
+        "len(list_intersect(a.s, b.s))::DOUBLE"
+        " / (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s)))::DOUBLE"
+    )
+    return f"""
+WITH sh AS (SELECT {id_col} AS id, ({batch_filter}) AS is_batch, {sh} AS s
+            FROM {table}),
+chit AS (SELECT a.id FROM sh a JOIN sh b ON NOT b.is_batch AND {jac} >= {threshold}
+         WHERE a.is_batch GROUP BY a.id),
+bhit AS (SELECT a.id FROM sh a JOIN sh b
+           ON b.is_batch AND b.id < a.id AND {jac} >= {threshold}
+         WHERE a.is_batch GROUP BY a.id)
+SELECT sh.id AS {id_col},
+  CASE WHEN chit.id IS NOT NULL THEN 'corpus'
+       WHEN bhit.id IS NOT NULL THEN 'batch' END AS drop_reason,
+  (chit.id IS NULL AND bhit.id IS NULL) AS admitted
+FROM sh LEFT JOIN chit ON sh.id = chit.id
+        LEFT JOIN bhit ON sh.id = bhit.id
+WHERE sh.is_batch"""
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -1622,3 +1622,37 @@ def test_zipf_fit_exact_line_and_degenerates(spark):
     assert (r1.n_ranks, r1.slope, r1.intercept, r1.r2) == (1, 0.0, 0.0, 0.0)
     with pytest.raises(ValueError):
         zipf_fit(df, top_n=1)
+
+
+def test_incremental_minhash_dedup_decisions(spark):
+    """Admission against corpus + within-batch near-dup rules, with
+    'corpus' taking precedence over 'batch', unique docs admitted, and
+    exact-verification rejecting band-collision false positives."""
+    from sdvg_spark.ops.dedup import incremental_minhash_dedup, minhash_band_store
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    other = "entirely different content about spark shuffles and bins " * 6
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + "tail-a"),          # near-dup of corpus doc 1 -> corpus
+            (11, base + "tail-b"),          # near-dup of corpus AND of 10 -> corpus wins
+            (12, "wholly novel text never seen before " * 8),  # admitted
+            (13, "wholly novel text never seen before " * 8 + "x"),  # near-dup of 12 -> batch
+        ],
+        "doc_id long, text string",
+    )
+    store = minhash_band_store(corpus, "doc_id", "text", bands=21)
+    rows = {
+        r.doc_id: (r.drop_reason, r.admitted)
+        for r in incremental_minhash_dedup(
+            batch, corpus, store, "doc_id", "text", bands=21, threshold=0.6
+        ).collect()
+    }
+    assert rows[10] == ("corpus", False)
+    assert rows[11] == ("corpus", False)
+    assert rows[12] == (None, True)
+    assert rows[13] == ("batch", False)
+    assert len(rows) == 4
