@@ -1009,6 +1009,37 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query over documents (ops/text.py:
+    bm25_topk): lexical retrieval next to the ANN family — map-side
+    query-term pruning, broadcast df/query tables, rounded-score rank."""
+    from sdvg_spark.ops.text import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERIES, "doc_id", "text", topk=10)
+
+
+BM25_QUERIES = [
+    (1, "spark shuffle join"),
+    (2, "table scan filter"),
+    (3, "window agg stream"),
+]
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops/corpus.py: dsir_logweights):
+    hashed-unigram log-likelihood ratio of the lang='en' target slice
+    vs the raw corpus — two bucket aggs + broadcast LLR table +
+    token-ordered fold."""
+    from sdvg_spark.ops.corpus import dsir_logweights
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_logweights(
+        docs.select("doc_id", "text"), target.select("doc_id", "text")
+    )
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (ops/joins.py: interval_join): per user,
     'view' activity windows [(ts, ts + 1..5 h)] overlapping 'error'
@@ -1199,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source_cap": q_source_cap,
             "events_interval_join": q_events_interval_join,
             "dedup_incremental_minhash": q_dedup_incremental_minhash,
+            "bm25_retrieval": q_bm25_retrieval,
+            "dsir_weights": q_dsir_weights,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -1235,6 +1268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays exercised through curate's packing stage).
         "skew_salted_agg",
         "doc_chunks",
+        # r06: two more rotate out for bm25_retrieval + dsir_weights
+        # (top_revenue stays bench-measured every round and its SQL
+        # family keeps pricing_summary in-window; dedup_jaccard's
+        # family keeps exact/minhash/simhash/components/embedding/
+        # semantic/incremental rows in-window).
+        "top_revenue",
+        "dedup_jaccard",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1610,6 +1650,12 @@ FROM grid ASOF LEFT JOIN obs
     out["dedup_incremental_minhash"] = sql_incremental_minhash_dedup(
         batch_filter="doc_id % 7 = 0", threshold=0.4
     )
+
+    from sdvg_spark.ops.corpus import dsir_logweights_oracle_sql
+    from sdvg_spark.ops.text import bm25_topk_oracle_sql
+
+    out["bm25_retrieval"] = bm25_topk_oracle_sql(BM25_QUERIES, topk=10)
+    out["dsir_weights"] = dsir_logweights_oracle_sql(target_filter="lang = 'en'")
 
     out["events_interval_join"] = """
 WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_start,

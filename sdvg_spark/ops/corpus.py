@@ -1277,3 +1277,154 @@ SELECT n_ranks,
                 * (n_ranks::DOUBLE * syy - sy * sy))
         ELSE 0.0 END, {r}) AS r2
 FROM s"""
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    buckets: int = 256,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw doc
+    by how much more likely its hashed-unigram features are under the
+    TARGET distribution (a curated, high-quality slice) than under the
+    raw corpus itself —
+
+        logweight(d) = Σ_tok  ln p̂_target[b(tok)] − ln p̂_raw[b(tok)]
+
+    with b(tok) a ``buckets``-way feature hash and Lidstone-smoothed
+    bucket probabilities p̂[b] = (cnt[b] + α)/(n + α·B). Positive means
+    target-like; ``selected`` marks logweight ≥ 0 (the threshold form
+    of importance resampling — no global rank, so no single-partition
+    window; feed the weight to token_budget_sample for a budgeted
+    draw).
+
+    The bucket hash is md5's 60-bit prefix mod ``buckets`` — the same
+    engine-mirrorable fold as sampling's string-key draw, exact in
+    DuckDB. Per-doc sums fold in TOKEN order (the unigram_nll
+    pattern); smoothing literals are embedded bit-exact on both sides.
+
+    Scale shape: two bucket-count aggregates (corpus-token shuffles
+    with map-side combine collapsing to ≤``buckets`` rows each), the
+    ≤``buckets``-row log-likelihood-ratio table broadcast back, one
+    groupBy(doc) ordered fold. No all-pairs, no driver data beyond the
+    two token totals.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def bucket(tok: Column) -> Column:
+        h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        return (h % F.lit(int(buckets))).alias("__b")
+
+    def bucket_counts(df_: DataFrame) -> DataFrame:
+        staged = df_.select(tokens(F.col(text_col)).alias("__toks"))
+        return (
+            staged.select(F.explode("__toks").alias("__tok"))
+            .select(bucket(F.col("__tok")))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    tgt = bucket_counts(target)
+    raw = bucket_counts(docs)
+    n_t = int(tgt.select(F.sum("__c")).first()[0] or 0)
+    n_r = int(raw.select(F.sum("__c")).first()[0] or 0)
+    if n_t == 0 or n_r == 0:
+        raise ValueError("target and raw corpora must both contain tokens")
+    a = float(alpha)
+    denom_t, denom_r = float(n_t) + a * buckets, float(n_r) + a * buckets
+    llr_tbl = (
+        raw.withColumnRenamed("__c", "__cr")
+        .join(tgt.withColumnRenamed("__c", "__ct"), "__b", "full")
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce("__ct", F.lit(0)) + F.lit(a)) / F.lit(denom_t))
+                - F.log((F.coalesce("__cr", F.lit(0)) + F.lit(a)) / F.lit(denom_r))
+            ).alias("__llr"),
+        )
+    )
+    tok_rows = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p", "__tok")
+    ).select(id_col, "__p", bucket(F.col("__tok")))
+    scored = (
+        tok_rows.join(F.broadcast(llr_tbl), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("__p", "__llr"))),
+                        lambda s: s["__llr"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_digits,
+            ).alias("logweight"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+            (F.coalesce("logweight", F.lit(0.0)) >= F.lit(0.0)).alias("selected"),
+        )
+    )
+
+
+def dsir_logweights_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_filter: str,
+    buckets: int = 256,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`dsir_logweights` with target = rows
+    matching ``target_filter`` and raw = the whole table — same md5
+    bucket fold, same smoothing doubles, same token-order sum."""
+    from sdvg_spark.core.rng import dlit
+
+    toks = sql_tokens(text_col)
+    b = int(buckets)
+    a = dlit(float(alpha))
+    ab = dlit(float(alpha) * b)
+    hb = f"(CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT AS BIGINT) % {b})"
+    return f"""
+WITH d AS (SELECT {id_col} AS id, ({target_filter}) AS is_t, {toks} AS toks
+           FROM {table}),
+tk AS (SELECT id, is_t, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+       FROM d),
+bk AS (SELECT id, is_t, p, {hb} AS b FROM tk),
+rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM bk WHERE is_t GROUP BY b),
+nt AS (SELECT CAST(count(*) AS DOUBLE) + {ab} AS dt FROM bk WHERE is_t),
+nr AS (SELECT CAST(count(*) AS DOUBLE) + {ab} AS dr FROM bk),
+llr AS (SELECT coalesce(rc.b, tc.b) AS b,
+          ln((coalesce(tc.ct, 0) + {a}) / (SELECT dt FROM nt))
+          - ln((coalesce(rc.cr, 0) + {a}) / (SELECT dr FROM nr)) AS llr
+        FROM rc FULL JOIN tc ON rc.b = tc.b),
+agg AS (SELECT bk.id, count(*) AS n_tokens,
+          round(list_sum(list_transform(list_sort(list({{'p': p, 'l': llr}})),
+                                        r -> r.l)), {round_digits}) AS lw
+        FROM bk JOIN llr USING (b) GROUP BY bk.id)
+SELECT d.id AS {id_col},
+  coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+  coalesce(a.lw, 0.0) AS logweight,
+  (coalesce(a.lw, 0.0) >= 0.0) AS selected
+FROM d LEFT JOIN agg a ON a.id = d.id"""

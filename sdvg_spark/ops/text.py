@@ -764,3 +764,170 @@ r AS (
 SELECT did AS {id_col}, token, tf, df,
   round(tf * ln(n::DOUBLE / df), {round_digits}) AS tfidf, rank
 FROM r, n WHERE rank <= {top_n}"""
+
+
+def bm25_topk(
+    df,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    round_digits: int = 9,
+):
+    """Full-text relevance retrieval: top-``topk`` documents per query
+    under Okapi BM25 (Lucene idf variant) — the lexical complement of
+    the ANN family for building retrieval sets over a corpus.
+
+    ``queries`` is a small driver-side list of ``(qid, text)`` — the
+    realistic retrieval shape (queries are user input, not a table).
+    Each query scores over its UNIQUE terms (repeated terms count
+    once);  score(q, d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Zero-score docs
+    (no matched term) are absent by construction.
+
+    Determinism: the per-(query, doc) float sum folds in TERM order
+    (sorted struct fold, the unigram_nll pattern) and ranking uses the
+    round-``round_digits`` score — the same rounded double the row
+    emits — with doc id as tiebreak, so rank and value stay consistent
+    across engines (cf. tfidf_topk's integer-rank rationale).
+
+    Scale shape: the corpus is touched once; postings are filtered to
+    the query-term set MAP-SIDE (literal isin before any shuffle), so
+    the only corpus-keyed shuffle carries matched postings — at 100 TB
+    that is |docs containing a query term| rows, not the corpus. df
+    and the query-term table are ≤|terms| rows and broadcast; N/avgdl
+    ride as plan-time literals (a 1-row crossJoin would plan a
+    BroadcastNestedLoopJoin). The final per-query top-k is a
+    rank-filtered window: WindowGroupLimit bounds each partition's
+    candidates map-side before the qid shuffle.
+    """
+    import re
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    if k1 <= 0 or not 0.0 <= b <= 1.0:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("query ids must be unique")
+    # mirror tokens(): trim+lower then whitespace split
+    qterms = [
+        (int(qid), sorted({t for t in re.split(r"\s+", qtext.strip().lower()) if t}))
+        for qid, qtext in queries
+    ]
+    pairs = [(qid, t) for qid, terms in qterms for t in terms]
+    if not pairs:
+        raise ValueError("no query produced any term")
+    all_terms = sorted({t for _, t in pairs})
+
+    st = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("t"),
+    ).first()
+    n_docs, total_toks = int(st["n"] or 0), int(st["t"] or 0)
+    if n_docs == 0:
+        raise ValueError("corpus is empty")
+    avgdl = float(total_toks) / float(n_docs)
+
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    postings = staged.select(
+        id_col, F.size("__toks").alias("__dl"), F.explode("__toks").alias("__tok")
+    ).where(F.col("__tok").isin(all_terms))
+    tf = postings.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("df"))
+    qtable = df.sparkSession.createDataFrame(pairs, "qid long, __tok string")
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("__dl") / F.lit(avgdl)
+    contrib = idf * (
+        F.col("tf") * F.lit(float(k1) + 1.0) / (F.col("tf") + F.lit(float(k1)) * norm)
+    )
+
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(F.broadcast(qtable), "__tok")
+        .select("qid", id_col, F.col("__tok"), contrib.alias("__c"))
+        .groupBy("qid", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("__tok", "__c"))),
+                        lambda s: s["__c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("qid", "rank", id_col, "score", F.col("n_matched").cast("long").alias("n_matched"))
+    )
+
+
+def bm25_topk_oracle_sql(
+    queries: list[tuple[int, str]],
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` — same query-term split, same
+    double arithmetic shape, same term-ordered fold, same
+    rounded-score rank key."""
+    import re
+
+    from sdvg_spark.core.rng import dlit
+
+    pairs = [
+        (int(qid), t)
+        for qid, qtext in queries
+        for t in sorted({x for x in re.split(r"\s+", qtext.strip().lower()) if x})
+    ]
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    toks = sql_tokens(text_col)
+    k1p1, k1l, bl = dlit(float(k1) + 1.0), dlit(float(k1)), dlit(float(b))
+    return f"""
+WITH q(qid, tok) AS (VALUES {vals}),
+d AS (SELECT {id_col} AS did, {toks} AS toks FROM {table}),
+st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS DOUBLE)/count(*) AS avgdl FROM d),
+p AS (SELECT did, len(toks) AS dl, unnest(toks) AS tok FROM d),
+tf AS (SELECT did, tok, count(*) AS tf, min(dl) AS dl FROM p
+       WHERE tok IN (SELECT tok FROM q) GROUP BY did, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+c AS (SELECT q.qid, tf.did, tf.tok,
+        ln(1.0e0 + ((SELECT n FROM st) - dfq.df + 0.5e0)/(dfq.df + 0.5e0))
+        * (tf.tf * {k1p1} / (tf.tf + {k1l} *
+           (1.0e0 - {bl} + {bl} * tf.dl / (SELECT avgdl FROM st)))) AS c
+      FROM tf JOIN dfq USING (tok) JOIN q ON q.tok = tf.tok),
+s AS (SELECT qid, did, count(*) AS n_matched,
+        round(list_sum(list_transform(list_sort(list({{'t': tok, 'c': c}})),
+                                      r -> r.c)), {round_digits}) AS score
+      FROM c GROUP BY qid, did),
+r AS (SELECT qid, did, n_matched, score,
+        row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+      FROM s)
+SELECT qid, rank, did AS {id_col}, score, n_matched::BIGINT AS n_matched
+FROM r WHERE rank <= {topk}"""

@@ -1656,3 +1656,63 @@ def test_incremental_minhash_dedup_decisions(spark):
     assert rows[12] == (None, True)
     assert rows[13] == ("batch", False)
     assert len(rows) == 4
+
+
+def test_bm25_topk_ranking_and_validation(spark):
+    """Matched-term scoring: a doc containing both query terms outranks
+    single-term docs; zero-match docs are absent; rank keys are the
+    rounded score with id tiebreak; bad params raise."""
+    from sdvg_spark.ops.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join window"),
+            (2, "spark spark spark table scan"),
+            (3, "join order by key"),
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, [(7, "spark join")], topk=10).collect()
+    by_rank = {r.rank: r for r in out}
+    assert [r.qid for r in out] == [7] * len(out)
+    assert by_rank[1].doc_id == 1 and by_rank[1].n_matched == 2
+    assert {r.doc_id for r in out} == {1, 2, 3}  # doc 4 never appears
+    assert all(
+        by_rank[i].score >= by_rank[i + 1].score for i in range(1, len(out))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [], topk=10)
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [(1, "a"), (1, "b")])
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [(1, "a")], topk=0)
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [(1, "   ")])
+
+
+def test_dsir_logweights_directionality(spark):
+    """Docs made of target-slice vocabulary score positive; docs made
+    of raw-only vocabulary score negative; empty docs get 0/selected."""
+    from sdvg_spark.ops.corpus import dsir_logweights
+
+    tgt_text = "alpha beta gamma delta " * 5
+    raw_text = "omega psi chi phi " * 5
+    docs = spark.createDataFrame(
+        [(1, tgt_text), (2, raw_text), (3, tgt_text), (4, "")],
+        "doc_id long, text string",
+    )
+    target = docs.where("doc_id IN (1, 3)")
+    rows = {r.doc_id: r for r in dsir_logweights(docs, target, buckets=64).collect()}
+    assert rows[1].logweight > 0 and rows[1].selected
+    assert rows[3].logweight > 0 and rows[3].selected
+    assert rows[2].logweight < 0 and not rows[2].selected
+    assert rows[4].n_tokens == 0 and rows[4].logweight == 0.0 and rows[4].selected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_logweights(docs, target, buckets=1)
+    with _pytest.raises(ValueError):
+        dsir_logweights(docs, target, alpha=0.0)
