@@ -1,0 +1,77 @@
+"""Rotation invariant for the driver's 50-query correctness window.
+
+Round-6 verdict item #2: any query whose implementing code changed
+since its last green driver row must sit INSIDE the first 50 entries of
+``queries()`` so the next driver run re-certifies it with a hard row.
+The ledger (``tools/driver_row_ledger.json``) records, per query, the
+last green round, the sha256 of each implementing op module at that
+round's code snapshot, and the sha256 of the query's own q_* wrapper
+source; ``tools/rotation_ledger.py`` regenerates it from the
+CORRECTNESS_r*.json history after each round's file lands.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+import pytest
+
+from tools.rotation_ledger import WINDOW, entry_hashes, file_hash, query_modules
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_rotation", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ledger():
+    p = REPO / "tools" / "driver_row_ledger.json"
+    if not p.is_file():
+        pytest.fail("tools/driver_row_ledger.json missing — run tools/rotation_ledger.py")
+    return json.loads(p.read_text())
+
+
+def test_changed_or_unverified_queries_are_in_window():
+    order = list(_load_entry().queries().keys())
+    ledger = _ledger()
+    current_entry = entry_hashes()
+
+    offenders: list[str] = []
+    for q in order[WINDOW:]:
+        entry = ledger.get(q)
+        if entry is None:
+            offenders.append(f"{q}: no driver row in any round")
+            continue
+        stale = [m for m, h in entry["modules"].items() if file_hash(m) != h]
+        if entry.get("entry_sha") and current_entry.get(q) != entry["entry_sha"]:
+            stale.append("__spark_entry__.py:q_" + q)
+        if stale:
+            offenders.append(
+                f"{q}: code changed since its r{entry['round']} row: {stale}"
+            )
+    assert not offenders, (
+        "queries past the driver's 50-row cap need fresh driver rows "
+        "(rotate them into the window):\n  " + "\n  ".join(offenders)
+    )
+
+
+def test_every_query_is_hash_covered():
+    """Each query must be covered by a wrapper hash (all are) and the
+    op-module mapping must resolve for every query that imports ops."""
+    order = list(_load_entry().queries().keys())
+    wrappers = entry_hashes()
+    missing = [q for q in order if q not in wrappers]
+    assert not missing, f"queries with no q_* wrapper source segment: {missing}"
+    mapping = query_modules()
+    # module mapping may legitimately be empty for wrapper-only queries,
+    # but must exist as a key for any q_* function (and all gen_*).
+    unmapped = [q for q in order if q not in mapping]
+    assert not unmapped, f"queries missing from query_modules(): {unmapped}"
