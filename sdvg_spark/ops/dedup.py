@@ -1011,6 +1011,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, rep): connected components of the near-duplicate pair graph
     — every node labeled with the smallest id reachable from it. This is
@@ -1063,6 +1064,7 @@ def connected_components(
     lab = und.select(F.col("s").alias("v")).distinct().withColumn("rep", F.col("v"))
     prev_sum = None
     prev_lab = None
+    it = -1  # stays -1 when max_iter <= 0 (rounds = 0)
     for it in range(max_iter):
         msg = und.join(lab, und.s == lab.v).select(F.col("d").alias("v"), "rep")
         prop = (
@@ -1092,8 +1094,12 @@ def connected_components(
             break
         prev_sum = total
     und.unpersist()
-    # introspection for scale reports: rounds actually run this call
-    connected_components.last_rounds = it + 1
+    # introspection for scale reports: rounds actually run, returned via
+    # the caller-owned `stats` dict (a function attribute here would be
+    # shared global state — two interleaved CC invocations would
+    # overwrite each other's count).
+    if stats is not None:
+        stats["rounds"] = it + 1
     sub = lab.select(F.col("v").alias(id_col), F.col("rep").alias("__rep"))
     return (
         nodes.select(id_col)
@@ -1250,6 +1256,8 @@ def embedding_dup_pairs(
     dims: int | None = None,
     exact_max_bytes: int = 1 << 30,
     on_exact_overflow: str = "fallback",
+    bucket_cap: int = 32_768,
+    max_oversized_buckets: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -1326,9 +1334,18 @@ def embedding_dup_pairs(
     # with the interpreted per-element cosine; this shape shuffles the
     # corpus once, keeps pairs inside numpy, and never evaluates an
     # interpreted lambda per candidate. Oversized buckets (skewed /
-    # near-constant corpora) raise with the actionable knob instead of
-    # OOMing a task; the matmul is row-blocked so peak memory is
-    # O(block × bucket), not O(bucket²).
+    # near-constant corpora, > bucket_cap rows — identical vectors
+    # always share a bucket, so n_planes can't fix this) fall back to a
+    # BLOCKED sub-join: rows get a block index within their bucket
+    # (row_number // bucket_cap) and every block pair (i ≤ j) becomes
+    # its own applyInPandas group, so all pairs are still found with
+    # per-task memory bounded at 2×bucket_cap rows. The fallback only
+    # engages for the (pre-counted) oversized signatures — the common
+    # path keeps its single corpus shuffle; the degenerate path's
+    # quadratic emit (n/cap groups per row) is inherent to all-pairs on
+    # a degenerate bucket, not an artifact. The pre-count is one
+    # map-side-combined agg (a second signature map pass — signatures
+    # are a cheap matmul, cheaper than persisting the corpus).
     import numpy as np
     import pandas as pd
 
@@ -1359,11 +1376,6 @@ def embedding_dup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-        if n > 32_768:
-            raise ValueError(
-                f"embedding_dup_pairs LSH bucket has {n} rows (> 32768): raise "
-                "n_planes (narrower buckets) or pre-split degenerate clusters"
-            )
         M = np.array(list(pdf["__v"]), dtype=np.float64)
         nrm = np.linalg.norm(M, axis=1)
         nrm[nrm == 0] = 1.0
@@ -1393,13 +1405,101 @@ def embedding_dup_pairs(
             }
         )
 
+    def block_bucket_pairs(pdf):
+        # oversized-bucket fallback group: rows of block lo and block hi
+        # of one signature (lo == hi → all-pairs within the block).
+        lo = int(pdf["__lo"].iloc[0])
+        hi = int(pdf["__hi"].iloc[0])
+        if lo == hi:
+            return bucket_pairs(pdf[pdf["__blk"] == lo])
+        a = pdf[pdf["__blk"] == lo]
+        b = pdf[pdf["__blk"] == hi]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        Ma = np.array(list(a["__v"]), dtype=np.float64)
+        Mb = np.array(list(b["__v"]), dtype=np.float64)
+        for M in (Ma, Mb):
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            M /= nrm[:, None]
+        ida = a["__id"].to_numpy(dtype=np.int64)
+        idb = b["__id"].to_numpy(dtype=np.int64)
+        out_a, out_b, out_s = [], [], []
+        for s0 in range(0, len(Ma), 2048):
+            S = Ma[s0 : s0 + 2048] @ Mb.T
+            ra, cb = np.nonzero(S >= thr)
+            if len(ra):
+                ai, bi = ida[ra + s0], idb[cb]
+                out_a.append(np.minimum(ai, bi))
+                out_b.append(np.maximum(ai, bi))
+                out_s.append(S[ra, cb])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
     vec_type = dict(df.dtypes)[vec_col]
     sigged = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).mapInPandas(sig_kernel, f"__sig long, __id long, __v {vec_type}")
-    return sigged.groupBy("__sig").applyInPandas(
+    # pre-count oversized signatures (map-side-combined: bytes/sig); the
+    # collect is bounded at max_oversized_buckets — beyond that the
+    # corpus is degenerate past what any blocking can absorb.
+    over_rows = (
+        sigged.groupBy("__sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > bucket_cap)
+        .limit(max_oversized_buckets + 1)
+        .collect()
+    )
+    if len(over_rows) > max_oversized_buckets:
+        raise ValueError(
+            f"embedding_dup_pairs: > {max_oversized_buckets} LSH buckets exceed "
+            f"bucket_cap={bucket_cap}; the signature distribution is degenerate "
+            "— raise n_planes or pre-cluster the corpus"
+        )
+    oversized = [int(r["__sig"]) for r in over_rows]
+    small = sigged
+    if oversized:
+        small = sigged.where(~F.col("__sig").isin(oversized))
+    out = small.groupBy("__sig").applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double"
     )
+    if oversized:
+        big = sigged.where(F.col("__sig").isin(oversized))
+        w = Window.partitionBy("__sig").orderBy("__id")
+        blocked = big.withColumn(
+            "__blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(bucket_cap)).cast("int")
+        )
+        nblk = blocked.withColumn(
+            "__nblk", (F.max("__blk").over(Window.partitionBy("__sig")) + F.lit(1))
+        )
+        # row in block b of an m-block bucket joins groups (min(b,t),
+        # max(b,t)) for t in 0..m-1 — every block pair meets exactly once
+        exploded = nblk.withColumn(
+            "__t", F.explode(F.sequence(F.lit(0), F.col("__nblk") - F.lit(1)))
+        ).select(
+            "__sig",
+            "__id",
+            "__v",
+            "__blk",
+            F.least("__blk", "__t").alias("__lo"),
+            F.greatest("__blk", "__t").alias("__hi"),
+        )
+        big_pairs = exploded.groupBy("__sig", "__lo", "__hi").applyInPandas(
+            block_bucket_pairs, "id_a long, id_b long, cosine double"
+        )
+        out = out.unionByName(big_pairs)
+    return out
 
 
 def _infer_dims(df: DataFrame, vec_col: str) -> int:

@@ -329,8 +329,11 @@ def interval_join(
     Timestamp bounds are binned/compared on their epoch-µs image
     (``bucket`` then in MICROSECONDS). Reversed intervals
     (``hi < lo``) are dropped — Spark's ``sequence`` would otherwise
-    descend and fabricate bins. Column names must be disjoint across
-    the two inputs apart from ``on``.
+    descend and fabricate bins. Zero-length intervals ``[x, x)`` are
+    the EMPTY SET under half-open bounds, so ``"[)"`` drops them too
+    (they'd otherwise read as overlapping any interval containing x);
+    under ``"[]"`` they are points and kept. Column names must be
+    disjoint across the two inputs apart from ``on``.
     """
     if bounds not in ("[]", "[)"):
         raise ValueError(f"bounds must be '[]' or '[)', got {bounds!r}")
@@ -345,8 +348,9 @@ def interval_join(
     def binned(df: DataFrame, lo_col: str, hi_col: str, lo_img: str) -> DataFrame:
         lo_n = _as_number(df, lo_col)
         hi_n = _as_number(df, hi_col)
+        keep = hi_n > lo_n if bounds == "[)" else hi_n >= lo_n
         return (
-            df.where(hi_n >= lo_n)
+            df.where(keep)
             .withColumn(lo_img, lo_n)
             .withColumn(
                 b,

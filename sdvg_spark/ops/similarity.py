@@ -632,17 +632,17 @@ def ivf_topk(
 
     from sdvg_spark.ops.dedup import bounded_local_vectors, widen
 
-    # dims is accepted for signature stability but no longer triggers a
-    # probe job — the centroid matrix carries its own dimensionality.
-    # known_dims=1 routes to the single-job collect path: the limit(n_cells)
-    # already bounds the transfer to n_cells rows, so the estimate job
-    # would only re-derive what the limit guarantees.
+    # Byte cap on the centroid collect: with `dims` in hand the cap is a
+    # correct row cap (single-job collect path); without it, run the
+    # estimate-job path — known_dims=1 here would silently turn the byte
+    # cap into a row cap of max_bytes//16 and let a wide-vector collect
+    # exceed the cap by ~dims/2× before the guard fires.
     loc = bounded_local_vectors(
         corpus.orderBy(F.col(corpus_id)).limit(n_cells),
         corpus_id,
         corpus_vec,
         centroid_max_bytes,
-        known_dims=1,
+        known_dims=dims,
     )
     if loc is None:  # n_cells rows alone exceeded the cap
         raise ValueError("n_cells × dims exceeds centroid_max_bytes")

@@ -484,7 +484,8 @@ def test_interval_join_matches_naive_predicate_join(spark):
     right = spark.createDataFrame(
         [
             (1, 90, 60, 100), (1, 91, 100, 150), (1, 92, 55, 58),
-            (1, 93, 500, 500), (2, 95, 999, 2000), (2, 96, 1000, 1500),
+            (1, 93, 500, 500), (1, 94, 400, 600),
+            (2, 95, 999, 2000), (2, 96, 1000, 1500),
         ],
         "k int, r_id int, r_lo long, r_hi long",
     )
@@ -493,12 +494,17 @@ def test_interval_join_matches_naive_predicate_join(spark):
         lo_r, hi_r = F.col("r_lo"), F.col("r_hi")
         if bounds == "[]":
             cond = (lo_l <= hi_r) & (lo_r <= hi_l)
+            keep_l, keep_r = hi_l >= lo_l, hi_r >= lo_r
         else:
+            # [x, x) is the empty set: zero-length intervals match
+            # nothing under half-open bounds (they are dropped, not
+            # treated as points inside longer intervals)
             cond = (lo_l < hi_r) & (lo_r < hi_l)
+            keep_l, keep_r = hi_l > lo_l, hi_r > lo_r
         naive = sorted(
             (r.l_id, r.r_id)
-            for r in left.where(F.col("l_hi") >= F.col("l_lo"))
-            .join(right, "k")
+            for r in left.where(keep_l)
+            .join(right.where(keep_r), "k")
             .where(cond)
             .collect()
         )

@@ -149,6 +149,35 @@ def test_embedding_dup_lsh(spark):
     assert (500, 501) in pairs  # identical direction -> same LSH signature
 
 
+def test_embedding_dup_lsh_oversized_bucket_fallback(spark):
+    """A degenerate corpus (identical vectors all sharing one signature)
+    must still return every pair via the blocked sub-join fallback —
+    r6-advice regression: this used to raise ValueError at runtime."""
+    from sdvg_spark.ops.dedup import embedding_dup_pairs
+
+    n = 25
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, exact=False, bucket_cap=8
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert pairs == want
+    # exact duplicate cosine survives the blocked path
+    assert all(r.cosine == pytest.approx(1.0, abs=1e-9) for r in out)
+    # and the cap on oversized-signature count still raises with the knob
+    with pytest.raises(ValueError, match="bucket_cap"):
+        embedding_dup_pairs(
+            df,
+            "vec_id",
+            "embedding",
+            exact=False,
+            bucket_cap=2,
+            max_oversized_buckets=0,
+        )
+
+
 def test_brute_force_topk(spark):
     from sdvg_spark.ops.similarity import brute_force_topk
 
