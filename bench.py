@@ -118,6 +118,11 @@ def main() -> None:
     extra["gen20m_values_per_s"] = round(GEN_BENCH_ROWS * 10 * 8 / bdt)
 
     # -- pipeline + analytics at sf ----------------------------------------
+    # shuffle partitions sized to this scale point's input (no-op at
+    # sf0.1 where the floor is the CPU count; prevents the sf10 spill)
+    from sdvg_spark.session import scale_shuffle_partitions
+
+    extra["shuffle_partitions"] = scale_shuffle_partitions(spark, sf_dir)
     # warm the scan path (parquet reader init, codegen infra) so the
     # first query doesn't absorb session boot costs
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()

@@ -240,7 +240,7 @@ def cohort_retention(
     user_col: str,
     ts_col: str,
     *,
-    max_offset_days: int | None = None,
+    max_offset_days: int | None = 90,
 ) -> DataFrame:
     """Daily cohort retention matrix.
 
@@ -265,9 +265,10 @@ def cohort_retention(
     the covered date SPAN when unbounded (measured 22.5× shuffle
     growth on 9.3× input in SHUFFLE_r06.md, where the scale fixture
     stretches the span). ``max_offset_days`` caps the reporting
-    horizon (e.g. 90 for 90-day retention): the filter applies before
-    the final aggregation, making the matrix constant-width and the
-    whole plan linear in events.
+    horizon and DEFAULTS to 90 (90-day retention): the filter applies
+    before the final aggregation, making the matrix constant-width and
+    the whole plan linear in events. Pass ``max_offset_days=None`` to
+    opt into the unbounded span-quadratic matrix explicitly.
     """
     if max_offset_days is not None and max_offset_days < 0:
         raise ValueError(
@@ -299,8 +300,14 @@ def cohort_retention_oracle_sql(
     table: str = "events",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_offset_days: int | None = 90,
 ) -> str:
-    """DuckDB mirror of :func:`cohort_retention`."""
+    """DuckDB mirror of :func:`cohort_retention` (same 90-day default)."""
+    cap = (
+        ""
+        if max_offset_days is None
+        else f"\nWHERE date_diff('day', f.cohort_day, a.day) <= {int(max_offset_days)}"
+    )
     return f"""
 WITH e AS (SELECT {user_col} AS u, date_trunc('day', {ts_col}::TIMESTAMP) AS day
            FROM {table}),
@@ -308,6 +315,6 @@ f AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY u),
 a AS (SELECT DISTINCT u, day FROM e)
 SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day)::BIGINT AS day_offset,
   count(*) AS n_users
-FROM a JOIN f USING (u)
+FROM a JOIN f USING (u){cap}
 GROUP BY f.cohort_day, day_offset"""
 

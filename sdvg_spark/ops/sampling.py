@@ -334,6 +334,7 @@ def token_budget_sample(
     score_lo: float = 0.0,
     score_hi: float = 1.0,
     n_bins: int = 256,
+    max_bin_rows: int = 1 << 22,
 ) -> DataFrame:
     """Best-first selection up to a global token budget: rank documents
     by ``score_col`` DESC (ties by id ASC) and mark ``selected`` those
@@ -353,9 +354,22 @@ def token_budget_sample(
     fixed-width ranges over [``score_lo``, ``score_hi``] (binning is
     monotone with the sort order, out-of-range scores clamp to the edge
     bins), per-bin cumsums run PARTITIONED by bin at full parallelism,
-    and a tiny ``n_bins``-row window supplies exclusive bin offsets. No
+    and exclusive bin offsets come from one ``n_bins``-row aggregate. No
     single-partition corpus window; one range shuffle of (id, n, s)
     triples total. Integer token sums stay exact past 2^53.
+
+    Bin-skew guard: a corpus whose scores collapse into few values
+    (near-constant quality scores) would put everything in ONE bin and
+    degenerate the per-bin window to a single partition. Bins holding
+    more than ``max_bin_rows`` rows get a secondary key, exact in both
+    regimes because it is monotone with the within-bin sort order
+    ``(score DESC, id ASC)``: a CONSTANT-score bin sub-buckets on id
+    ranges (the tie order is id, so fixed-width id buckets decompose the
+    prefix sum exactly); a bin with score spread re-bins on its observed
+    ``[min_s, max_s]`` range at 256× resolution. Residual pathologies
+    (≥``max_bin_rows`` rows at one exact score among varied others, or
+    extreme id clustering) stay CORRECT — they just fall back to a
+    larger window partition for that cell.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget!r}")
@@ -374,19 +388,75 @@ def token_budget_sample(
         "__b",
         F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(n_bins) - 1)).cast("long"),
     )
-    sums = b.groupBy("__b").agg(F.sum("__n").alias("__bsum"))
-    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sums.select(
-        "__b", F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__off")
+    # one ≤n_bins-row aggregate: bin sums (for offsets) + the per-bin
+    # stats the skew guard needs to pick a secondary-key scheme
+    stats = sorted(
+        b.groupBy("__b")
+        .agg(
+            F.sum("__n").alias("bsum"),
+            F.count(F.lit(1)).alias("bcnt"),
+            F.min("__s").alias("mns"),
+            F.max("__s").alias("mxs"),
+            F.min("__id").alias("mni"),
+            F.max("__id").alias("mxi"),
+        )
+        .collect(),
+        key=lambda r: r["__b"],
     )
+    spark = df.sparkSession
+    run = 0
+    off_rows = []
+    heavy = []
+    for r in stats:
+        off_rows.append((int(r["__b"]), run))
+        run += int(r["bsum"])
+        if int(r["bcnt"]) > int(max_bin_rows):
+            heavy.append(r)
+    if not off_rows:
+        off_rows = [(0, 0)]  # empty input: keep the join schema valid
+    offsets = spark.createDataFrame(off_rows, "__b long, __off long")
+
+    if heavy:
+        refine = 256
+        u = F.lit(0).cast("long")
+        for r in heavy:
+            bid = int(r["__b"])
+            if r["mxs"] > r["mns"]:  # score spread: re-bin observed range
+                span_b = float(r["mxs"]) - float(r["mns"])
+                expr = F.floor(
+                    (F.lit(float(r["mxs"])) - F.col("__s")) / F.lit(span_b) * F.lit(refine)
+                )
+            else:  # constant score: tie order is id ASC -> id ranges
+                nb = min(4096, max(16, 4 * (int(r["bcnt"]) // int(max_bin_rows) + 1)))
+                width = max(1, (int(r["mxi"]) - int(r["mni"]) + 1 + nb - 1) // nb)
+                expr = F.floor((F.col("__id") - F.lit(int(r["mni"]))) / F.lit(width))
+            u = F.when(
+                F.col("__b") == bid,
+                F.least(F.greatest(expr, F.lit(0)), F.lit(refine * 16 - 1)).cast("long"),
+            ).otherwise(u)
+        b = b.withColumn("__u", u)
+        usums = b.groupBy("__b", "__u").agg(F.sum("__n").alias("__usum"))
+        wu = Window.partitionBy("__b").orderBy("__u").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        uoff = usums.select(
+            "__b", "__u", F.coalesce(F.sum("__usum").over(wu), F.lit(0)).alias("__uoff")
+        )
+    else:
+        # no heavy bins: one cell per bin, offset 0 — no second corpus agg
+        b = b.withColumn("__u", F.lit(0).cast("long"))
+        uoff = spark.createDataFrame(
+            [(bb, 0, 0) for bb, _ in off_rows], "__b long, __u long, __uoff long"
+        )
     w = (
-        Window.partitionBy("__b")
+        Window.partitionBy("__b", "__u")
         .orderBy(F.desc("__s"), F.asc("__id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
         b.join(F.broadcast(offsets), "__b")
-        .withColumn("__cum", F.col("__off") + F.sum("__n").over(w))
+        .join(F.broadcast(uoff), ["__b", "__u"])
+        .withColumn("__cum", F.col("__off") + F.col("__uoff") + F.sum("__n").over(w))
         .select(
             F.col("__id").alias(id_col),
             F.col("__n").alias("n_tokens"),

@@ -68,6 +68,48 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scale_shuffle_partitions(
+    spark: SparkSession,
+    *paths: str,
+    target_bytes: int = 16 << 20,
+    cap: int = 4096,
+) -> int:
+    """Derive ``spark.sql.shuffle.partitions`` from input size instead of
+    leaving it pinned at the CPU count.
+
+    A fixed local setting (32) was sized for the sf0.1 fixture; at the
+    100× scale point one shuffle (dedup_simhash) spilled 696 MB because
+    every reduce partition had to hold ~190 MB of shuffle read
+    (SHUFFLE_r06 outlier). AQE's ``coalescePartitions`` only merges DOWN
+    from the configured number — it never splits up — so the configured
+    number must scale with input: ``max(current, ceil(input_bytes /
+    target_bytes))``, capped. The target is ON-DISK parquet bytes per
+    partition: decompression (~2-4×) plus operator shuffle amplification
+    (up to ~4× for the blocking dedups, measured sf10) mean 16 MB of
+    input per partition targets ≲128 MB of in-memory shuffle per
+    partition — Spark's conventional per-partition budget. AQE then
+    coalesces small-query shuffles back down, so over-provision is
+    cheap and under-provision (spill) is avoided.
+
+    ``paths`` are files or directories (summed recursively). Returns the
+    partition count set. Callers that know their dataset dir (bench,
+    shuffle reports, CLI jobs) call this once per dataset.
+    """
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+    # floor at the cluster's parallelism (not the current conf value, so
+    # per-dataset calls are idempotent: sf10 then sf0.1 sizes back down)
+    floor = spark.sparkContext.defaultParallelism
+    n = max(floor, min(cap, -(-total // target_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
+
+
 def get_spark(app_name: str = "sdvg-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a session with engine defaults.
 

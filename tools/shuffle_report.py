@@ -120,8 +120,15 @@ def main() -> None:
 
     run_tagged("warmup", queries[0], sf_dirs[0])  # absorb scan/codegen init
 
+    from sdvg_spark.session import scale_shuffle_partitions
+
     per_dir: dict[str, list[dict]] = {}
     for di, sf_dir in enumerate(sf_dirs):
+        # size shuffle partitions to THIS scale point's input bytes —
+        # the sf10 simhash spill in SHUFFLE_r06 was 32 fixed partitions
+        # sized for sf0.1 (session.py:scale_shuffle_partitions)
+        n_parts = scale_shuffle_partitions(spark, sf_dir)
+        print(f"<!-- {sf_dir}: spark.sql.shuffle.partitions={n_parts} -->")
         rows = []
         for name in queries:
             tag = f"{name}#{di}"
