@@ -94,8 +94,16 @@ def detect_language(text: Column, toks: Column | None = None) -> Column:
     """
     if toks is None:
         toks = tokens(text)
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
-    total = F.greatest(F.length(text), F.lit(1))
+    return _pred_from_hits(text, lang_hits(toks))
+
+
+def lang_hits(toks: Column) -> Column:
+    """Per-language stopword hit counts over ``toks``, one array<int>
+    in LANGS order, accumulated in a single pass (see
+    :func:`detect_language`). Exposed so callers computing several
+    language features can STAGE this fold behind one projection and
+    reuse the materialized column (HOF folds see no subexpression
+    elimination — each expression copy re-runs the whole pass)."""
     entries: dict[str, list[int]] = {}
     for li, lang in enumerate(LANGS):
         for w in STOPWORDS[lang]:
@@ -108,19 +116,62 @@ def detect_language(text: Column, toks: Column | None = None) -> Column:
         ]
     )
     zero = F.array(*[F.lit(0) for _ in LANGS])
-    hits = F.aggregate(
+    return F.aggregate(
         toks,
         zero,
         lambda a, t: F.zip_with(
             a, F.coalesce(F.try_element_at(m, t), zero), lambda x, y: x + y
         ),
     )
+
+
+def _cjk_ratio(text: Column) -> Column:
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    total = F.greatest(F.length(text), F.lit(1))
+    return cjk.cast("double") / total.cast("double")
+
+
+def _pred_from_hits(text: Column, hits: Column) -> Column:
     mx = F.array_max(hits)
     best = F.when(
         mx > 0,
         F.element_at(F.lit(LANGS), F.array_position(hits, mx).cast("int")),
     ).otherwise(F.lit("und"))
-    return F.when(cjk.cast("double") / total.cast("double") > 0.3, F.lit("zh")).otherwise(best)
+    return F.when(_cjk_ratio(text) > 0.3, F.lit("zh")).otherwise(best)
+
+
+def language_scores(
+    text: Column, toks: Column | None = None, hits: Column | None = None
+) -> dict[str, Column]:
+    """Language ID with a confidence signal next to the label:
+
+    * ``lang_pred`` — :func:`detect_language`'s label
+    * ``lang_score`` — the winning language's per-token stopword hit
+      ratio (the CJK character ratio on the ``zh`` short-circuit): how
+      strongly the text matches its predicted language at all
+    * ``lang_margin`` — best minus second-best hit ratio (equals
+      ``lang_score`` on the CJK branch): how far ahead the winner is —
+      the standard keep/route threshold a corpus pipeline filters on
+      (low margin = mixed-language or out-of-vocabulary text)
+
+    Zero hits everywhere (``lang_pred = 'und'``) yields 0.0 for both.
+    Pass staged ``toks``/``hits`` columns when computing several
+    features (see :func:`lang_hits`).
+    """
+    if toks is None:
+        toks = tokens(text)
+    if hits is None:
+        hits = lang_hits(toks)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    best = F.array_max(hits).cast("double")
+    second = F.element_at(F.array_sort(hits), -2).cast("double")
+    cjk = _cjk_ratio(text)
+    is_cjk = cjk > 0.3
+    return {
+        "lang_pred": _pred_from_hits(text, hits),
+        "lang_score": F.round(F.when(is_cjk, cjk).otherwise(best / n), 9),
+        "lang_margin": F.round(F.when(is_cjk, cjk).otherwise((best - second) / n), 9),
+    }
 
 
 def quality_features(text: Column, toks: Column | None = None) -> dict[str, Column]:
@@ -461,6 +512,37 @@ def sql_detect_language(col: str) -> str:
     return (
         f"(CASE WHEN {cjk}::DOUBLE / {total}::DOUBLE > 0.3 THEN 'zh' ELSE {expr} END)"
     )
+
+
+def sql_language_scores(col: str) -> dict[str, str]:
+    """DuckDB mirror of :func:`language_scores` — identical integer hit
+    counts divided in float64, so values compare bit-exact after the
+    shared round(…, 9)."""
+    toks = sql_tokens(col)
+    cnts = []
+    for lang in LANGS:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        cnts.append(
+            f"len(list_filter({toks}, t -> list_contains([{words}], t)))"
+        )
+    lst = "[" + ", ".join(cnts) + "]"
+    n = f"greatest(len({toks}), 1)::DOUBLE"
+    best = f"(list_sort({lst})[-1])::DOUBLE"
+    second = f"(list_sort({lst})[-2])::DOUBLE"
+    cjk = (
+        f"(length(regexp_replace({col}, '[^一-鿿]', '', 'g'))::DOUBLE"
+        f" / greatest(length({col}), 1)::DOUBLE)"
+    )
+    return {
+        "lang_pred": sql_detect_language(col),
+        "lang_score": (
+            f"round(CASE WHEN {cjk} > 0.3 THEN {cjk} ELSE {best} / {n} END, 9)"
+        ),
+        "lang_margin": (
+            f"round(CASE WHEN {cjk} > 0.3 THEN {cjk} "
+            f"ELSE ({best} - {second}) / {n} END, 9)"
+        ),
+    }
 
 
 def sql_quality_features(col: str) -> dict[str, str]:

@@ -5,6 +5,7 @@ from sdvg_spark.streaming.ops import (
     sessionize_stream,
     stream_dedup,
     stream_funnel,
+    stream_funnel_replay,
     stream_funnel_tws,
     windowed_agg,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "sessionize_stream",
     "stream_dedup",
     "stream_funnel",
+    "stream_funnel_replay",
     "stream_funnel_tws",
     "stream_running_totals",
     "stream_running_totals_tws",

@@ -436,3 +436,80 @@ def stream_funnel_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_funnel_replay(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within_seconds: int | None = None,
+    n_batches: int = 3,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Run :func:`stream_funnel` over ``df`` replayed as ``n_batches``
+    event-time-ordered micro-batches and return the FINAL per-user rows
+    as a batch DataFrame — the driver-checkable form of the streaming
+    funnel.
+
+    The replay cuts the input at global event-time quantiles, writes one
+    parquet file per slice, and streams them with
+    ``maxFilesPerTrigger=1`` + ``availableNow`` into a memory sink —
+    every user's events then arrive in event-time order ACROSS
+    micro-batches, the delivery contract under which
+    :func:`stream_funnel`'s final row per user is exactly the batch
+    funnel of the concatenated input (``ops/analytics.py:funnel``), so
+    the batch funnel's oracle SQL checks this operator too. Depth is
+    monotone per user across emitted rows and rows of equal depth are
+    identical, so "final" = the max-depth row.
+
+    This is a VERIFICATION harness: the quantile cut + local replay are
+    driver-side by design (a production stream reads Kafka); the
+    operator under test is the stateful funnel itself.
+    """
+    import os
+    import tempfile
+    import time as _time
+
+    spark = df.sparkSession
+    work = work_dir or tempfile.mkdtemp(prefix="stream_funnel_")
+    src = os.path.join(work, "src")
+    ck = os.path.join(work, "ck")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    probs = [i / n_batches for i in range(1, n_batches)]
+    cuts = df.select(us.alias("__us")).approxQuantile("__us", probs, 0.0)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        sl = df
+        if lo is not None:
+            sl = sl.where(us >= lo)
+        if hi is not None:
+            sl = sl.where(us < hi)
+        sl.coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_funnel(
+        sdf, user_col, ts_col, type_col, steps, within_seconds=within_seconds
+    )
+    name = f"stream_funnel_replay_{int(_time.time() * 1e6)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.desc("depth"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1825,3 +1825,78 @@ def test_dsir_logweights_directionality(spark):
         dsir_logweights(docs, target, buckets=1)
     with _pytest.raises(ValueError):
         dsir_logweights(docs, target, alpha=0.0)
+
+
+def test_url_canonicalize_rules(spark):
+    """Scheme/host case, www, default ports, trailing slashes, tracking
+    params, param order, fragments and userinfo all canonicalize away;
+    meaningful differences (real port, path case, param values) don't."""
+    from sdvg_spark.ops.web import canonicalize_url, url_parts
+
+    pairs = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Ex.COM:80/A/?b=2&a=1&utm_x=1#f", "http://ex.com/A?a=1&b=2"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/a//", "https://ex.com:8443/a"),
+        ("http://u:p@Sub.Ex.org/P?fbclid=z&z=9", "http://sub.ex.org/P?z=9"),
+        ("ex.com/no/scheme?x=1", "http://ex.com/no/scheme?x=1"),
+        ("http://localhost", "http://localhost/"),
+        ("http://ex.com/a?ref=h&REF=x&utm_term=t", "http://ex.com/a"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in pairs], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for raw, want in pairs:
+        assert got[raw] == want, raw
+    dom = (
+        spark.createDataFrame([("http://a.b.ex.co",)], "url string")
+        .select(url_parts(F.col("url"))["domain"].alias("d"))
+        .first()
+        .d
+    )
+    assert dom == "ex.co"
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from sdvg_spark.ops.web import url_dedup
+
+    rows = [
+        (3, "http://WWW.ex.com/a/"),
+        (1, "HTTP://ex.com:80/a?utm_s=1"),
+        (2, "http://ex.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.canon_url: (r.keeper_id, r.n_urls) for r in url_dedup(df, "doc_id", "url").collect()}
+    assert got == {"http://ex.com/a": (1, 2), "http://ex.com/b": (2, 1)}
+
+
+def test_language_scores_margin_and_edges(spark):
+    """lang_score/lang_margin: strongly-English text has positive
+    margin; a mixed en/fr text with equal hit counts has margin 0 but
+    positive score; no-stopword text is ('und', 0, 0); CJK short-circuit
+    reports the character ratio for both."""
+    from sdvg_spark.ops.text import language_scores
+
+    rows = [
+        (1, "the and is of to the and is"),          # en-dominant
+        (2, "the le"),                               # en/fr tie, 1 hit each
+        (3, "zzz qqq xyzzy"),                        # no stopwords anywhere
+        (4, "这是一个中文句子没有空格"),                  # CJK short-circuit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = language_scores(F.col("text"))
+    got = {
+        r.doc_id: (r.p, float(r.s), float(r.m))
+        for r in df.select(
+            "doc_id",
+            sc["lang_pred"].alias("p"),
+            sc["lang_score"].alias("s"),
+            sc["lang_margin"].alias("m"),
+        ).collect()
+    }
+    assert got[1][0] == "en" and got[1][1] == 1.0 and got[1][2] > 0.5
+    assert got[2][0] == "en" and got[2][1] == 0.5 and got[2][2] == 0.0
+    assert got[3] == ("und", 0.0, 0.0)
+    assert got[4][0] == "zh" and got[4][1] > 0.3 and got[4][1] == got[4][2]

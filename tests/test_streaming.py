@@ -380,3 +380,41 @@ def test_stream_funnel_validates_args(spark):
         stream_funnel(df, "user_id", "ts", "event_type", ["view"])
     with _pt.raises(ValueError):
         stream_funnel(df, "user_id", "ts", "event_type", ["a", "b"], within_seconds=0)
+
+
+def test_stream_funnel_replay_equals_batch(spark, tmp_path):
+    """The driver-checkable replay harness returns exactly the batch
+    funnel rows (per-user final state under in-order micro-batches)."""
+    from datetime import datetime, timedelta
+    import random
+
+    from sdvg_spark.ops.analytics import funnel
+    from sdvg_spark.streaming import stream_funnel_replay
+
+    rng = random.Random(31)
+    base = datetime(2024, 6, 1)
+    rows = [
+        (
+            u,
+            base + timedelta(hours=rng.randrange(0, 200)),
+            rng.choice(["view", "click", "purchase", "other"]),
+        )
+        for u in range(30)
+        for _ in range(rng.randrange(0, 8))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    got = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.depth)
+        for r in stream_funnel_replay(
+            df, "user_id", "ts", "event_type", steps,
+            within_seconds=3 * 86400, work_dir=str(tmp_path / "replay"),
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.depth)
+        for r in funnel(
+            df, "user_id", "ts", "event_type", steps, within_seconds=3 * 86400
+        ).collect()
+    }
+    assert got == want
