@@ -1172,6 +1172,35 @@ def q_language_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Paragraph-structured fixture for paragraph_dedup: documents carry no
+# newlines, so both engines wrap each text with boilerplate paragraphs
+# via this SHARED SQL expression — a per-source header, one of two
+# footers, and an occasional promo line. The header/footer/promo
+# paragraphs duplicate corpus-wide (the boilerplate CCNet strips); the
+# original text stays unique per doc.
+PARA_FIXTURE_SQL = (
+    "('About the ' || source || ' portal')"
+    " || chr(10) || text || chr(10) ||"
+    " (CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'"
+    " ELSE 'Contact support for help' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN"
+    " chr(10) || 'Promo code ' || CAST(doc_id % 3 AS STRING) ELSE '' END)"
+)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup (ops/dedup.py:paragraph_dedup):
+    boilerplate paragraphs shared across documents survive only at
+    their first corpus-wide occurrence; each doc is reassembled from
+    its surviving paragraphs. WindowGroupLimit pre-prunes the
+    paragraph window map-side."""
+    from sdvg_spark.ops.dedup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = docs.withColumn("ptext", F.expr(PARA_FIXTURE_SQL))
+    return paragraph_dedup(d, "doc_id", "ptext")
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming funnel, driver-checked (streaming/ops.py:
     stream_funnel_replay): fixture events replayed as 3 event-time-
@@ -1334,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url_dedup": q_url_dedup,
             "language_confidence": q_language_confidence,
             "stream_funnel": q_stream_funnel,
+            "paragraph_dedup": q_paragraph_dedup,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -1373,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab",
         "zipf_fit",
         "decontaminate",
+        # r07: one more r6-green corpus.py row defers for paragraph_dedup
+        "token_divergence",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1779,6 +1811,12 @@ FROM documents"""
     # rows equal the batch funnel — same oracle as events_funnel
     out["stream_funnel"] = funnel_oracle_sql(
         steps=["view", "click", "purchase"], within_seconds=7 * 86400
+    )
+
+    from sdvg_spark.ops.dedup import paragraph_dedup_oracle_sql
+
+    out["paragraph_dedup"] = paragraph_dedup_oracle_sql(
+        text_sql=PARA_FIXTURE_SQL
     )
 
     out["events_interval_join"] = """

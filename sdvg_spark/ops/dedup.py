@@ -105,6 +105,100 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: split every document on
+    ``sep``, keep only the FIRST corpus-wide occurrence of each
+    paragraph (first = smallest ``(doc id, paragraph index)``), and
+    reassemble each document from its surviving paragraphs — the step
+    that strips boilerplate (headers, footers, cookie banners) shared
+    across pages BEFORE document-level dedup ever sees them.
+
+    One row per input document: ``(id, clean_text, n_paras, n_kept)``
+    — ``clean_text`` is the ``sep``-joined survivors in original order
+    ('' when every paragraph was someone else's), ``n_paras`` counts
+    the document's non-empty paragraphs, ``n_kept`` the survivors.
+    Empty/whitespace-only paragraphs are dropped on both sides of the
+    comparison (they carry no content and would all "duplicate" each
+    other).
+
+    Scale shape: explode → ONE window partitioned by the paragraph
+    text with ``row_number() <= 1`` directly above it — Spark rewrites
+    that to WindowGroupLimit, so each map task pre-prunes to one
+    candidate per paragraph before the shuffle and a hot boilerplate
+    paragraph never concentrates its full occurrence list in one task
+    — then one ``id``-keyed regroup to reassemble. Survivor choice is
+    a pure function of content + ids (partition-layout independent).
+    """
+    paras = F.filter(
+        F.split(F.col(text_col), sep), lambda p: F.length(F.trim(p)) > 0
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(paras).alias("__idx", "__p"),
+    )
+    w = Window.partitionBy("__p").orderBy("__id", "__idx")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    out = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__p"))),
+                lambda s: s["__p"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(paras).cast("long").alias("n_paras"),
+    )
+    return (
+        base.join(out, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def paragraph_dedup_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_sql: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`paragraph_dedup` (sep = newline)."""
+    return f"""
+WITH d AS (SELECT {id_col} AS id, ({text_sql}) AS t FROM {table}),
+p0 AS (SELECT id, list_filter(
+         list_transform(range(1, len(string_split(t, chr(10))) + 1),
+           i -> {{'idx': i, 'para': string_split(t, chr(10))[i]}}),
+         s -> length(trim(s.para)) > 0) AS ps FROM d),
+e AS (SELECT id, unnest(ps) AS s FROM p0),
+r AS (SELECT id, s.idx AS idx, s.para AS para,
+        row_number() OVER (PARTITION BY s.para ORDER BY id, s.idx) AS rn
+      FROM e),
+k AS (SELECT id, string_agg(para, chr(10) ORDER BY idx) AS clean_text,
+        count(*) AS n_kept
+      FROM r WHERE rn = 1 GROUP BY id)
+SELECT p0.id AS {id_col},
+  coalesce(k.clean_text, '') AS clean_text,
+  len(p0.ps)::BIGINT AS n_paras,
+  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+FROM p0 LEFT JOIN k ON p0.id = k.id"""
+
+
 def incremental_exact_dedup(
     new_df: DataFrame,
     seen_hashes: DataFrame,
@@ -1454,20 +1548,21 @@ def embedding_dup_pairs(
     # pre-count oversized signatures (map-side-combined: bytes/sig); the
     # collect is bounded at max_oversized_buckets — beyond that the
     # corpus is degenerate past what any blocking can absorb.
-    over_rows = (
+    over_pdf = (
         sigged.groupBy("__sig")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > bucket_cap)
+        .select("__sig")
         .limit(max_oversized_buckets + 1)
-        .collect()
+        .toPandas()  # limit-bounded: ≤ (max_oversized_buckets+1) 8-byte rows
     )
-    if len(over_rows) > max_oversized_buckets:
+    if len(over_pdf) > max_oversized_buckets:
         raise ValueError(
             f"embedding_dup_pairs: > {max_oversized_buckets} LSH buckets exceed "
             f"bucket_cap={bucket_cap}; the signature distribution is degenerate "
             "— raise n_planes or pre-cluster the corpus"
         )
-    oversized = [int(r["__sig"]) for r in over_rows]
+    oversized = [int(x) for x in over_pdf["__sig"]]
     small = sigged
     if oversized:
         small = sigged.where(~F.col("__sig").isin(oversized))

@@ -390,7 +390,7 @@ def token_budget_sample(
     )
     # one ≤n_bins-row aggregate: bin sums (for offsets) + the per-bin
     # stats the skew guard needs to pick a secondary-key scheme
-    stats = sorted(
+    stats_pdf = (
         b.groupBy("__b")
         .agg(
             F.sum("__n").alias("bsum"),
@@ -400,9 +400,9 @@ def token_budget_sample(
             F.min("__id").alias("mni"),
             F.max("__id").alias("mxi"),
         )
-        .collect(),
-        key=lambda r: r["__b"],
+        .toPandas()  # grouped on __b: ≤ n_bins fixed-width rows
     )
+    stats = stats_pdf.sort_values("__b").to_dict("records")
     spark = df.sparkSession
     run = 0
     off_rows = []

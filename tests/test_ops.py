@@ -1900,3 +1900,26 @@ def test_language_scores_margin_and_edges(spark):
     assert got[2][0] == "en" and got[2][1] == 0.5 and got[2][2] == 0.0
     assert got[3] == ("und", 0.0, 0.0)
     assert got[4][0] == "zh" and got[4][1] > 0.3 and got[4][1] == got[4][2]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-wide first occurrence (smallest doc_id, then index) of
+    each paragraph survives; docs reassemble in original order; empty
+    paragraphs are ignored; a doc of all-duplicate paragraphs yields ''."""
+    from sdvg_spark.ops.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nFOOTER\nbeta"),
+        (2, "FOOTER\ngamma\n\n \ndelta"),
+        (3, "FOOTER"),
+        (4, "FOOTER\nalpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got[1] == ("alpha\nFOOTER\nbeta", 3, 3)   # first FOOTER + alpha
+    assert got[2] == ("gamma\ndelta", 3, 2)          # n_paras counts non-empty only
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("", 2, 0)
