@@ -166,6 +166,10 @@ def main() -> None:
         "token_divergence",
         "quality_band",
         "zipf_fit",
+        # r7 additions
+        "url_dedup",
+        "language_confidence",
+        "paragraph_dedup",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do
