@@ -34,8 +34,22 @@ def widen(df: DataFrame) -> DataFrame:
     just in case). The partition probe reads the JVM plan directly:
     ``df.rdd`` would additionally build the Python-serializer RDD
     wrapper on every op call.
+
+    Target = max(cluster parallelism, the session's configured shuffle
+    width). The conf matters for EXPLODING map stages (simhash subset
+    keys are a 200×+ row fan-out at corpus scale): with
+    ``scale_shuffle_partitions`` sizing the conf to input bytes, the
+    map tasks feeding the big exchange shrink with scale too —
+    SHUFFLE_r07 measured the sf10 simhash spill coming from 32 map
+    tasks each sort-spilling a ~170 MB shuffle write, not from the
+    reduce side.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - non-numeric (auto) setting
+        conf_parts = 0
+    target = max(spark.sparkContext.defaultParallelism, conf_parts)
     try:
         parts = df._jdf.rdd().getNumPartitions()
     except Exception:  # pragma: no cover - connect-style sessions
@@ -1077,20 +1091,46 @@ def simhash_pairs(
             acc = F.shiftleft(acc, widths[i]).bitwiseOR(block(i))
         return acc
 
+    combos = list(combinations(range(b_cnt), r))
     sh = simhash_df(df, id_col, text_col)
     keyed = sh.select(
         "__id",
         "__sim",
         F.posexplode(
-            F.array(*[subset_key(S) for S in combinations(range(b_cnt), r)])
+            F.array(*[subset_key(S) for S in combos])
         ).alias("__k", "__kv"),
     )
     a = keyed.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"), "__k", "__kv")
     b = keyed.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"), "__k", "__kv")
+
+    # EMIT-ONCE: a pair sharing m subsets would surface m times; instead
+    # of a dropDuplicates SHUFFLE over the candidate-pair stream (3.3 GB
+    # at the sf10 scale point, SHUFFLE_r07), emit each pair only in its
+    # FIRST matching subset — which subsets match is a pure expression
+    # of (sim_a, sim_b), so this is a map-side filter on the join
+    # output. The joined __k always matches (the subset key is the
+    # concatenated block values), so a first match always exists.
+    def blocks_equal(S: tuple[int, ...]) -> Column:
+        cond = F.lit(True)
+        for i in S:
+            va = F.shiftrightunsigned(F.col("sim_a"), offsets[i])
+            vb = F.shiftrightunsigned(F.col("sim_b"), offsets[i])
+            if widths[i] < 64:
+                mask = F.lit((1 << widths[i]) - 1)
+                va, vb = va.bitwiseAND(mask), vb.bitwiseAND(mask)
+            cond = cond & (va == vb)
+        return cond
+
+    first_match = (
+        F.array_position(F.array(*[blocks_equal(S) for S in combos]), F.lit(True))
+        - F.lit(1)
+    )
+    # shuffle_hash: both sides are the same exploded projection — a
+    # per-partition hash build (~shuffle_bytes/partitions) replaces the
+    # two sort-merge sorts, the stage that spilled 4.6 GB at sf10
     return (
-        a.join(b, ["__k", "__kv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        a.join(b.hint("shuffle_hash"), ["__k", "__kv"])
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("__k") == first_match))
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .where(F.col("hamming") <= F.lit(max_distance))
         .select("id_a", "id_b", "hamming")

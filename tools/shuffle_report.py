@@ -69,6 +69,11 @@ QUERIES = [
     "token_budget_sample",
     "source_cap",
     "events_interval_join",
+    # r7 additions
+    "url_canonicalize",
+    "url_dedup",
+    "language_confidence",
+    "paragraph_dedup",
 ]
 
 
