@@ -1201,6 +1201,37 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d, "doc_id", "ptext")
 
 
+# HTML-wrapped fixture for html_to_text: both engines wrap each doc in
+# the same markup (title/script/style/headline/paragraph/entities) via
+# one shared SQL expression.
+HTML_FIXTURE_SQL = (
+    "'<html><head><TITLE>Doc ' || CAST(doc_id AS STRING) || '</TITLE>'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '<script>var a = 1 < 2;</script>'"
+    " ELSE '' END)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN '<style>.x { color: red }</style>'"
+    " ELSE '' END)"
+    " || '</head><body><h1>' || source || '</h1><p>' || text || '</p>'"
+    " || (CASE WHEN doc_id % 2 = 0 THEN 'Tail &amp; more<br/>last' ELSE '' END)"
+    " || '</body></html>'"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text (ops/web.py:html_to_text): script/style
+    bodies dropped, br/p become newlines, tags stripped, entities
+    decoded, whitespace collapsed — map-only codegen regexes, the
+    fetch→text step before every text op."""
+    from sdvg_spark.ops.web import html_to_text
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    h = docs.withColumn("html", F.expr(HTML_FIXTURE_SQL))
+    return h.select(
+        "doc_id",
+        html_to_text(F.col("html")).alias("clean_text"),
+        F.length(html_to_text(F.col("html"))).cast("long").alias("n_chars_clean"),
+    )
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming funnel, driver-checked (streaming/ops.py:
     stream_funnel_replay): fixture events replayed as 3 event-time-
@@ -1364,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "language_confidence": q_language_confidence,
             "stream_funnel": q_stream_funnel,
             "paragraph_dedup": q_paragraph_dedup,
+            "html_extract": q_html_extract,
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
@@ -1405,6 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate",
         # r07: one more r6-green corpus.py row defers for paragraph_dedup
         "token_divergence",
+        # r07: one more defers for html_extract (corpus.py untouched;
+        # duplicate_spans stays in-window as the span family rep)
+        "remove_duplicate_spans",
         "gen_integer_ordered",
         "gen_float32",
         "gen_datetime_random",
@@ -1818,6 +1853,14 @@ FROM documents"""
     out["paragraph_dedup"] = paragraph_dedup_oracle_sql(
         text_sql=PARA_FIXTURE_SQL
     )
+
+    from sdvg_spark.ops.web import sql_html_to_text
+
+    _ht = sql_html_to_text("html")
+    out["html_extract"] = f"""
+WITH h AS (SELECT doc_id, {HTML_FIXTURE_SQL} AS html FROM documents)
+SELECT doc_id, {_ht} AS clean_text, length({_ht})::BIGINT AS n_chars_clean
+FROM h"""
 
     out["events_interval_join"] = """
 WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_start,

@@ -186,3 +186,73 @@ def sql_canonicalize_url(col: str) -> str:
         f"{p['path']} || "
         f"(CASE WHEN {p['query']} <> '' THEN '?' || {p['query']} ELSE '' END))"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (rule-based, engine-mirrorable)
+
+# Entities handled by the decode step — the high-frequency named set;
+# numeric entities are out of scope for the rule-based tier (a full
+# parser is a mapInPandas drop-in where fidelity matters more than
+# staying JVM-side).
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: "&amp;lt;" must become "&lt;", not "<"
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML fragment — the boilerplate-strip step a
+    web-corpus pipeline runs between fetch and text analysis. Pure
+    codegen regex expressions (map-only, zero shuffle):
+
+    1. drop ``<script>``/``<style>`` elements INCLUDING their bodies
+       (case-insensitive, dot-matches-newline)
+    2. ``<br>`` and ``</p>`` become newlines (paragraph structure
+       survives for :func:`~sdvg_spark.ops.dedup.paragraph_dedup`)
+    3. every remaining tag is dropped
+    4. the common named entities decode (``&amp;`` last so doubly-
+       escaped text un-escapes one level, not two)
+    5. horizontal whitespace collapses; leading/trailing space and
+       blank lines trim away
+    """
+    # no backreferences: DuckDB's RE2 mirror lacks them, so script and
+    # style bodies are two explicit alternatives
+    t = F.regexp_replace(
+        html,
+        r"(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>",
+        "",
+    )
+    t = F.regexp_replace(t, r"(?i)<br\s*/?>|</p\s*>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", "")
+    for ent, rep in _HTML_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n+", "\n")
+    t = F.regexp_replace(t, r"^\n+|\n+$", "")  # trim() stops at spaces
+    return F.trim(t)
+
+
+def sql_html_to_text(col: str) -> str:
+    """DuckDB mirror of :func:`html_to_text` (same regexes; DuckDB's
+    regexp_replace needs explicit 'g' where Spark's is global)."""
+    t = (
+        f"regexp_replace({col}, "
+        "'(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>',"
+        " '', 'g')"
+    )
+    t = f"regexp_replace({t}, '(?i)<br\\s*/?>|</p\\s*>', chr(10), 'g')"
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', '', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        t = f"regexp_replace({t}, '{ent}', '{r}', 'g')"
+    t = f"regexp_replace({t}, '[ \\t\\r]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
+    t = f"regexp_replace({t}, '\\n+', chr(10), 'g')"
+    t = f"regexp_replace({t}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({t})"

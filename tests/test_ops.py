@@ -1923,3 +1923,23 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[2] == ("gamma\ndelta", 3, 2)          # n_paras counts non-empty only
     assert got[3] == ("", 1, 0)
     assert got[4] == ("", 2, 0)
+
+
+def test_html_to_text_rules(spark):
+    """script/style bodies (incl. case variants) drop entirely; br and
+    /p become newlines; tags strip; common entities decode exactly one
+    level; whitespace collapses."""
+    from sdvg_spark.ops.web import html_to_text
+
+    cases = [
+        ("<STYLE>b{}</STYLE><script>if(1<2){}</script>hi", "hi"),
+        ("<p>a</p><p>b</p>", "a\nb"),
+        ("x<br/>y<BR>z", "x\ny\nz"),
+        ("&amp;lt;stay&amp;gt; &lt;go&gt;", "&lt;stay&gt; <go>"),
+        ("  a   b\t c ", "a b c"),
+        ("<div class='x'>d</div>", "d"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = {r.h: r.t for r in df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h])
