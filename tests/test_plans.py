@@ -318,3 +318,23 @@ def test_funnel_fold_tier_single_exchange_on_entry_query(spark, entry):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "hashpartitioning(__u" in plan
     assert "Join" not in plan
+
+
+def test_simhash_join_is_hash_based_with_no_pair_dedup_exchange(spark, entry):
+    """The simhash candidate join must plan as a ShuffledHashJoin (no
+    sort-merge sorts — the sf10 spill source) and the emit-once filter
+    must leave NO aggregate/exchange over the candidate-pair stream:
+    exactly the two exploded-side exchanges feed the join."""
+    import re
+
+    plan = _plan(entry.queries()["dedup_simhash"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # 2 hash exchanges (the join sides) + at most 2 widen round-robins
+    # (no-ops at real scale); nothing downstream of the join
+    assert len(re.findall(r"hashpartitioning\(__k", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+    # the emit-once predicate is fused INTO the join condition — no
+    # dropDuplicates aggregate over the candidate-pair stream survives
+    assert "array_position" in plan
+    assert not re.search(r"HashAggregate\(keys=\[id_a", plan)
