@@ -1225,10 +1225,12 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
     h = docs.withColumn("html", F.expr(HTML_FIXTURE_SQL))
-    return h.select(
+    # stage the extraction once; the length reads the materialized column
+    staged = h.select("doc_id", html_to_text(F.col("html")).alias("clean_text"))
+    return staged.select(
         "doc_id",
-        html_to_text(F.col("html")).alias("clean_text"),
-        F.length(html_to_text(F.col("html"))).cast("long").alias("n_chars_clean"),
+        "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
     )
 
 

@@ -74,6 +74,7 @@ QUERIES = [
     "url_dedup",
     "language_confidence",
     "paragraph_dedup",
+    "html_extract",
 ]
 
 
