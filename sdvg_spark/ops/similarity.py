@@ -984,41 +984,68 @@ def ivf_index_topk(
     # argsort mirrors the assignment kernel's tie rule (lowest cell)
     order = np.argsort(-(Qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
     cells = sorted(int(c) for c in np.unique(order))
-    probes = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "q_id": np.repeat(q_ids, n_probe),
-                "cell": order.ravel().astype(np.int32),
-            }
-        ),
-        "q_id long, cell int",
-    )
-    bcq = spark.sparkContext.broadcast((q_ids, Qn))
+    # fused index-scan kernel (same shape as ivf_topk's): score each
+    # pruned cell's block against only its probing queries and keep the
+    # (batch, cell) top-k INSIDE the scan pass. The previous form
+    # broadcast-joined a (q_id, cell) probe table onto the index —
+    # materializing every (query, cell-row) candidate WITH its vector
+    # (queries/n_cells × corpus rows) and scoring row-by-row; at the
+    # sf10 scale point that stage spilled 2.5 GB. Now nothing is
+    # joined: the exchange moves O(partitions × queries × k) rows.
+    probing = [np.flatnonzero((order == c).any(axis=1)) for c in range(len(cent))]
+    bcq = spark.sparkContext.broadcast((q_ids, Qn, probing))
     index = spark.read.parquet(path).where(F.col("cell").isin(cells))
     quantized = "qvec" in index.columns
     vec_cols = ["qvec", "scale"] if quantized else ["vec"]
-    withv = F.broadcast(probes).join(index, "cell").select("q_id", "c_id", *vec_cols)
+    sel = index.select("c_id", "cell", *vec_cols)
+    top_n = int(k)
 
     def run(batches):
-        b_qids, b_Q = bcq.value
+        b_qids, b_Q, b_probing = bcq.value
         for pdf in batches:
             if not len(pdf):
                 continue
             if quantized:
-                C = np.array(list(pdf["qvec"]), dtype=np.float64)
-                C *= pdf["scale"].to_numpy(dtype=np.float64)[:, None]
+                M = np.array(list(pdf["qvec"]), dtype=np.float64)
+                M *= pdf["scale"].to_numpy(dtype=np.float64)[:, None]
             else:
-                C = np.array(list(pdf["vec"]), dtype=np.float64)
-            cn = np.linalg.norm(C, axis=1)
-            cn[cn == 0] = 1.0
-            C = C / cn[:, None]
-            idx = np.searchsorted(b_qids, pdf["q_id"].to_numpy(dtype=np.int64))
-            sims = (C * b_Q[idx]).sum(axis=1)
-            yield pd.DataFrame(
-                {"q_id": pdf["q_id"], "c_id": pdf["c_id"], "cosine": sims}
-            )
+                M = np.array(list(pdf["vec"]), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C = M / nrm[:, None]
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            row_cells = pdf["cell"].to_numpy(dtype=np.int64)
+            out_q, out_c, out_s = [], [], []
+            for cell in np.unique(row_cells):
+                qidx = b_probing[cell]
+                if not len(qidx):
+                    continue
+                rows = np.flatnonzero(row_cells == cell)
+                block_ids = c_ids[rows]
+                sims = C[rows] @ b_Q[qidx].T  # (|rows|, |qidx|)
+                m = len(rows)
+                top = min(top_n, m)
+                for jj in range(len(qidx)):
+                    col = sims[:, jj]
+                    if m > top:
+                        thresh = col[np.argpartition(-col, top - 1)[top - 1]]
+                        cand = np.flatnonzero(col >= thresh)
+                    else:
+                        cand = np.arange(m)
+                    sel_i = cand[np.lexsort((block_ids[cand], -col[cand]))[:top]]
+                    out_q.append(np.full(len(sel_i), b_qids[qidx[jj]], dtype=np.int64))
+                    out_c.append(block_ids[sel_i])
+                    out_s.append(col[sel_i])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "c_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
 
-    scored = withv.mapInPandas(run, "q_id long, c_id long, cosine double")
+    scored = sel.mapInPandas(run, "q_id long, c_id long, cosine double")
     final = scored.withColumn(
         "rank",
         F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))),
