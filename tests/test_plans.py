@@ -243,7 +243,10 @@ def test_decontaminate_broadcasts_benchmark(spark, entry):
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     """The persisted-index search must push the probed cell set into the
     parquet scan as a PARTITION filter (file-level pruning: unprobed
-    cells are never read), and the probe/query joins must broadcast."""
+    cells are never read), and since the r7 fused redesign the plan is
+    JOIN-FREE — scoring happens inside the scan's mapInPandas kernel
+    (the old broadcast probe join materialized every query × cell-row
+    candidate and spilled 2.5 GB at sf10)."""
     from pyspark.sql import functions as F
 
     from sdvg_spark.ops.similarity import (
@@ -262,9 +265,11 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     plan = _plan(ivf_index_topk(q, path, cent, k=5, n_probe=2))
     scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell" in scan  # probed cells reached the scan as partition filters
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert join not in plan, join
     assert "hashpartitioning(cell" not in plan
-    assert "CartesianProduct" not in plan
 
 
 def test_pack_sequences_corpus_window_is_bucketed(spark, entry):
