@@ -1105,33 +1105,60 @@ def simhash_pairs(
 
     # EMIT-ONCE: a pair sharing m subsets would surface m times; instead
     # of a dropDuplicates SHUFFLE over the candidate-pair stream (3.3 GB
-    # at the sf10 scale point, SHUFFLE_r07), emit each pair only in its
-    # FIRST matching subset — which subsets match is a pure expression
-    # of (sim_a, sim_b), so this is a map-side filter on the join
-    # output. The joined __k always matches (the subset key is the
-    # concatenated block values), so a first match always exists.
-    def blocks_equal(S: tuple[int, ...]) -> Column:
-        cond = F.lit(True)
-        for i in S:
-            va = F.shiftrightunsigned(F.col("sim_a"), offsets[i])
-            vb = F.shiftrightunsigned(F.col("sim_b"), offsets[i])
-            if widths[i] < 64:
-                mask = F.lit((1 << widths[i]) - 1)
-                va, vb = va.bitwiseAND(mask), vb.bitwiseAND(mask)
-            cond = cond & (va == vb)
-        return cond
+    # at the sf10 scale point, SHUFFLE_r07), emit each pair only at the
+    # CANONICAL matching subset — the r lowest matching block indices.
+    # The join key already proves the subset's own blocks match, so
+    # "S is canonical" reduces to: every block BELOW max(S) that is NOT
+    # in S mismatches. One CASE on __k whose branch is that (tiny)
+    # conjunction — a single branch evaluates per pair, linear
+    # expression size. (Two rejected forms of this predicate measured
+    # 23 µs/pair: a boolean-array + array_position scan, and a
+    # bitmask + lowest-r-set-bits peel whose `rem` re-inlined the whole
+    # 8-comparison mask at every peel step — join conditions get no
+    # subexpression elimination.)
+    def _blk(col: str, i: int) -> Column:
+        v = F.shiftrightunsigned(F.col(col), offsets[i])
+        if widths[i] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return v
 
-    first_match = (
-        F.array_position(F.array(*[blocks_equal(S) for S in combos]), F.lit(True))
-        - F.lit(1)
-    )
-    # shuffle_hash: both sides are the same exploded projection — a
-    # per-partition hash build (~shuffle_bytes/partitions) replaces the
-    # two sort-merge sorts, the stage that spilled 4.6 GB at sf10
+    emit = F.lit(False)
+    for kk, S in enumerate(combos):
+        below = [i for i in range(max(S)) if i not in S]
+        cond: Column = F.lit(True)
+        for i in below:
+            cond = cond & (_blk("sim_a", i) != _blk("sim_b", i))
+        emit = F.when(F.col("__k") == kk, cond).otherwise(emit)
+    # Tiering, sized from the exploded side (~40 B × keys × docs):
+    #
+    # * BROADCAST tier (fits autoBroadcastJoinThreshold): plain BHJ —
+    #   full scan-side parallelism, no exchange — and the duplicate
+    #   emissions are removed by a dropDuplicates over the (tiny at
+    #   this size) pair stream: measured 1.1 s vs 3.3 s for the
+    #   emit-once join condition at sf0.1 (complex non-equi conditions
+    #   evaluate per CANDIDATE pair and dominate at high match rates).
+    # * SHUFFLE-HASH tier (everything bigger): shuffle_hash hint (a
+    #   per-partition hash build replaces the two SMJ sorts that
+    #   spilled 4.6 GB at sf10) + the emit-once condition instead of
+    #   dropDuplicates (the pair exchange alone re-spilled 2.1 GB at
+    #   sf10: 65 s / 5.3 GB write vs 61 s / 2.0 GB write / ZERO spill).
+    est_bytes = int(n_docs) * len(combos) * 40
+    try:
+        bcast_thresh = int(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:  # pragma: no cover - "10MB"-style or disabled
+        bcast_thresh = 10 * 1024 * 1024
+    if 0 < est_bytes <= max(bcast_thresh, 0):
+        cand = a.join(b, ["__k", "__kv"]).where(
+            F.col("id_a") < F.col("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+    else:
+        cand = a.join(b.hint("shuffle_hash"), ["__k", "__kv"]).where(
+            (F.col("id_a") < F.col("id_b")) & emit
+        )
     return (
-        a.join(b.hint("shuffle_hash"), ["__k", "__kv"])
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("__k") == first_match))
-        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .where(F.col("hamming") <= F.lit(max_distance))
         .select("id_a", "id_b", "hamming")
     )

@@ -325,21 +325,32 @@ def test_funnel_fold_tier_single_exchange_on_entry_query(spark, entry):
     assert "Join" not in plan
 
 
-def test_simhash_join_is_hash_based_with_no_pair_dedup_exchange(spark, entry):
-    """The simhash candidate join must plan as a ShuffledHashJoin (no
-    sort-merge sorts — the sf10 spill source) and the emit-once filter
-    must leave NO aggregate/exchange over the candidate-pair stream:
-    exactly the two exploded-side exchanges feed the join."""
+def test_simhash_join_tiers(spark, entry):
+    """Broadcast tier (small exploded side): BHJ + a pair dedup, never
+    a sort-merge join. Shuffle-hash tier (big side, forced here by
+    disabling broadcast): ShuffledHashJoin with the emit-once predicate
+    fused into the join condition — no SMJ sorts (the sf10 4.6 GB spill
+    source) and NO aggregate/exchange over the candidate-pair stream
+    (its dropDuplicates re-spilled 2.1 GB at sf10)."""
     import re
 
-    plan = _plan(entry.queries()["dedup_simhash"](spark, SF_DIR))
-    assert "ShuffledHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    small = _plan(entry.queries()["dedup_simhash"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in small
+    assert "SortMergeJoin" not in small
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = _plan(entry.queries()["dedup_simhash"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "ShuffledHashJoin" in big
+    assert "SortMergeJoin" not in big
     # 2 hash exchanges (the join sides) + at most 2 widen round-robins
     # (no-ops at real scale); nothing downstream of the join
-    assert len(re.findall(r"hashpartitioning\(__k", plan)) == 2
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
-    # the emit-once predicate is fused INTO the join condition — no
-    # dropDuplicates aggregate over the candidate-pair stream survives
-    assert "array_position" in plan
-    assert not re.search(r"HashAggregate\(keys=\[id_a", plan)
+    assert len(re.findall(r"hashpartitioning\(__k", big)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", big)) <= 4
+    # emit-once lives in the join condition as a one-branch CASE over
+    # block comparisons; no pair-keyed aggregate survives
+    assert "shiftrightunsigned" in big
+    assert not re.search(r"HashAggregate\(keys=\[id_a", big)
