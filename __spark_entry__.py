@@ -177,7 +177,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_distance=6)
+    # n_docs from parquet row-group metadata (no scan) — skips the
+    # in-op sizing count over the checkpointed signature table
+    return simhash_pairs(
+        docs, "doc_id", "text", max_distance=6, n_docs=docs.count()
+    )
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,43 @@ MERSENNE61 = (1 << 61) - 1
 MERSENNE31 = (1 << 31) - 1
 _LONG_MAX = (1 << 63) - 1
 
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Read a Spark byte-size conf as an int.
+
+    ``spark.conf.get`` returns the *display* string — plain ints but
+    also suffixed forms like ``"10485760b"`` (what a session that set
+    the conf programmatically reads back) or ``"10MB"``. A bare
+    ``int()`` parse raises on those and silently falls back, which made
+    the simhash tier decision ignore the session's REAL threshold.
+    Negative values pass through (``-1`` = broadcast disabled)."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:  # pragma: no cover - conf unreadable
+        return default
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if raw.endswith(suf):
+            num = raw[: -len(suf)]
+            break
+    else:
+        num, suf = raw, "b"
+    try:
+        return int(num) * _BYTE_SUFFIX[suf]
+    except ValueError:  # pragma: no cover - unparseable form
+        return default
+
 
 def widen(df: DataFrame) -> DataFrame:
     """Repartition up to cluster parallelism when the input is narrow.
@@ -1066,39 +1103,58 @@ def simhash_pairs(
     background stays ~linear in n; the output is invariant to the
     choice. Pass ``n_docs`` to skip the sizing ``count()`` (for parquet
     sources it is metadata-only).
+
+    The signature table is materialized ONCE (eager ``localCheckpoint``,
+    16 B/doc) before the self-join: both join sides derive from it, and
+    without the checkpoint Spark re-evaluates the tokenize+md5 Arrow
+    kernel — the dominant cost of the whole operator — once PER SIDE at
+    every scale (measured 2×0.45 s of a 3.2 s sf0.1 wall; the r7 driver
+    regression to 2.76 s was exactly this double-eval plus the dedup
+    exchange carrying unfiltered background candidates, both fixed
+    here). At 100 TB the checkpoint is (id, sim) only — ~16 GB per
+    billion docs spread across executor storage, far below the cost of
+    re-tokenizing the corpus.
     """
     from itertools import combinations
 
+    sh = simhash_df(df, id_col, text_col).localCheckpoint(eager=True)
     if n_docs is None:
-        n_docs = df.count()
+        n_docs = sh.count()  # metadata-free but cached: O(partitions)
     b_cnt = _simhash_blocking(int(n_docs), max_distance)
     r = b_cnt - max_distance
     widths = [64 // b_cnt + (1 if i < 64 % b_cnt else 0) for i in range(b_cnt)]
     offsets = [sum(widths[:i]) for i in range(b_cnt)]
 
-    def block(i: int) -> Column:
-        v = F.shiftrightunsigned(F.col("__sim"), offsets[i])
+    # All blocking expressions are authored as SQL STRINGS and parsed in
+    # one ``F.expr`` call each: Column-algebra construction is a py4j
+    # round trip per node, and these expressions have hundreds of nodes
+    # once combos grow (the emit-once CASE alone measured 1.74 s of
+    # pure driver-side py4j at 28 combos, 13 s+ extrapolated at the
+    # sf10 auto-blocking's 210 — construction cost, before any data
+    # moved).
+    def blk_sql(col: str, i: int) -> str:
+        s = f"shiftrightunsigned({col}, {offsets[i]})"
         if widths[i] < 64:
-            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
-        return v
+            s = f"({s} & {(1 << widths[i]) - 1}L)"
+        return s
 
-    def subset_key(S: tuple[int, ...]) -> Column:
+    def subset_key_sql(S: tuple[int, ...]) -> str:
         # shift-accumulate (bitwise, ANSI-safe: no overflow semantics);
         # single-block subsets use the block value directly so a full
         # 64-bit block never hits a degenerate shiftleft(_, 64)
-        acc = block(S[0])
+        acc = blk_sql("__sim", S[0])
         for i in S[1:]:
-            acc = F.shiftleft(acc, widths[i]).bitwiseOR(block(i))
+            acc = f"(shiftleft({acc}, {widths[i]}) | {blk_sql('__sim', i)})"
         return acc
 
     combos = list(combinations(range(b_cnt), r))
-    sh = simhash_df(df, id_col, text_col)
+    key_array = F.expr(
+        "array(" + ", ".join(subset_key_sql(S) for S in combos) + ")"
+    )
     keyed = sh.select(
         "__id",
         "__sim",
-        F.posexplode(
-            F.array(*[subset_key(S) for S in combos])
-        ).alias("__k", "__kv"),
+        F.posexplode(key_array).alias("__k", "__kv"),
     )
     a = keyed.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"), "__k", "__kv")
     b = keyed.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"), "__k", "__kv")
@@ -1115,20 +1171,23 @@ def simhash_pairs(
     # 23 µs/pair: a boolean-array + array_position scan, and a
     # bitmask + lowest-r-set-bits peel whose `rem` re-inlined the whole
     # 8-comparison mask at every peel step — join conditions get no
-    # subexpression elimination.)
-    def _blk(col: str, i: int) -> Column:
-        v = F.shiftrightunsigned(F.col(col), offsets[i])
-        if widths[i] < 64:
-            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
-        return v
+    # subexpression elimination.) Built lazily: only the SHUFFLE-HASH
+    # tier evaluates it, and its construction is not free even as a
+    # single parsed string.
+    def emit_once_sql() -> Column:
+        branches = []
+        for kk, S in enumerate(combos):
+            below = [i for i in range(max(S)) if i not in S]
+            conj = (
+                " AND ".join(
+                    f"({blk_sql('sim_a', i)} != {blk_sql('sim_b', i)})"
+                    for i in below
+                )
+                or "true"
+            )
+            branches.append(f"WHEN {kk} THEN ({conj})")
+        return F.expr("CASE __k " + " ".join(branches) + " ELSE false END")
 
-    emit = F.lit(False)
-    for kk, S in enumerate(combos):
-        below = [i for i in range(max(S)) if i not in S]
-        cond: Column = F.lit(True)
-        for i in below:
-            cond = cond & (_blk("sim_a", i) != _blk("sim_b", i))
-        emit = F.when(F.col("__k") == kk, cond).otherwise(emit)
     # Tiering, sized from the exploded side (~40 B × keys × docs):
     #
     # * BROADCAST tier (fits autoBroadcastJoinThreshold): plain BHJ —
@@ -1143,25 +1202,29 @@ def simhash_pairs(
     #   dropDuplicates (the pair exchange alone re-spilled 2.1 GB at
     #   sf10: 65 s / 5.3 GB write vs 61 s / 2.0 GB write / ZERO spill).
     est_bytes = int(n_docs) * len(combos) * 40
-    try:
-        bcast_thresh = int(
-            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-    except Exception:  # pragma: no cover - "10MB"-style or disabled
-        bcast_thresh = 10 * 1024 * 1024
-    if 0 < est_bytes <= max(bcast_thresh, 0):
-        cand = a.join(b, ["__k", "__kv"]).where(
-            F.col("id_a") < F.col("id_b")
-        ).dropDuplicates(["id_a", "id_b"])
-    else:
-        cand = a.join(b.hint("shuffle_hash"), ["__k", "__kv"]).where(
-            (F.col("id_a") < F.col("id_b")) & emit
-        )
-    return (
-        cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
-        .where(F.col("hamming") <= F.lit(max_distance))
-        .select("id_a", "id_b", "hamming")
+    bcast_thresh = _bytes_conf(
+        df.sparkSession, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
     )
+    hamming = hamming64(F.col("sim_a"), F.col("sim_b"))
+    if 0 < est_bytes <= max(bcast_thresh, 0):
+        # hamming-filter BEFORE the dedup exchange: the candidate stream
+        # is true-pairs×multiplicity PLUS the random background, and the
+        # background (hamming > d) is pure exchange waste
+        cand = (
+            a.join(b, ["__k", "__kv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming)
+            .where(F.col("hamming") <= F.lit(max_distance))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cand = (
+            a.join(b.hint("shuffle_hash"), ["__k", "__kv"])
+            .where((F.col("id_a") < F.col("id_b")) & emit_once_sql())
+            .withColumn("hamming", hamming)
+            .where(F.col("hamming") <= F.lit(max_distance))
+        )
+    return cand.select("id_a", "id_b", "hamming")
 
 
 def connected_components(
