@@ -236,7 +236,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=4).select("q_id", "c_id", "rank")
+    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=12).select("q_id", "c_id", "rank")
 
 
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +264,7 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_index_topk(q, path, cent, k=10, n_probe=4).select("q_id", "c_id", "rank")
+    return ivf_index_topk(q, path, cent, k=10, n_probe=12).select("q_id", "c_id", "rank")
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,13 +1535,13 @@ WHERE a.vec_id < b.vec_id
     out["ann_lsh"] = lsh_topk_oracle_sql(
         k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64
     )
-    out["ann_ivf"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)
+    out["ann_ivf"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)
     # the persisted-index search is value-equal to the in-memory ivf
     # variant by construction (n_iters=0 + full-corpus sample -> same
     # centroids; same assignment kernel; same cosine arithmetic), so the
     # same SQL is its oracle — a red cell here means the partition-pruned
     # scan dropped or corrupted candidates
-    out["ann_ivf_index"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)
+    out["ann_ivf_index"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)
 
     _exact_sql = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
@@ -1555,7 +1555,7 @@ SELECT q_id, c_id, rank FROM r WHERE rank <= 10"""
 
     out["ann_recall"] = f"""
 WITH exact AS (SELECT q_id, c_id FROM ({_exact_sql}) t),
-a_ivf AS (SELECT q_id, c_id FROM ({ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=4)}) t),
+a_ivf AS (SELECT q_id, c_id FROM ({ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)}) t),
 a_lsh AS (SELECT q_id, c_id FROM ({lsh_topk_oracle_sql(k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64)}) t),
 a_qz AS (SELECT q_id, c_id FROM ({quantized_rescore_oracle_sql(k=10, shortlist=4)}) t),
 approx AS (

@@ -595,7 +595,7 @@ def ivf_topk(
     query_vec: str = "q_vec",
     k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
     dims: int | None = None,
     centroid_max_bytes: int = 64_000_000,
 ) -> DataFrame:
@@ -607,6 +607,16 @@ def ivf_topk(
     probes its ``n_probe`` nearest cells and scores ONLY the vectors in
     those cells — a ~``n_probe/n_cells`` fraction of the corpus per
     query instead of a full scan.
+
+    The default ``n_probe=12`` (of 16 cells) targets recall@10 ≥ 0.9 on
+    the WORST-CASE input for IVF — near-uniform random embeddings, where
+    a query's true neighbors scatter across many cells (measured 0.92 at
+    sf0.01 / 0.93 at sf0.1 on the synthetic fixtures; the old default of
+    4 measured 0.53). Real embedding corpora cluster, so production
+    deployments should Lloyd-train centroids (:func:`ivf_train_centroids`
+    with ``n_iters>0`` + the persisted index path) and tune ``n_probe``
+    DOWN against the ``ann_recall`` scorecard — that is where the
+    n_probe/n_cells scan saving actually pays.
 
     Centroid selection is deterministic and oracle-mirrorable: the
     ``n_cells`` corpus rows with the smallest ids (ids are uncorrelated
@@ -717,7 +727,7 @@ def ivf_topk_oracle_sql(
     query_filter: str = "vec_id % 50 = 0",
     k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
 ) -> str:
     """DuckDB SQL reproducing :func:`ivf_topk` value-for-value: same
     smallest-id centroids, same nearest-cell assignment (ties -> lowest
@@ -941,7 +951,7 @@ def ivf_index_topk(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int = 12,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
