@@ -1115,13 +1115,21 @@ URL_FIXTURE_SQL = (
     "(CASE WHEN doc_id % 4 < 2 THEN 'http' WHEN doc_id % 4 = 2 THEN 'HTTP'"
     " ELSE 'hTTp' END)"
     " || '://'"
-    " || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
+    # host: a plain .com family, a co.uk family (PSL 3-label domains),
+    # and a bracketed-IPv6 authority with a non-default port
+    " || (CASE WHEN doc_id % 10 = 9 THEN '[2001:DB8::1]:8080'"
+    " WHEN doc_id % 10 = 8 THEN"
+    " (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
+    " || 'shop-' || CAST(doc_id % 3 AS STRING) || '.Example.CO.UK'"
+    " ELSE (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
     " || 'site-' || CAST(doc_id % 5 AS STRING) || '.Example.COM'"
-    " || (CASE WHEN doc_id % 6 = 0 THEN ':80' ELSE '' END)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN ':80' ELSE '' END) END)"
     " || '/Docs/' || CAST(doc_id % 8 AS STRING)"
     " || (CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END)"
+    # ref=main must SURVIVE canonicalization (content-bearing, not a
+    # tracking param); fbclid must not
     " || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'"
-    " WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '?a=1&fbclid=track' END)"
+    " WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '?a=1&fbclid=track&ref=main' END)"
     " || (CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)"
 )
 
@@ -1215,7 +1223,9 @@ HTML_FIXTURE_SQL = (
     " || (CASE WHEN doc_id % 4 = 0 THEN '<style>.x { color: red }</style>'"
     " ELSE '' END)"
     " || '</head><body><h1>' || source || '</h1><p>' || text || '</p>'"
-    " || (CASE WHEN doc_id % 2 = 0 THEN 'Tail &amp; more<br/>last' ELSE '' END)"
+    # numeric-entity coverage: hex x27 / uppercase X27 / decimal 8217
+    " || (CASE WHEN doc_id % 2 = 0 THEN 'Tail &amp; more&#8217;s"
+    " &#x27;q&#X27; &#8230;<br/>last' ELSE '' END)"
     " || '</body></html>'"
 )
 

@@ -15,7 +15,8 @@ full RFC 3986 resolver):
 
 * scheme lowercased; records without a ``scheme://`` prefix default to
   ``http``
-* userinfo dropped; host lowercased; one leading ``www.`` stripped
+* userinfo dropped; host lowercased; one leading ``www.`` stripped;
+  bracketed IPv6 authorities (``[2001:db8::1]:8080``) parse correctly
 * default ports removed (``http:80``, ``https:443``); others kept
 * path: case preserved (paths are case-sensitive), trailing slashes
   stripped, empty path → ``/``
@@ -24,9 +25,16 @@ full RFC 3986 resolver):
   and rejoined — parameter order never distinguishes two URLs
 * fragment dropped
 
-``domain`` is the naive registered domain (last two dot-labels) — a
-public-suffix list lookup is a drop-in upgrade and deliberately out of
-scope (no third-party data files in this build).
+``domain`` is the registered domain under a compiled-in subset of the
+public-suffix list: hosts whose last two labels form a known
+multi-label public suffix (``co.uk``, ``com.au``, ``on.ca``, …) keep
+THREE labels, everything else keeps two; IP literals (v4 dotted-quad,
+bracketed v6) pass through whole. The subset covers the common
+country-code second-level registries (a few hundred entries of public
+knowledge — no third-party data files); exotic 3-label suffixes
+(``pref.aichi.jp``-style geographic registries) and wildcard rules are
+out of scope and fall back to the 3-label answer's parent, which for
+per-domain quotas is the conservative (finer-grained) direction.
 """
 
 from __future__ import annotations
@@ -34,11 +42,133 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# click-id / referral params stripped during canonicalization, next to
-# the utm_* prefix family
-TRACKING_PARAMS = ("fbclid", "gclid", "igshid", "mc_cid", "mc_eid", "msclkid", "ref")
+# click-id params stripped during canonicalization, next to the utm_*
+# prefix family. 'ref' is deliberately NOT here: it is frequently
+# content-bearing (branch/tag selectors, referenced-object ids), so
+# stripping it collapses genuinely distinct URLs.
+TRACKING_PARAMS = ("fbclid", "gclid", "igshid", "mc_cid", "mc_eid", "msclkid")
+
+# Compiled-in subset of the public suffix list: MULTI-LABEL public
+# suffixes only (single-label TLDs need no entry — the default
+# two-label rule already handles them). Grouped {tld: second-level
+# labels} and expanded to a frozenset of "label.tld" strings below.
+# Compiled from public knowledge of ccTLD registry conventions; the
+# high-traffic registries are all present.
+_PSL_2LABEL: dict[str, str] = {
+    "uk": "co org me ltd plc net sch ac gov nhs mod police",
+    "au": "com net org edu gov asn id",
+    "nz": "co net org govt ac school geek gen kiwi maori iwi mil health cri parliament",
+    "jp": "co ne or go ac ad ed gr lg",
+    "kr": "co ne or go ac re pe mil hs ms es sc kg",
+    "cn": "com net org gov edu ac mil",
+    "tw": "com net org gov edu idv game club ebiz",
+    "hk": "com net org gov edu idv",
+    "sg": "com net org gov edu per",
+    "in": "co net org gov ac edu res firm gen ind mil nic",
+    "br": "com net org gov edu mil art adv blog eco ind inf jus leg nom rec srv tur tv wiki",
+    "mx": "com net org gob edu",
+    "ar": "com net org gob gov edu int mil tur musica",
+    "co": "com net org gov edu mil nom",
+    "pe": "com net org gob edu mil nom",
+    "ve": "com net org gob edu mil web co info",
+    "cl": "gob gov mil co",
+    "ec": "com net org gob edu mil fin med pro info",
+    "bo": "com net org gob edu mil int tv web",
+    "uy": "com net org gub edu mil",
+    "py": "com net org gov edu mil coop",
+    "cr": "co ac ed fi go or sa",
+    "gt": "com net org gob edu mil ind",
+    "do": "com net org gob edu mil gov sld web art",
+    "sv": "com org edu gob red",
+    "hn": "com net org gob edu mil",
+    "ni": "com net org gob edu mil co ac biz info int web",
+    "pa": "com net org gob edu ac sld abo ing med nom",
+    "cu": "com net org gov edu inf",
+    "tr": "com net org gov edu av bbs bel biz dr gen info k12 mil name pol tel tv web",
+    "il": "co net org gov ac muni k12 idf",
+    "ru": "com net org edu gov int mil msk spb",
+    "ua": "com net org gov edu in kiev kyiv",
+    "pl": "com net org gov edu info biz waw",
+    "hu": "co org info priv",
+    "gr": "com net org gov edu",
+    "ro": "com org info firm nom rec store tm arts",
+    "za": "co net org gov ac web edu mil nom school",
+    "ng": "com net org gov edu sch name mobi mil i",
+    "ke": "co ne or go ac sc me mobi info",
+    "gh": "com org gov edu mil",
+    "tz": "co ne or go ac sc hotel info me mil mobi tv",
+    "ug": "co ne or go ac sc",
+    "zw": "co org gov ac mil",
+    "eg": "com net org gov edu sci eun mil name",
+    "ma": "co net org gov ac press",
+    "sa": "com net org gov edu med pub sch",
+    "ae": "co net org gov ac sch mil",
+    "qa": "com net org gov edu mil name sch",
+    "kw": "com net org gov edu",
+    "om": "com net org gov edu med museum pro",
+    "jo": "com net org gov edu mil name sch",
+    "lb": "com net org gov edu",
+    "pk": "com net org gov edu biz web fam gok gon gop gos",
+    "bd": "com net org gov edu ac mil",
+    "lk": "com net org gov edu ac sch int web ltd assn grp hotel",
+    "np": "com net org gov edu mil aero biz coop info museum name pro",
+    "th": "co net or go ac in mi",
+    "id": "co net or go ac web sch mil biz my desa ponpes",
+    "my": "com net org gov edu mil name",
+    "ph": "com net org gov edu ngo mil i",
+    "vn": "com net org gov edu int ac biz info name pro health",
+    "kh": "com net org gov edu mil per",
+    "es": "com nom org gob edu",
+    "it": "gov edu",
+    "fr": "gouv asso nom tm",
+    "pt": "com net org gov edu int publ nome",
+    "at": "co or ac gv priv",
+    "be": "ac",
+    "ir": "co net org gov ac id sch",
+    "iq": "com net org gov edu mil",
+    "dz": "com gov edu org net asso pol art",
+    "tn": "com net org gov",
+    "rs": "co org edu in gov ac",
+    "ba": "com net org gov edu mil",
+    "hr": "com from iz name",
+    "lv": "com net org gov edu asn conf id mil",
+    "ee": "com org edu gov riik lib med pri aip fie",
+    "lt": "gov",
+    "kz": "com net org gov edu mil",
+    "uz": "com net org gov co",
+    "by": "com net org gov mil of",
+    "ge": "com net org gov edu mil pvt",
+    "am": "com net org",
+    "az": "com net org gov edu int mil name pro biz info",
+    # US state registries and Canadian provinces are themselves public
+    # suffixes (example.ca.us / example.on.ca are registered domains)
+    "us": "al ak az ar ca co ct de dc fl ga hi id il in ia ks ky la me md"
+    " ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd tn"
+    " tx ut vt va wa wv wi wy",
+    "ca": "ab bc mb nb nf nl ns nt nu on pe qc sk yk gc",
+}
+
+PUBLIC_SUFFIXES: frozenset[str] = frozenset(
+    f"{label}.{tld}" for tld, labels in _PSL_2LABEL.items() for label in labels.split()
+)
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered domain of a lowercased host under the compiled-in
+    public-suffix subset (module docstring). IP literals (dotted-quad
+    v4, bracketed v6) pass through whole — per-domain grouping on the
+    last two octets of an IP would be meaningless."""
+    is_ip = host.rlike(r"^[0-9.]+$") | host.rlike(r"^\[")
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return (
+        F.when(is_ip, host)
+        .when((last3 != "") & last2.isin(*sorted(PUBLIC_SUFFIXES)), last3)
+        .when(last2 != "", last2)
+        .otherwise(host)
+    )
 
 
 def url_parts(url: Column) -> dict[str, Column]:
@@ -52,10 +182,19 @@ def url_parts(url: Column) -> dict[str, Column]:
     rest = F.when(has_scheme, F.regexp_replace(url, _SCHEME_RE, "")).otherwise(url)
     authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     hostport = F.regexp_extract(authority, r"([^@]*)$", 1)  # drop userinfo
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+    # bracketed IPv6 authorities: host = the [..] literal (no www-strip,
+    # colons inside the brackets are not a port separator)
+    bracket = hostport.rlike(r"^\[")
+    host = F.when(
+        bracket, F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1))
+    ).otherwise(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
+        )
     )
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port = F.when(
+        bracket, F.regexp_extract(hostport, r"\]:([0-9]+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r":([0-9]+)$", 1))
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
@@ -70,17 +209,13 @@ def url_parts(url: Column) -> dict[str, Column]:
         return (p != "") & ~key.rlike("^utm_") & ~key.isin(*TRACKING_PARAMS)
 
     query = F.array_join(F.array_sort(F.filter(F.split(rawq, "&"), keep_param)), "&")
-    domain = F.when(
-        host.rlike(r"[^.]+\.[^.]+$"),
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
-    ).otherwise(host)
     return {
         "scheme": scheme,
         "host": host,
         "port": port,
         "path": path,
         "query": query,
-        "domain": domain,
+        "domain": registered_domain(host),
     }
 
 
@@ -140,11 +275,18 @@ def sql_url_parts(col: str) -> dict[str, str]:
     )
     authority = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
     hostport = f"regexp_extract({authority}, '([^@]*)$', 1)"
+    bracket = f"regexp_matches({hostport}, '^\\[')"
     host = (
-        f"regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)), "
-        f"'^www\\.', '')"
+        f"(CASE WHEN {bracket} "
+        f"THEN lower(regexp_extract({hostport}, '^(\\[[^\\]]*\\])', 1)) "
+        f"ELSE regexp_replace(lower(regexp_extract({hostport}, '^([^:]*)', 1)), "
+        f"'^www\\.', '') END)"
     )
-    rawport = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    rawport = (
+        f"(CASE WHEN {bracket} "
+        f"THEN regexp_extract({hostport}, '\\]:([0-9]+)$', 1) "
+        f"ELSE regexp_extract({hostport}, ':([0-9]+)$', 1) END)"
+    )
     port = (
         f"(CASE WHEN ({scheme} = 'http' AND {rawport} = '80') "
         f"OR ({scheme} = 'https' AND {rawport} = '443') THEN '' "
@@ -164,18 +306,29 @@ def sql_url_parts(col: str) -> dict[str, str]:
         f"array_to_string(list_sort(list_filter(string_split({rawq}, '&'), {keep})),"
         " '&')"
     )
-    domain = (
-        f"(CASE WHEN regexp_matches({host}, '[^.]+\\.[^.]+$') "
-        f"THEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) ELSE {host} END)"
-    )
     return {
         "scheme": scheme,
         "host": host,
         "port": port,
         "path": path,
         "query": query,
-        "domain": domain,
+        "domain": sql_registered_domain(host),
     }
+
+
+def sql_registered_domain(host: str) -> str:
+    """DuckDB mirror of :func:`registered_domain`."""
+    suffixes = ", ".join(f"'{s}'" for s in sorted(PUBLIC_SUFFIXES))
+    is_ip = (
+        f"(regexp_matches({host}, '^[0-9.]+$') OR regexp_matches({host}, '^\\['))"
+    )
+    last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+    last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return (
+        f"(CASE WHEN {is_ip} THEN {host} "
+        f"WHEN {last3} <> '' AND {last2} IN ({suffixes}) THEN {last3} "
+        f"WHEN {last2} <> '' THEN {last2} ELSE {host} END)"
+    )
 
 
 def sql_canonicalize_url(col: str) -> str:
@@ -191,17 +344,28 @@ def sql_canonicalize_url(col: str) -> str:
 # ---------------------------------------------------------------------------
 # HTML → text extraction (rule-based, engine-mirrorable)
 
-# Entities handled by the decode step — the high-frequency named set;
-# numeric entities are out of scope for the rule-based tier (a full
-# parser is a mapInPandas drop-in where fidelity matters more than
-# staying JVM-side).
+# Entities handled by the regex decode step: the high-frequency named
+# set PLUS the ubiquitous numeric forms (decimal and hex, optional
+# leading zeros, case-insensitive hex marker) for the same characters
+# and the curly-quote/dash/ellipsis family real HTML uses constantly.
+# Each entry is (regex alternation, replacement). The fully general
+# path — every numeric codepoint, every named entity — is
+# :func:`html_to_text_parsed`, the mapInPandas parser tier.
 _HTML_ENTITIES = [
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&amp;", "&"),  # LAST: "&amp;lt;" must become "&lt;", not "<"
+    (r"&nbsp;|&#0*160;|(?i)&#x0*a0;", " "),
+    (r"&lt;|&#0*60;|(?i)&#x0*3c;", "<"),
+    (r"&gt;|&#0*62;|(?i)&#x0*3e;", ">"),
+    (r"&quot;|&#0*34;|(?i)&#x0*22;", '"'),
+    (r"&apos;|&#0*39;|(?i)&#x0*27;", "'"),
+    (r"&lsquo;|&#0*8216;|(?i)&#x0*2018;", "‘"),
+    (r"&rsquo;|&#0*8217;|(?i)&#x0*2019;", "’"),
+    (r"&ldquo;|&#0*8220;|(?i)&#x0*201c;", "“"),
+    (r"&rdquo;|&#0*8221;|(?i)&#x0*201d;", "”"),
+    (r"&ndash;|&#0*8211;|(?i)&#x0*2013;", "–"),
+    (r"&mdash;|&#0*8212;|(?i)&#x0*2014;", "—"),
+    (r"&hellip;|&#0*8230;|(?i)&#x0*2026;", "…"),
+    # LAST: "&amp;lt;" must become "&lt;", not "<"
+    (r"&amp;|&#0*38;|(?i)&#x0*26;", "&"),
 ]
 
 
@@ -215,10 +379,15 @@ def html_to_text(html: Column) -> Column:
     2. ``<br>`` and ``</p>`` become newlines (paragraph structure
        survives for :func:`~sdvg_spark.ops.dedup.paragraph_dedup`)
     3. every remaining tag is dropped
-    4. the common named entities decode (``&amp;`` last so doubly-
-       escaped text un-escapes one level, not two)
+    4. the common entities decode — named plus their numeric forms
+       (``&amp;`` family last so doubly-escaped text un-escapes one
+       level, not two)
     5. horizontal whitespace collapses; leading/trailing space and
        blank lines trim away
+
+    For full entity coverage (arbitrary numeric codepoints, the long
+    named tail) and attribute-aware tag parsing, use
+    :func:`html_to_text_parsed` — the Arrow-batched parser tier.
     """
     # no backreferences: DuckDB's RE2 mirror lacks them, so script and
     # style bodies are two explicit alternatives
@@ -256,3 +425,90 @@ def sql_html_to_text(col: str) -> str:
     t = f"regexp_replace({t}, '\\n+', chr(10), 'g')"
     t = f"regexp_replace({t}, '^\\n+|\\n+$', '', 'g')"
     return f"trim({t})"
+
+
+# ---------------------------------------------------------------------------
+# HTML → text, parser tier (full entity/tag fidelity)
+
+_BLOCK_TAGS = frozenset(
+    "p div br li ul ol h1 h2 h3 h4 h5 h6 tr table blockquote pre section"
+    " article header footer".split()
+)
+
+
+def _extract_visible_text(html: str) -> str:
+    """Visible text via a real HTML tokenizer (stdlib ``html.parser``):
+    every named and numeric entity decodes (``convert_charrefs``),
+    quoted ``>`` inside attribute values does not truncate tags, and
+    block-level boundaries become newlines. Whitespace then collapses
+    with the same rules as the regex tier."""
+    import re
+    from html.parser import HTMLParser
+
+    class _Extractor(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self.skip = max(0, self.skip - 1)
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+    ex = _Extractor()
+    try:
+        ex.feed(html)
+        ex.close()
+    except Exception:  # pragma: no cover - pathological markup
+        pass
+    t = "".join(ex.parts)
+    t = re.sub(r"[ \t\r]+", " ", t)
+    t = re.sub(r" ?\n ?", "\n", t)
+    t = re.sub(r"\n+", "\n", t)
+    return t.strip()
+
+
+def html_to_text_parsed(
+    df: DataFrame, html_col: str, out_col: str = "clean_text"
+) -> DataFrame:
+    """Parser-tier HTML→text: adds ``out_col`` next to the input
+    columns. Arrow-batched ``mapInPandas`` over a real HTML tokenizer —
+    map-only and embarrassingly parallel like the regex tier, but
+    Python-side, so reserve it for corpora where entity/markup fidelity
+    matters more than staying JVM-side (the regex tier is the hot
+    path). Not DuckDB-mirrorable (no SQL equivalent of a tokenizer);
+    its contract is pinned by pytest fixtures instead of an oracle
+    row."""
+    import pandas as pd
+
+    if out_col in df.schema.fieldNames():
+        raise ValueError(f"output column {out_col!r} already exists")
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} string"
+
+    def kernel(batches):
+        for pdf in batches:
+            vals = [
+                _extract_visible_text(h) if h is not None else None
+                for h in pdf[html_col]
+            ]
+            yield pdf.assign(**{out_col: pd.Series(vals, index=pdf.index)})
+
+    return df.mapInPandas(kernel, schema)

@@ -1841,7 +1841,11 @@ def test_url_canonicalize_rules(spark):
         ("http://u:p@Sub.Ex.org/P?fbclid=z&z=9", "http://sub.ex.org/P?z=9"),
         ("ex.com/no/scheme?x=1", "http://ex.com/no/scheme?x=1"),
         ("http://localhost", "http://localhost/"),
-        ("http://ex.com/a?ref=h&REF=x&utm_term=t", "http://ex.com/a"),
+        # ref is content-bearing and SURVIVES (byte-sorted); utm_* goes
+        ("http://ex.com/a?ref=h&REF=x&utm_term=t", "http://ex.com/a?REF=x&ref=h"),
+        # bracketed IPv6: host parses whole, port after the bracket
+        ("HTTP://[2001:DB8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
+        ("http://[::1]:80/", "http://[::1]/"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in pairs], "url string")
     got = {
@@ -1850,13 +1854,33 @@ def test_url_canonicalize_rules(spark):
     }
     for raw, want in pairs:
         assert got[raw] == want, raw
-    dom = (
-        spark.createDataFrame([("http://a.b.ex.co",)], "url string")
-        .select(url_parts(F.col("url"))["domain"].alias("d"))
-        .first()
-        .d
-    )
-    assert dom == "ex.co"
+
+
+def test_registered_domain_public_suffixes(spark):
+    """co.uk-style hosts keep three labels (public-suffix subset);
+    plain TLDs keep two; bare suffixes and IP literals pass through."""
+    from sdvg_spark.ops.web import url_parts
+
+    cases = [
+        ("http://a.b.ex.co", "ex.co"),            # plain 2-label rule
+        ("http://News.Example.CO.UK/x", "example.co.uk"),
+        ("http://deep.sub.shop.com.au", "shop.com.au"),
+        ("http://city.ci.ca.us", "ci.ca.us"),     # state registry suffix
+        ("http://ville.gouv.fr", "ville.gouv.fr"),
+        ("http://co.uk", "co.uk"),                # bare suffix: no 3rd label
+        ("http://192.168.10.1/x", "192.168.10.1"),
+        ("http://[2001:db8::1]/x", "[2001:db8::1]"),
+        ("http://intranet", "intranet"),          # dotless host
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r.url: r.d
+        for r in df.select(
+            "url", url_parts(F.col("url"))["domain"].alias("d")
+        ).collect()
+    }
+    for url, want in cases:
+        assert got[url] == want, (url, got[url])
 
 
 def test_url_dedup_keeps_min_id(spark):
@@ -1938,8 +1962,41 @@ def test_html_to_text_rules(spark):
         ("&amp;lt;stay&amp;gt; &lt;go&gt;", "&lt;stay&gt; <go>"),
         ("  a   b\t c ", "a b c"),
         ("<div class='x'>d</div>", "d"),
+        # numeric entities: hex (either case marker), decimal, leading 0s
+        ("it&#x27;s &#X27;q&#039; fine", "it's 'q' fine"),
+        ("dash &#8212; quote &#8217; &#x2019; end", "dash — quote ’ ’ end"),
+        ("&#0*160;nbsp: a&#160;b&#xA0;c", "&#0*160;nbsp: a b c"),
+        ("&amp;#39; stays one level", "&#39; stays one level"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = {r.h: r.t for r in df.select("h", html_to_text(F.col("h")).alias("t")).collect()}
     for h, want in cases:
         assert got[h] == want, (h, got[h])
+
+
+def test_html_to_text_parsed_tier(spark):
+    """The mapInPandas parser tier: arbitrary numeric codepoints and the
+    long named-entity tail decode; quoted '>' inside attributes doesn't
+    truncate the tag; script bodies drop; block tags break lines. On
+    regex-tier-friendly markup the two tiers agree."""
+    from sdvg_spark.ops.web import html_to_text, html_to_text_parsed
+
+    rows = [
+        (1, "<p>a</p><script>1<2</script><p>b &copy; &#169; &#xE9;</p>"),
+        (2, '<a title="x>y">link</a> end'),
+        (3, "<p>same</p><p>text &amp; more</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in html_to_text_parsed(df, "html").collect()
+    }
+    assert got[1] == "a\nb © © é"
+    assert got[2] == "link end"   # regex tier would truncate at the quoted '>'
+    regex_t = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", html_to_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[3] == regex_t[3] == "same\ntext & more"
