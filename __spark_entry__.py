@@ -972,7 +972,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.analytics import cohort_retention
 
     ev = _read(spark, sf_dir, "events")
-    return cohort_retention(ev, "user_id", "ts")
+    return cohort_retention(ev, "user_id", "ts", max_offset_days=90)
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

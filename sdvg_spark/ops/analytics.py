@@ -235,12 +235,15 @@ def funnel_oracle_sql(
     )
 
 
+_RETENTION_DEFAULT: object = object()
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str,
     ts_col: str,
     *,
-    max_offset_days: int | None = 90,
+    max_offset_days: int | None | object = _RETENTION_DEFAULT,
 ) -> DataFrame:
     """Daily cohort retention matrix.
 
@@ -269,7 +272,25 @@ def cohort_retention(
     before the final aggregation, making the matrix constant-width and
     the whole plan linear in events. Pass ``max_offset_days=None`` to
     opt into the unbounded span-quadratic matrix explicitly.
+
+    BEHAVIOR CHANGE NOTE: the default was unbounded (None) before the
+    90-day cap landed; rows past the horizon silently vanish for
+    callers that relied on the old default. Relying on the default
+    therefore raises a one-time ``UserWarning`` — pass
+    ``max_offset_days`` explicitly (a horizon or None) to silence it.
     """
+    if max_offset_days is _RETENTION_DEFAULT:
+        import warnings
+
+        warnings.warn(
+            "cohort_retention now defaults to a 90-day reporting horizon "
+            "(previously unbounded): offsets past 90 days are dropped. "
+            "Pass max_offset_days explicitly (a day count, or None for "
+            "the full span-quadratic matrix) to silence this warning.",
+            UserWarning,
+            stacklevel=2,
+        )
+        max_offset_days = 90
     if max_offset_days is not None and max_offset_days < 0:
         raise ValueError(
             f"max_offset_days must be >= 0, got {max_offset_days}"

@@ -185,9 +185,18 @@ def paragraph_dedup(
     paragraph never concentrates its full occurrence list in one task
     — then one ``id``-keyed regroup to reassemble. Survivor choice is
     a pure function of content + ids (partition-layout independent).
+
+    ``sep`` is a LITERAL string: it is regex-escaped before the split
+    so it always means the same characters the reassembly joins with
+    (``F.split`` treats its pattern as a Java regex — an unescaped
+    ``sep='.'`` or ``'|'`` would split on everything/every position
+    while the join and the DuckDB oracle treated it literally).
     """
+    import re as _re
+
     paras = F.filter(
-        F.split(F.col(text_col), sep), lambda p: F.length(F.trim(p)) > 0
+        F.split(F.col(text_col), _re.escape(sep)),
+        lambda p: F.length(F.trim(p)) > 0,
     )
     exploded = df.select(
         F.col(id_col).alias("__id"),

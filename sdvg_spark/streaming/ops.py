@@ -448,6 +448,7 @@ def stream_funnel_replay(
     within_seconds: int | None = None,
     n_batches: int = 3,
     work_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Run :func:`stream_funnel` over ``df`` replayed as ``n_batches``
     event-time-ordered micro-batches and return the FINAL per-user rows
@@ -468,6 +469,16 @@ def stream_funnel_replay(
     This is a VERIFICATION harness: the quantile cut + local replay are
     driver-side by design (a production stream reads Kafka); the
     operator under test is the stateful funnel itself.
+
+    ``maxFilesPerTrigger`` is a file-SOURCE option and is set on the
+    ``readStream`` builder (on the sink it is silently ignored and
+    ``availableNow`` swallows all slices in ONE micro-batch — the replay
+    then never exercises cross-batch state). Slice files get explicit
+    strictly-increasing mtimes (``os.utime``) so the file source's
+    modification-time ordering replays them in event-time order
+    deterministically, and the realized micro-batch count is recorded in
+    ``stats['n_microbatches']`` so callers can ASSERT the replay really
+    was multi-batch rather than trust it.
     """
     import os
     import tempfile
@@ -481,6 +492,8 @@ def stream_funnel_replay(
     probs = [i / n_batches for i in range(1, n_batches)]
     cuts = df.select(us.alias("__us")).approxQuantile("__us", probs, 0.0)
     lo = None
+    seen: set[str] = set()
+    base_mtime = _time.time()
     for i, hi in enumerate([*cuts, None]):
         sl = df
         if lo is not None:
@@ -489,7 +502,18 @@ def stream_funnel_replay(
             sl = sl.where(us < hi)
         sl.coalesce(1).write.mode("append").parquet(src)
         lo = hi
-    sdf = spark.readStream.schema(df.schema).parquet(src)
+        # pin this slice's part-files to mtime base+i: the file source
+        # orders by modification time, and write-completion timestamps
+        # alone are not guaranteed distinct
+        for f in os.listdir(src):
+            if f.startswith("part-") and f not in seen:
+                seen.add(f)
+                os.utime(os.path.join(src, f), (base_mtime + i, base_mtime + i))
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     out = stream_funnel(
         sdf, user_col, ts_col, type_col, steps, within_seconds=within_seconds
     )
@@ -499,11 +523,14 @@ def stream_funnel_replay(
         .queryName(name)
         .outputMode("update")
         .option("checkpointLocation", ck)
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if stats is not None:
+        stats["n_microbatches"] = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(F.desc("depth"))

@@ -1482,7 +1482,9 @@ def test_cohort_retention_matrix(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out = {
         (r.cohort_day, r.day_offset): r.n_users
-        for r in cohort_retention(ev, "user_id", "ts").collect()
+        for r in cohort_retention(
+            ev, "user_id", "ts", max_offset_days=90
+        ).collect()
     }
     assert out == {
         (D(1), 0): 2, (D(1), 1): 1, (D(1), 2): 1,
@@ -1674,7 +1676,10 @@ def test_cohort_retention_max_offset(spark):
         [(1, T(1)), (1, T(2)), (1, T(9))], "user_id long, ts timestamp"
     )
     full = {
-        r.day_offset for r in cohort_retention(ev, "user_id", "ts").collect()
+        r.day_offset
+        for r in cohort_retention(
+            ev, "user_id", "ts", max_offset_days=90
+        ).collect()
     }
     capped = {
         r.day_offset
@@ -1684,15 +1689,16 @@ def test_cohort_retention_max_offset(spark):
     }
     assert full == {0, 1, 8}
     assert capped == {0, 1}
-    # default horizon is 90 days; offsets past it need the explicit
-    # unbounded opt-in (max_offset_days=None)
+    # default horizon is 90 days AND relying on it warns (the default
+    # changed from unbounded — silent truncation would be a trap);
+    # offsets past it need the explicit unbounded opt-in
     far = spark.createDataFrame(
         [(1, datetime(2024, 1, 1)), (1, datetime(2024, 8, 1))],
         "user_id long, ts timestamp",
     )
-    assert {
-        r.day_offset for r in cohort_retention(far, "user_id", "ts").collect()
-    } == {0}
+    with pytest.warns(UserWarning, match="90-day reporting horizon"):
+        far_default = cohort_retention(far, "user_id", "ts")
+    assert {r.day_offset for r in far_default.collect()} == {0}
     assert {
         r.day_offset
         for r in cohort_retention(
@@ -1947,6 +1953,21 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[2] == ("gamma\ndelta", 3, 2)          # n_paras counts non-empty only
     assert got[3] == ("", 1, 0)
     assert got[4] == ("", 2, 0)
+
+
+def test_paragraph_dedup_sep_is_literal(spark):
+    """A regex-special sep ('.') splits on the LITERAL character — the
+    split is escaped to match the literal join and the oracle."""
+    from sdvg_spark.ops.dedup import paragraph_dedup
+
+    rows = [(1, "aa.bb.cc"), (2, "bb.dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+        for r in paragraph_dedup(df, "doc_id", "text", sep=".").collect()
+    }
+    assert got[1] == ("aa.bb.cc", 3, 3)
+    assert got[2] == ("dd", 2, 1)   # bb deduped against doc 1
 
 
 def test_html_to_text_rules(spark):

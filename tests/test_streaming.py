@@ -404,13 +404,19 @@ def test_stream_funnel_replay_equals_batch(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     steps = ["view", "click", "purchase"]
+    stats: dict = {}
     got = {
         r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.depth)
         for r in stream_funnel_replay(
             df, "user_id", "ts", "event_type", steps,
             within_seconds=3 * 86400, work_dir=str(tmp_path / "replay"),
+            stats=stats,
         ).collect()
     }
+    # the replay must actually be multi-batch — maxFilesPerTrigger on
+    # the wrong builder silently collapses it to one micro-batch and
+    # the equality below stops testing cross-batch state
+    assert stats["n_microbatches"] == 3
     want = {
         r.user_id: (r.step_1_ts, r.step_2_ts, r.step_3_ts, r.depth)
         for r in funnel(
