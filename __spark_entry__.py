@@ -1415,63 +1415,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 82 exist, so 32 sit past the cap every round. Rotation
+    # this dict; 84 exist, so 34 sit past the cap every round. Rotation
     # is governed by the ledger invariant (tools/rotation_ledger.py +
     # tests/test_rotation.py): a query may sit past the cap ONLY if it
-    # has a green driver row AND neither its op modules nor its q_*
-    # wrapper changed since that row. The full 82 stay covered by
-    # tools/check_entry.py (EXACT=1) locally.
+    # has a green driver row, neither its op modules nor its q_* wrapper
+    # (including transitively composed q_* callees) changed since that
+    # row, AND the row is at most 2 rounds old (the freshness budget —
+    # certificates rotate back in before they age out). The full 84
+    # stay covered by tools/check_entry.py (EXACT=1) locally.
     #
-    # r07 rotations IN (verdict items 1/7/8): doc_chunks (never had a
-    # driver row in r01-r06), ann_lsh + dedup_jaccard (rewritten in r06
-    # after their r05 rows), data_split_by_source (sampling.py changed
-    # r06) and events_hourly (streaming/ops.py changed r06), plus the
-    # four new queries url_canonicalize/url_dedup/language_confidence/
-    # stream_funnel. Rotated OUT to make room (all r06-green with
-    # modules untouched in r07): gen_integer_random, pricing_summary,
-    # profile_events, media_features, events_rollup, events_percentiles,
-    # corpus_vocab, zipf_fit, decontaminate — their families keep
-    # in-window rows (17 other gen_* ledger rows, top-k SQL via
-    # bm25/tfidf ranks, corpus family keeps pack×3/spans×2/nll/
-    # collocations/divergence/dsir/doc_chunks).
+    # r08 rotations IN: every query touching the modules changed this
+    # round (dedup.py signature-checkpoint rewrite, similarity.py
+    # n_probe default, web.py PSL/IPv6/entities, streaming replay fix,
+    # analytics retention default — 24 queries incl. ann_recall via the
+    # new composition edge) PLUS the whole r5-certified batch at the
+    # freshness-budget edge (17 gen_* rows, gen_foreign_key,
+    # embedding_quantize, events_sessionize, media_audio_features,
+    # skew_salted_agg, top_revenue, user_running_value) PLUS
+    # gen_integer_random / profile_events / media_features from the r6
+    # batch. Deferred: the 26 r7-certified untouched rows + the 8
+    # remaining r6 rows (age 2 — they rotate in next round).
     deferred = [
-        "gen_foreign_key",
-        "media_audio_features",
-        "embedding_quantize",
-        "events_sessionize",
-        "user_running_value",
-        "skew_salted_agg",
-        "top_revenue",
-        "gen_integer_random",
-        "pricing_summary",
-        "profile_events",
-        "media_features",
-        "events_rollup",
-        "events_percentiles",
+        # r6-certified (rotate in r9 at the freshness edge)
         "corpus_vocab",
-        "zipf_fit",
         "decontaminate",
-        # r07: one more r6-green corpus.py row defers for paragraph_dedup
-        "token_divergence",
-        # r07: one more defers for html_extract (corpus.py untouched;
-        # duplicate_spans stays in-window as the span family rep)
+        "events_percentiles",
+        "events_rollup",
+        "pricing_summary",
         "remove_duplicate_spans",
-        "gen_integer_ordered",
-        "gen_float32",
-        "gen_datetime_random",
-        "gen_first_name",
-        "gen_last_name",
-        "gen_phone",
-        "gen_string_simple",
-        "gen_template",
-        "gen_slice_resume",
-        "gen_enum",
-        "gen_uuid",
-        "gen_text",
-        "gen_datetime_ordered",
-        "gen_integer_distinct",
-        "gen_float_null",
-        "gen_ranges",
+        "token_divergence",
+        "zipf_fit",
+        # r7-certified, modules untouched in r8
+        "bm25_retrieval",
+        "collocations",
+        "corpus_mix",
+        "curate",
+        "data_split",
+        "data_split_by_source",
+        "doc_chunks",
+        "dsir_weights",
+        "duplicate_spans",
+        "events_asof",
+        "events_gapfill",
+        "events_interval_join",
+        "events_range_join",
+        "language_confidence",
+        "pack_nostraddle",
+        "pack_sequences",
+        "pack_sequences_chars",
+        "pii_redact",
+        "quality_band",
+        "repetition_features",
+        "source_cap",
+        "stratified_sample",
+        "text_features",
+        "tfidf_keywords",
+        "token_budget_sample",
+        "unigram_nll",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}

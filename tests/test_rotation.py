@@ -63,6 +63,36 @@ def test_changed_or_unverified_queries_are_in_window():
     )
 
 
+def _current_round() -> int:
+    """The round in progress = latest CORRECTNESS_r{N}.json + 1."""
+    rounds = [
+        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def test_deferred_certificates_within_freshness_budget():
+    """Round-7 verdict item #2: unchanged code is necessary but not
+    sufficient to sit past the cap — certificates must not age
+    indefinitely. A deferred query's last green driver row must be at
+    most 2 completed rounds old (age 3+ queries rotate back into the
+    window this round and get a fresh row)."""
+    order = list(_load_entry().queries().keys())
+    ledger = _ledger()
+    cur = _current_round()
+    MAX_AGE = 2
+    offenders = [
+        f"{q}: last row r{ledger[q]['round']} is {cur - ledger[q]['round']}"
+        f" rounds old (budget {MAX_AGE})"
+        for q in order[WINDOW:]
+        if q in ledger and cur - ledger[q]["round"] > MAX_AGE
+    ]
+    assert not offenders, (
+        "stale certificates past the 50-row cap — rotate these into the "
+        "window:\n  " + "\n  ".join(offenders)
+    )
+
+
 def test_every_query_is_hash_covered():
     """Each query must be covered by a wrapper hash (all are) and the
     op-module mapping must resolve for every query that imports ops."""

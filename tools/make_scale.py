@@ -1,8 +1,11 @@
 """Build a 10x scale point from a driver testdata directory.
 
-    python tools/make_scale.py [src_sf_dir] [out_dir] [factor]
+    python tools/make_scale.py [src_sf_dir] [out_dir] [factor] [shift]
 
-Defaults: /root/testdata/sf0.1 -> /root/repo/.scale/sf1, factor 10.
+Defaults: /root/testdata/sf0.1 -> /root/repo/.scale/sf1, factor 10,
+shift 10^9. When the SOURCE is itself a scaled build, pass a shift
+LARGER than its max id (e.g. 10^11 for sf10 -> sf100) so replica key
+blocks cannot collide with the source's own shifted blocks.
 
 Each table is the union of `factor` shifted replicas — a deterministic,
 engine-independent scale-up that PRESERVES the per-replica statistical
@@ -39,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F
 
-SHIFT = 1_000_000_000
+SHIFT = 1_000_000_000  # default; overridable via argv[4]
 
 # table -> columns shifted by replica * SHIFT
 KEY_SHIFTS = {
@@ -83,16 +86,26 @@ def _rotate_array(col, r: int, dims: int):
     return F.concat(F.slice(col, r + 1, dims - r), F.slice(col, 1, r))
 
 
-def replica(df: DataFrame, table: str, r: int, dims: int | None) -> DataFrame:
+def replica(
+    df: DataFrame, table: str, r: int, dims: int | None, shift: int = SHIFT
+) -> DataFrame:
+    # variant index for content transforms: stride by shift/SHIFT so a
+    # SECOND-level build (sf10 -> sf100, shift 10^11, stride 100) uses
+    # permutation seeds and rotations DISJOINT from the first level's
+    # 0..9 — otherwise outer perm_1(inner identity) equals
+    # outer identity(inner perm_1) and cross-replica duplicate classes
+    # reappear (the exact quadratic failure the seeded permutation
+    # exists to prevent).
+    v = r * max(1, shift // SHIFT)
     for k in KEY_SHIFTS.get(table, []):
-        df = df.withColumn(k, F.col(k) + F.lit(r * SHIFT))
+        df = df.withColumn(k, F.col(k) + F.lit(r * shift))
     if table == "documents":
-        df = df.withColumn("text", _permute_alphabet(F.col("text"), r)).withColumn(
+        df = df.withColumn("text", _permute_alphabet(F.col("text"), v)).withColumn(
             "source", F.concat(F.col("source"), F.lit(f"-r{r}"))
         )
     if table == "embeddings" and dims:
         df = df.withColumn(
-            "embedding", _rotate_array(F.col("embedding"), r, dims).cast("array<float>")
+            "embedding", _rotate_array(F.col("embedding"), v, dims).cast("array<float>")
         )
     return df
 
@@ -103,6 +116,7 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"
     )
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    shift = int(sys.argv[4]) if len(sys.argv) > 4 else SHIFT
 
     from sdvg_spark.session import get_spark
 
@@ -119,7 +133,7 @@ def main() -> None:
         if table in ("nation", "region"):
             big = df
         else:
-            parts = [replica(df, table, r, dims) for r in range(factor)]
+            parts = [replica(df, table, r, dims, shift) for r in range(factor)]
             big = parts[0]
             for p in parts[1:]:
                 big = big.unionByName(p)

@@ -101,13 +101,13 @@ def entry_hashes(rev: str | None = None) -> dict[str, str]:
     text = _entry_text(rev)
     tree = ast.parse(text)
     out: dict[str, str] = {}
+    segs: dict[str, str] = {}
     gen_parts: list[str] = []
     gen_names: list[str] = []
     for node in tree.body:
         if isinstance(node, ast.FunctionDef):
             if node.name.startswith("q_"):
-                seg = ast.get_source_segment(text, node) or ""
-                out[node.name[2:]] = hashlib.sha256(seg.encode()).hexdigest()
+                segs[node.name] = ast.get_source_segment(text, node) or ""
             elif node.name == "_gen_query":
                 gen_parts.append(ast.get_source_segment(text, node) or "")
         elif isinstance(node, ast.Assign):
@@ -122,15 +122,52 @@ def entry_hashes(rev: str | None = None) -> dict[str, str]:
                     gen_names = [
                         k.value for k in node.value.keys if isinstance(k, ast.Constant)
                     ]
+    # composed queries hash their own source PLUS every (transitively)
+    # referenced q_* wrapper's source — a callee edit must invalidate
+    # the composite's certificate too
+    calls = _q_call_graph(tree)
+    for name, seg in segs.items():
+        closure, todo = set(), list(calls.get(name, ()))
+        while todo:
+            c = todo.pop()
+            if c in closure or c == name:
+                continue
+            closure.add(c)
+            todo.extend(calls.get(c, ()))
+        blob = seg + "".join(segs.get(c, "") for c in sorted(closure))
+        out[name[2:]] = hashlib.sha256(blob.encode()).hexdigest()
     gen_sha = hashlib.sha256("\n".join(gen_parts).encode()).hexdigest()
     for g in gen_names:
         out[g] = gen_sha
     return out
 
 
+def _q_call_graph(tree: ast.Module) -> dict[str, set[str]]:
+    """Intra-file composition: q_* functions referenced (by name) from
+    each q_* function's body. A composed query (ann_recall runs the
+    ivf/lsh/quantized queries and compares them to brute force) depends
+    on everything its callees depend on — without this edge a callee
+    rewrite leaves the composite 'certified' by a stale row."""
+    defined = {
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+        if n.name.startswith("q_")
+    }
+    calls: dict[str, set[str]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name.startswith("q_"):
+            calls[node.name] = {
+                sub.id
+                for sub in ast.walk(node)
+                if isinstance(sub, ast.Name)
+                and sub.id in defined
+                and sub.id != node.name
+            }
+    return calls
+
+
 def query_modules() -> dict[str, list[str]]:
     tree = ast.parse(ENTRY.read_text())
-    by_fn: dict[str, list[str]] = {}
+    by_fn: dict[str, set[str]] = {}
     gen_query_names: list[str] = []
     for node in tree.body:
         if isinstance(node, ast.Assign):
@@ -148,10 +185,25 @@ def query_modules() -> dict[str, list[str]]:
                     mods.update(
                         _module_files(sub.module, [a.name for a in sub.names])
                     )
-            by_fn[node.name[2:]] = sorted(mods)
+            by_fn[node.name[2:]] = mods
+    # transitive closure over intra-file q_* composition
+    calls = _q_call_graph(tree)
+    changed = True
+    while changed:
+        changed = False
+        for fn, callees in calls.items():
+            tgt = by_fn.get(fn[2:])
+            if tgt is None:
+                continue
+            for c in callees:
+                extra = by_fn.get(c[2:], set()) - tgt
+                if extra:
+                    tgt.update(extra)
+                    changed = True
+    out = {k: sorted(v) for k, v in by_fn.items()}
     for g in gen_query_names:
-        by_fn[g] = list(_GEN_MODULES)
-    return by_fn
+        out[g] = list(_GEN_MODULES)
+    return out
 
 
 def file_hash(relpath: str, rev: str | None = None) -> str | None:
