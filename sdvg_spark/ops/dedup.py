@@ -706,9 +706,16 @@ def minhash_lsh_pairs(
     sigs = minhash_signature_agg(shingled, n_hashes, seed)
     from pyspark import StorageLevel
 
-    # both subtrees feed multiple joins; avoid recomputing them
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # both subtrees feed multiple joins; avoid recomputing them.
+    # DISK_ONLY, deliberately: these blocks live until the returned
+    # plan is garbage-collected, and MEMORY_AND_DISK residency was
+    # measured (sf100 probe) stealing unified memory from every LATER
+    # query in the session — a subsequent paragraph_dedup's map sort
+    # spilled 312 MB purely from this op's pinned blocks. The tables
+    # are re-read cold exactly once per downstream join, and at corpus
+    # scale (TBs of shingles) memory residency was never realistic.
+    shingled = shingled.persist(StorageLevel.DISK_ONLY)
+    sigs = sigs.persist(StorageLevel.DISK_ONLY)
     # band hashes only — shingle arrays do NOT ride through the self-join
     banded = sigs.select(
         "__id",
@@ -726,6 +733,17 @@ def minhash_lsh_pairs(
     )
 
     # tier 1: estimate from signatures (one row of n_hashes longs per doc)
+    #
+    # The attach joins carry WIDE payloads (1 KB signature rows here,
+    # multi-KB shingle arrays below). As sort-merge joins their sorts
+    # buffer those payloads per task and spilled 5.7 GB at the sf100
+    # probe; a shuffle-hash join instead hash-builds the hinted side
+    # PER PARTITION (5M sigs / 1062 partitions ≈ 5 MB per task) and
+    # STREAMS the wide rows — no sort, no payload buffering, same
+    # output. Build sides are chosen so the per-task hash map is always
+    # the bounded one: the doc-keyed tables (one row per doc) build,
+    # the pair stream streams — except the first shingle join, where
+    # the post-estimate pair list is the smallest relation of all.
     sig_a = sigs.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__siga"))
     sig_b = sigs.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sigb"))
     est = (
@@ -738,8 +756,8 @@ def minhash_lsh_pairs(
         / n_hashes
     )
     near = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        cand.join(sig_a.hint("shuffle_hash"), "id_a")
+        .join(sig_b.hint("shuffle_hash"), "id_b")
         .where(est >= F.lit(threshold - est_margin))
         .select("id_a", "id_b")
     )
@@ -747,8 +765,8 @@ def minhash_lsh_pairs(
     sh_a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
-        near.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        near.hint("shuffle_hash").join(sh_a, "id_a")
+        .join(sh_b.hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")

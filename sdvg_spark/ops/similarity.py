@@ -18,6 +18,70 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Peak float64 elements a block-scoring kernel may materialize at once
+# (32 MB): bounds the (rows × query-chunk) score matrix regardless of
+# how many queries probe a cell. Without the bound, a file-partitioned
+# index cell meeting a corpus-sized query census materializes
+# rows × queries × 8 bytes in ONE numpy allocation — at the sf100
+# scale probe that was a 15 GB array per task and the sweep killed the
+# JVM.
+_SCORE_CHUNK_ELEMS = 4_000_000
+
+
+def _block_topk_into(C_rows, block_ids, Qn, qidx, q_ids, top_n, out_q, out_c, out_s):
+    """Score one cell/bucket block against its probing queries and
+    append each query's block-local top-k to the output accumulators.
+
+    Exact selection semantics (shared by every search path, and what
+    the DuckDB oracles mirror): per query, keep every row whose score
+    ties the k-th largest, then order by (score DESC, id ASC) and cut
+    at k. Fully vectorized — the k-th score per column comes from one
+    ``np.partition``, the tied candidates from one boolean mask, and
+    the per-column (score DESC, id ASC) cut from one ``lexsort`` +
+    group-rank pass — so cost is O(rows × chunk) with NO per-query
+    Python loop (the loop was ~0.5 ms × queries × cells × batches: at
+    the sf100 probe that extrapolated to hours of pure argpartition
+    calls)."""
+    import numpy as np
+
+    m = len(block_ids)
+    if m == 0 or len(qidx) == 0:
+        return
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+    qidx = np.asarray(qidx, dtype=np.int64)
+    top = min(int(top_n), m)
+    chunk = max(1, _SCORE_CHUNK_ELEMS // m)
+    for s in range(0, len(qidx), chunk):
+        qc = qidx[s : s + chunk]
+        sims = C_rows @ Qn[qc].T  # (m, |qc|)
+        cols, rows = _topk_select(sims, block_ids, top)
+        out_q.append(q_ids[qc[cols]])
+        out_c.append(block_ids[rows])
+        out_s.append(sims[rows, cols])
+
+
+def _topk_select(sims, block_ids, top):
+    """Vectorized per-column top-k over a (rows × queries) score
+    matrix: per column, keep every row tying the ``top``-th largest
+    score, order by (score DESC, id ASC), cut at ``top``. Returns
+    (cols, rows) index arrays — exactly the rows the old per-query
+    ``argpartition``/``lexsort`` loop selected, in one pass for all
+    columns."""
+    import numpy as np
+
+    m, ccount = sims.shape
+    if m > top:
+        kth = -np.partition(-sims, top - 1, axis=0)[top - 1]  # (ccount,)
+        cols, rows = np.nonzero((sims >= kth[None, :]).T)
+    else:
+        cols = np.repeat(np.arange(ccount), m)
+        rows = np.tile(np.arange(m), ccount)
+    order = np.lexsort((block_ids[rows], -sims[rows, cols], cols))
+    cols, rows = cols[order], rows[order]
+    starts = np.flatnonzero(np.r_[True, cols[1:] != cols[:-1]])
+    grp = np.repeat(starts, np.diff(np.append(starts, len(cols))))
+    keep = (np.arange(len(cols)) - grp) < top
+    return cols[keep], rows[keep]
 
 
 def hyperplane_weights(n_planes: int, n_tables: int, seed: int, dims: int):
@@ -125,24 +189,12 @@ def _partition_topk_kernel(bc, vec_col: str, top_n: int, score, out_col: str = "
             sims = score(C, payload)  # (m_batch, n_queries)
             m = len(c_ids)
             top = min(top_n, m)
-            out_q, out_c, out_s = [], [], []
-            for j in range(len(b_qids)):
-                col = sims[:, j]
-                if m > top:
-                    thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                    cand = np.flatnonzero(col >= thresh)
-                else:
-                    cand = np.arange(m)
-                order = np.lexsort((c_ids[cand], -col[cand]))[:top]
-                sel = cand[order]
-                out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
-                out_c.append(c_ids[sel])
-                out_s.append(col[sel])
+            cols, rows = _topk_select(sims, c_ids, top)
             yield pd.DataFrame(
                 {
-                    "q_id": np.concatenate(out_q),
-                    "c_id": np.concatenate(out_c),
-                    out_col: np.concatenate(out_s),
+                    "q_id": np.asarray(b_qids, dtype=np.int64)[cols],
+                    "c_id": c_ids[rows],
+                    out_col: sims[rows, cols],
                 }
             )
 
@@ -361,28 +413,28 @@ def _quantized_fused_kernel(bc, short_n: int):
             frac = scaled - whole
             codes = whole + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, scaled), 0.0)
             cc = (codes * codes).sum(axis=1)
-            dots = codes @ q_codes.T  # exact integer values in float64
-            denom = np.sqrt(np.outer(cc, q_cc))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                approx = np.where(denom > 0, dots / denom, -2.0)
             nrm = np.linalg.norm(M, axis=1)
             nrm[nrm == 0] = 1.0
             C = M / nrm[:, None]
             m = len(c_ids)
             top = min(short_n, m)
+            q_arr = np.asarray(q_ids, dtype=np.int64)
             out_q, out_c, out_a, out_s = [], [], [], []
-            for j in range(len(q_ids)):
-                col = approx[:, j]
-                if m > top:
-                    thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                    sel = np.flatnonzero(col >= thresh)
-                else:
-                    sel = np.arange(m)
-                sel = sel[np.lexsort((c_ids[sel], -col[sel]))[:top]]
-                out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
-                out_c.append(c_ids[sel])
-                out_a.append(col[sel])
-                out_s.append((C[sel] * Qn[j]).sum(axis=1))
+            # query-chunked: bounds the (m × chunk) approx matrix and
+            # replaces the per-query argpartition loop with one
+            # vectorized selection per chunk; the exact rescore touches
+            # only the selected (row, query) pairs
+            chunk = max(1, _SCORE_CHUNK_ELEMS // max(m, 1))
+            for s in range(0, len(q_arr), chunk):
+                dots = codes @ q_codes[s : s + chunk].T  # exact ints in float64
+                denom = np.sqrt(np.outer(cc, q_cc[s : s + chunk]))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    approx = np.where(denom > 0, dots / denom, -2.0)
+                cols, rows = _topk_select(approx, c_ids, top)
+                out_q.append(q_arr[s + cols])
+                out_c.append(c_ids[rows])
+                out_a.append(approx[rows, cols])
+                out_s.append(np.einsum("ij,ij->i", C[rows], Qn[s + cols]))
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),
@@ -558,21 +610,10 @@ def _ivf_fused_kernel(bc, top_n: int):
                 if not len(qidx):
                     continue
                 rows = np.flatnonzero(cells == cell)
-                block_ids = c_ids[rows]
-                sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
-                m = len(rows)
-                top = min(top_n, m)
-                for jj in range(len(qidx)):
-                    col = sims[:, jj]
-                    if m > top:
-                        thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                        cand = np.flatnonzero(col >= thresh)
-                    else:
-                        cand = np.arange(m)
-                    sel = cand[np.lexsort((block_ids[cand], -col[cand]))[:top]]
-                    out_q.append(np.full(len(sel), q_ids[qidx[jj]], dtype=np.int64))
-                    out_c.append(block_ids[sel])
-                    out_s.append(col[sel])
+                _block_topk_into(
+                    C[rows], c_ids[rows], Qn, qidx, q_ids, top_n,
+                    out_q, out_c, out_s,
+                )
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -1031,21 +1072,10 @@ def ivf_index_topk(
                 if not len(qidx):
                     continue
                 rows = np.flatnonzero(row_cells == cell)
-                block_ids = c_ids[rows]
-                sims = C[rows] @ b_Q[qidx].T  # (|rows|, |qidx|)
-                m = len(rows)
-                top = min(top_n, m)
-                for jj in range(len(qidx)):
-                    col = sims[:, jj]
-                    if m > top:
-                        thresh = col[np.argpartition(-col, top - 1)[top - 1]]
-                        cand = np.flatnonzero(col >= thresh)
-                    else:
-                        cand = np.arange(m)
-                    sel_i = cand[np.lexsort((block_ids[cand], -col[cand]))[:top]]
-                    out_q.append(np.full(len(sel_i), b_qids[qidx[jj]], dtype=np.int64))
-                    out_c.append(block_ids[sel_i])
-                    out_s.append(col[sel_i])
+                _block_topk_into(
+                    C[rows], c_ids[rows], b_Q, qidx, b_qids, top_n,
+                    out_q, out_c, out_s,
+                )
             if out_q:
                 yield pd.DataFrame(
                     {

@@ -123,6 +123,19 @@ def get_spark(app_name: str = "sdvg-spark", master: str | None = None) -> SparkS
         .config("spark.default.parallelism", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Advisory target for AQE-coalesced reduce partitions, in
+        # COMPRESSED shuffle bytes. The 64 MB default assumes narrow
+        # rows; this engine's dedup joins move multi-KB payloads
+        # (minhash signatures, shingle arrays) that decompress 3-10x,
+        # so a 64 MB coalesced partition becomes a 200-600 MB sort
+        # buffer or shuffle-hash build — at the sf100 probe that
+        # spilled 5.7 GB in one SMJ stage and failed an SHJ build
+        # outright ("can't acquire 128 MB to build hash relation").
+        # 16 MB compressed keeps every post-coalesce task within the
+        # per-task execution budget at 32 concurrent tasks; small
+        # queries still coalesce up to it, so tiny-query overhead is
+        # unchanged.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
