@@ -487,8 +487,15 @@ def _lsh_fused_kernel(bc, top_n: int):
             nrm = np.linalg.norm(M, axis=1)
             nrm[nrm == 0] = 1.0
             C = M / nrm[:, None]
-            cand_c: list[list] = [[] for _ in range(nq)]
-            cand_s: list[list] = [[] for _ in range(nq)]
+            # gather (query, candidate, score) triples across tables as
+            # flat arrays; per-bucket scoring stays a matmul. The
+            # previous shape accumulated per-query PYTHON lists and
+            # finished with an argpartition loop over every query —
+            # fine at thousands of queries, hours at a corpus-scale
+            # census (the same trap fixed in the ivf kernels).
+            tri_q: list = []
+            tri_c: list = []
+            tri_s: list = []
             for t in range(n_tables):
                 tbl = tables[t]
                 col = sigs[:, t]
@@ -499,29 +506,34 @@ def _lsh_fused_kernel(bc, top_n: int):
                         continue
                     rows = np.flatnonzero(inv == ui)
                     sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
-                    block_ids = c_ids[rows]
-                    for jj in range(len(qidx)):
-                        cand_c[qidx[jj]].append(block_ids)
-                        cand_s[qidx[jj]].append(sims[:, jj])
-            out_q, out_c, out_s = [], [], []
-            for qi in range(nq):
-                if not cand_c[qi]:
-                    continue
-                cc = np.concatenate(cand_c[qi])
-                ss = np.concatenate(cand_s[qi])
-                cc, first = np.unique(cc, return_index=True)  # cross-table dedup
-                ss = ss[first]
-                m = len(cc)
-                top = min(top_n, m)
-                if m > top:
-                    thresh = ss[np.argpartition(-ss, top - 1)[top - 1]]
-                    sel = np.flatnonzero(ss >= thresh)
-                else:
-                    sel = np.arange(m)
-                sel = sel[np.lexsort((cc[sel], -ss[sel]))[:top]]
-                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
-                out_c.append(cc[sel])
-                out_s.append(ss[sel])
+                    tri_q.append(np.repeat(np.asarray(qidx), len(rows)))
+                    tri_c.append(np.tile(c_ids[rows], len(qidx)))
+                    tri_s.append(sims.T.ravel())
+            if tri_q:
+                q = np.concatenate(tri_q)
+                c = np.concatenate(tri_c)
+                s = np.concatenate(tri_s)
+                # cross-table dedup of (query, candidate): same pair in
+                # several tables scores identically, keep one
+                o = np.lexsort((c, q))
+                q, c, s = q[o], c[o], s[o]
+                first = np.r_[True, (q[1:] != q[:-1]) | (c[1:] != c[:-1])]
+                q, c, s = q[first], c[first], s[first]
+                # per-query (score DESC, id ASC) top-k in one pass:
+                # rank-within-group on the fully ordered triples selects
+                # exactly the rows the old threshold+tiebreak cut did
+                o = np.lexsort((c, -s, q))
+                q, c, s = q[o], c[o], s[o]
+                starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+                grp = np.repeat(starts, np.diff(np.append(starts, len(q))))
+                keep = (np.arange(len(q)) - grp) < top_n
+                out_q = [np.asarray(q_ids, dtype=np.int64)[q[keep]]]
+                out_c = [c[keep]]
+                out_s = [s[keep]]
+            else:
+                out_q = []
+                out_c = []
+                out_s = []
             if out_q:
                 yield pd.DataFrame(
                     {
