@@ -1449,7 +1449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab",
         "decontaminate",
         "events_percentiles",
-        "events_rollup",
+        # events_rollup rotated IN mid-r8 (its SQL was rewritten for the
+        # sf100 grouping-sets spill); media_features (r6, age 2) defers
+        # in its place and rotates in next round at the freshness edge
+        "media_features",
         "pricing_summary",
         "remove_duplicate_spans",
         "token_divergence",
