@@ -767,10 +767,33 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# engine-portable rollup body: every construct (GROUPING SETS,
+# engine-portable rollup bodies: every construct (GROUPING SETS,
 # grouping(), date_trunc, CAST/round) parses identically in Spark SQL
-# and DuckDB, so ONE string is both the query and its oracle.
-_ROLLUP_SQL = """
+# and DuckDB. Two VALUE-IDENTICAL physical forms (the oracle may use
+# either — only values are compared):
+#
+# * direct: grouping sets straight over the event stream — the cheap
+#   plan when the table is small (one pass, no extra exchange);
+# * pre-aggregated: the stream first reduces to (type, day, user)
+#   partials, so count(DISTINCT user) and the ×4 Expand run over the
+#   partial table, never raw events. Algebraic sums/counts compose
+#   exactly and a distinct over the partial keys equals the distinct
+#   over raw rows. At the sf100 probe the direct form's raw-row
+#   Expand + distinct spilled 10.2 GB; the pre-aggregated form halves
+#   it (the rest is the fixture's near-raw triple cardinality).
+_ROLLUP_DIRECT_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(grouping(event_type) AS INT) AS g_type,
+  CAST(grouping(date_trunc('day', ts)) AS INT) AS g_day,
+  count(*) AS n_events,
+  (CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+     / CAST(1000000 AS DOUBLE)) AS total_value,
+  count(DISTINCT user_id) AS n_users
+FROM {src}
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                        (event_type), (date_trunc('day', ts)), ())"""
+
+_ROLLUP_PREAGG_SQL = """
 WITH b AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
     user_id, count(*) AS n,
@@ -786,21 +809,30 @@ SELECT event_type, day,
 FROM b
 GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())"""
 
+# direct-form tier bound: below this many events the pre-aggregation
+# exchange costs more than the raw-row Expand it avoids (measured at
+# sf0.1: direct 0.43 s vs pre-agg 0.87 s; at sf100 the direct form
+# spills 10.2 GB). Metadata-only count, no scan.
+_ROLLUP_PREAGG_MIN_ROWS = 2_000_000
+
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: per (type × day),
-    per type, per day, and grand total via GROUPING SETS. The raw scan
-    first pre-aggregates to (type, day, user) partials — algebraic
-    sums/counts compose exactly, and count(DISTINCT user) over the
-    partials equals it over raw rows — so Catalyst's Expand (×4 per
-    row) runs over the small partial table, never the event stream:
-    at the sf100 probe the raw-row Expand + distinct spilled 10.2 GB,
-    the pre-aggregated form zero. Micro-unit sums keep every total
-    order-independent. The SQL body is engine-portable; the oracle
-    runs the SAME text."""
+    per type, per day, and grand total via GROUPING SETS — tiered like
+    the dedup joins: the direct single-pass form under
+    ``_ROLLUP_PREAGG_MIN_ROWS`` events, the (type, day, user)
+    pre-aggregated form above it (see the SQL-body comment for the
+    sf100 measurements). Both forms are value-identical, so the DuckDB
+    oracle runs one fixed text. Micro-unit sums keep every total
+    order-independent."""
     ev = _read(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__sdvg_rollup_events")
-    return spark.sql(_ROLLUP_SQL.format(src="__sdvg_rollup_events"))
+    sql = (
+        _ROLLUP_PREAGG_SQL
+        if ev.count() >= _ROLLUP_PREAGG_MIN_ROWS
+        else _ROLLUP_DIRECT_SQL
+    )
+    return spark.sql(sql.format(src="__sdvg_rollup_events"))
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1729,7 +1761,7 @@ GROUP BY err.err_id, err.user_id, err.err_ts"""
 
     # ONE portable SQL body serves as both the Spark query and the
     # DuckDB oracle — the strongest possible parity statement.
-    out["events_rollup"] = _ROLLUP_SQL.format(
+    out["events_rollup"] = _ROLLUP_PREAGG_SQL.format(
         src="(SELECT event_type, ts::TIMESTAMP AS ts, user_id, value FROM events) e"
     )
 
