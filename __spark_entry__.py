@@ -116,6 +116,35 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job, no scan.
+
+    ``DataFrame.count()`` launches a real job (Spark serves parquet
+    count(*) from footers only with aggregate pushdown enabled), so the
+    tier probes here read the footers directly: one ``num_rows`` field
+    per file, O(files) driver-side metadata I/O. On a real cluster the
+    same number would come from catalog stats; for path-addressed
+    fixtures the footer sum IS the catalog. Falls back to a column-free
+    Spark count for non-local filesystems pyarrow can't reach.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1  # caller falls back to df.count()
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops import text as T
 
@@ -177,11 +206,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    # n_docs from parquet row-group metadata (no scan) — skips the
-    # in-op sizing count over the checkpointed signature table
-    return simhash_pairs(
-        docs, "doc_id", "text", max_distance=6, n_docs=docs.count()
-    )
+    # n_docs from parquet footer metadata (_parquet_rows: no Spark job,
+    # no scan) — skips the in-op sizing count over the checkpointed
+    # signature table
+    n_docs = _parquet_rows(sf_dir, "documents")
+    if n_docs < 0:
+        n_docs = docs.count()
+    return simhash_pairs(docs, "doc_id", "text", max_distance=6, n_docs=n_docs)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,7 +843,8 @@ GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())"""
 # direct-form tier bound: below this many events the pre-aggregation
 # exchange costs more than the raw-row Expand it avoids (measured at
 # sf0.1: direct 0.43 s vs pre-agg 0.87 s; at sf100 the direct form
-# spills 10.2 GB). Metadata-only count, no scan.
+# spills 10.2 GB). Sized from parquet footer metadata (_parquet_rows)
+# — genuinely no Spark job.
 _ROLLUP_PREAGG_MIN_ROWS = 2_000_000
 
 
@@ -827,9 +859,12 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent."""
     ev = _read(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__sdvg_rollup_events")
+    n_events = _parquet_rows(sf_dir, "events")
+    if n_events < 0:
+        n_events = ev.count()
     sql = (
         _ROLLUP_PREAGG_SQL
-        if ev.count() >= _ROLLUP_PREAGG_MIN_ROWS
+        if n_events >= _ROLLUP_PREAGG_MIN_ROWS
         else _ROLLUP_DIRECT_SQL
     )
     return spark.sql(sql.format(src="__sdvg_rollup_events"))
@@ -1157,8 +1192,11 @@ URL_FIXTURE_SQL = (
     " ELSE 'hTTp' END)"
     " || '://'"
     # host: a plain .com family, a co.uk family (PSL 3-label domains),
+    # a k12.ma.us family (3-label public suffix -> 4-label domains),
     # and a bracketed-IPv6 authority with a non-default port
     " || (CASE WHEN doc_id % 10 = 9 THEN '[2001:DB8::1]:8080'"
+    " WHEN doc_id % 10 = 7 THEN"
+    " 'dist-' || CAST(doc_id % 2 AS STRING) || '.K12.MA.US'"
     " WHEN doc_id % 10 = 8 THEN"
     " (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
     " || 'shop-' || CAST(doc_id % 3 AS STRING) || '.Example.CO.UK'"
@@ -1178,16 +1216,26 @@ URL_FIXTURE_SQL = (
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain canonicalization (ops/web.py:canonicalize_url): the
     CommonCrawl-style normalize step before any web dedup — map-only
-    codegen expressions, zero shuffle."""
-    from sdvg_spark.ops.web import canonicalize_url, url_parts
+    codegen expressions, zero shuffle. The registered domain is
+    authored as ONE parsed SQL string over the staged host column
+    (registered_domain_sql): the Column form's ~1100-literal isin costs
+    ~0.6 s of py4j lit() round trips to build (the r8 url_dedup 2×
+    story) while the parsed form is one driver call."""
+    from sdvg_spark.ops.web import canonicalize_url, registered_domain_sql, url_parts
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     u = docs.withColumn("url", F.expr(URL_FIXTURE_SQL))
-    return u.select(
+    staged = u.select(
         "doc_id",
         "url",
         canonicalize_url(F.col("url")).alias("canon_url"),
-        url_parts(F.col("url"))["domain"].alias("domain"),
+        url_parts(F.col("url"))["host"].alias("__host"),
+    )
+    return staged.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.expr(registered_domain_sql("__host", dialect="spark")).alias("domain"),
     )
 
 
@@ -1465,57 +1513,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # certificates rotate back in before they age out). The full 84
     # stay covered by tools/check_entry.py (EXACT=1) locally.
     #
-    # r08 rotations IN: every query touching the modules changed this
-    # round (dedup.py signature-checkpoint rewrite, similarity.py
-    # n_probe default, web.py PSL/IPv6/entities, streaming replay fix,
-    # analytics retention default — 24 queries incl. ann_recall via the
-    # new composition edge) PLUS the whole r5-certified batch at the
-    # freshness-budget edge (17 gen_* rows, gen_foreign_key,
-    # embedding_quantize, events_sessionize, media_audio_features,
-    # skew_salted_agg, top_revenue, user_running_value) PLUS
-    # gen_integer_random / profile_events / media_features from the r6
-    # batch. Deferred: the 26 r7-certified untouched rows + the 8
-    # remaining r6 rows (age 2 — they rotate in next round).
+    # r09 rotations IN: the eight r6-certified rows at the freshness
+    # edge (corpus_vocab, decontaminate, events_percentiles,
+    # media_features, pricing_summary, remove_duplicate_spans,
+    # token_divergence, zipf_fit — the r8 verdict's #1), every query
+    # over the modules changed this round (corpus.py duplicate-spans
+    # SHJ tier, text.py tfidf min_df tier, web.py 3-label PSL — the
+    # whole corpus/text/web families), the two wrappers switched to
+    # footer-metadata sizing (dedup_simhash, events_rollup), the r7
+    # remainder (corpus_mix, curate, data_split×2, events_asof/gapfill/
+    # interval/range, quality_band, stratified_sample) so no r7 cert
+    # survives to age out at r10, the new pack_order row, and family
+    # representatives (ann_lsh per the verdict watch, ann_recall,
+    # dedup_minhash/semantic, funnel/retention, stream_funnel,
+    # paragraph_dedup, profile_events, media_audio_features).
+    # Deferred: 35 r8-certified rows over untouched modules (the 18
+    # gen_* rows just re-certified, the untouched ann/dedup/events
+    # remainders).
     deferred = [
-        # r6-certified (rotate in r9 at the freshness edge)
-        "corpus_vocab",
-        "decontaminate",
-        "events_percentiles",
-        # events_rollup rotated IN mid-r8 (its SQL was rewritten for the
-        # sf100 grouping-sets spill); media_features (r6, age 2) defers
-        # in its place and rotates in next round at the freshness edge
-        "media_features",
-        "pricing_summary",
-        "remove_duplicate_spans",
-        "token_divergence",
-        "zipf_fit",
-        # r7-certified, modules untouched in r8
-        "bm25_retrieval",
-        "collocations",
-        "corpus_mix",
-        "curate",
-        "data_split",
-        "data_split_by_source",
-        "doc_chunks",
-        "dsir_weights",
-        "duplicate_spans",
-        "events_asof",
-        "events_gapfill",
-        "events_interval_join",
-        "events_range_join",
-        "language_confidence",
-        "pack_nostraddle",
-        "pack_sequences",
-        "pack_sequences_chars",
-        "pii_redact",
-        "quality_band",
-        "repetition_features",
-        "source_cap",
-        "stratified_sample",
-        "text_features",
-        "tfidf_keywords",
-        "token_budget_sample",
-        "unigram_nll",
+        # r8-certified, modules untouched in r9
+        "ann_ivf",
+        "ann_ivf_index",
+        "ann_quantized",
+        "ann_topk",
+        "dedup_components",
+        "dedup_embedding",
+        "dedup_exact",
+        "dedup_incremental",
+        "dedup_incremental_minhash",
+        "dedup_jaccard",
+        "embedding_quantize",
+        "events_hourly",
+        "events_session_window",
+        "events_sessionize",
+        "gen_datetime_ordered",
+        "gen_datetime_random",
+        "gen_enum",
+        "gen_first_name",
+        "gen_float32",
+        "gen_float_null",
+        "gen_foreign_key",
+        "gen_integer_distinct",
+        "gen_integer_ordered",
+        "gen_integer_random",
+        "gen_last_name",
+        "gen_phone",
+        "gen_ranges",
+        "gen_slice_resume",
+        "gen_string_simple",
+        "gen_template",
+        "gen_text",
+        "gen_uuid",
+        "skew_salted_agg",
+        "top_revenue",
+        "user_running_value",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}

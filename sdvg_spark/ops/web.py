@@ -26,15 +26,21 @@ full RFC 3986 resolver):
 * fragment dropped
 
 ``domain`` is the registered domain under a compiled-in subset of the
-public-suffix list: hosts whose last two labels form a known
-multi-label public suffix (``co.uk``, ``com.au``, ``on.ca``, …) keep
-THREE labels, everything else keeps two; IP literals (v4 dotted-quad,
-bracketed v6) pass through whole. The subset covers the common
-country-code second-level registries (a few hundred entries of public
-knowledge — no third-party data files); exotic 3-label suffixes
-(``pref.aichi.jp``-style geographic registries) and wildcard rules are
-out of scope and fall back to the 3-label answer's parent, which for
-per-domain quotas is the conservative (finer-grained) direction.
+public-suffix list: hosts whose last THREE labels form a known 3-label
+public suffix (``k12.ma.us``, ``pref.aichi.jp``, ``vic.edu.au``, …)
+keep FOUR labels, hosts whose last two labels form a known 2-label
+suffix (``co.uk``, ``com.au``, ``on.ca``, …) keep THREE, everything
+else keeps two; IP literals (v4 dotted-quad, bracketed v6) pass
+through whole. The subset covers the common country-code second-level
+registries plus the big 3-label classes — US state ``k12``/``cc``/
+``lib`` zones, Japanese ``pref.<prefecture>`` geographic registries,
+Australian state ``edu``/``gov`` zones (a bit over a thousand entries
+of public knowledge — no third-party data files). Suffixes outside the
+subset (the long geographic tail, wildcard rules) fall back to the
+next-shorter rule, which GROUPS TOO COARSELY: every registrant under
+such a registry lands in one bucket, so per-domain quotas over corpora
+heavy in those hosts under-admit. That failure direction is documented
+here rather than hidden — extend the tables if a corpus needs them.
 """
 
 from __future__ import annotations
@@ -152,6 +158,36 @@ PUBLIC_SUFFIXES: frozenset[str] = frozenset(
     f"{label}.{tld}" for tld, labels in _PSL_2LABEL.items() for label in labels.split()
 )
 
+# 3-label public suffixes: the big classes the real PSL carries one
+# level below the tables above. Hosts ending in one of these keep FOUR
+# labels. Same compiled-in-public-knowledge pattern as _PSL_2LABEL.
+_US_STATES = (
+    "al ak az ar ca co ct de dc fl ga hi id il in ia ks ky la me md"
+    " ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd tn"
+    " tx ut vt va wa wv wi wy"
+).split()
+
+_JP_PREFECTURES = (
+    "aichi akita aomori chiba ehime fukui fukuoka fukushima gifu gunma"
+    " hiroshima hokkaido hyogo ibaraki ishikawa iwate kagawa kagoshima"
+    " kanagawa kochi kumamoto kyoto mie miyagi miyazaki nagano nagasaki"
+    " nara niigata oita okayama okinawa osaka saga saitama shiga shimane"
+    " shizuoka tochigi tokushima tokyo tottori toyama wakayama yamagata"
+    " yamaguchi yamanashi"
+).split()
+
+_AU_STATES = "act nsw nt qld sa tas vic wa".split()
+
+PUBLIC_SUFFIXES_3: frozenset[str] = frozenset(
+    # US state school districts / community colleges / libraries
+    [f"{zone}.{st}.us" for st in _US_STATES for zone in ("k12", "cc", "lib")]
+    # Japanese prefectural-government geographic registries
+    + [f"pref.{p}.jp" for p in _JP_PREFECTURES]
+    # Australian state education and government zones
+    + [f"{st}.edu.au" for st in _AU_STATES]
+    + [f"{st}.gov.au" for st in _AU_STATES]
+)
+
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 
 
@@ -159,12 +195,28 @@ def registered_domain(host: Column) -> Column:
     """Registered domain of a lowercased host under the compiled-in
     public-suffix subset (module docstring). IP literals (dotted-quad
     v4, bracketed v6) pass through whole — per-domain grouping on the
-    last two octets of an IP would be meaningless."""
+    last two octets of an IP would be meaningless.
+
+    Both ``isin`` sets exceed Spark's InSet conversion threshold, so
+    they evaluate as one hash-set membership probe each (O(1) per row,
+    still whole-stage codegen) — growing the tables does not grow the
+    per-row cost.
+
+    CONSTRUCTION cost is another matter: ``Column.isin`` makes one py4j
+    ``lit()`` round trip per literal (~0.6 s driver-side for the ~1100
+    entries — measured, the r8 ``url_dedup`` 2× story). Hot paths that
+    have the host as a NAMED column should use
+    ``registered_domain_sql(host, dialect="spark")`` inside ``F.expr``
+    instead: the same expression authored as one parsed SQL string, one
+    py4j call total. This Column form stays for composition over
+    derived host expressions and for tests."""
     is_ip = host.rlike(r"^[0-9.]+$") | host.rlike(r"^\[")
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    last4 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
     return (
         F.when(is_ip, host)
+        .when((last4 != "") & last3.isin(*sorted(PUBLIC_SUFFIXES_3)), last4)
         .when((last3 != "") & last2.isin(*sorted(PUBLIC_SUFFIXES)), last3)
         .when(last2 != "", last2)
         .otherwise(host)
@@ -209,14 +261,38 @@ def url_parts(url: Column) -> dict[str, Column]:
         return (p != "") & ~key.rlike("^utm_") & ~key.isin(*TRACKING_PARAMS)
 
     query = F.array_join(F.array_sort(F.filter(F.split(rawq, "&"), keep_param)), "&")
-    return {
-        "scheme": scheme,
-        "host": host,
-        "port": port,
-        "path": path,
-        "query": query,
-        "domain": registered_domain(host),
-    }
+    return _LazyParts(
+        {
+            "scheme": scheme,
+            "host": host,
+            "port": port,
+            "path": path,
+            "query": query,
+        },
+        host,
+    )
+
+
+class _LazyParts(dict):
+    """``url_parts`` result: ``domain`` is built only when read.
+
+    ``registered_domain`` costs ~0.6 s of py4j round trips to CONSTRUCT
+    (one ``lit()`` per public-suffix entry), and the biggest caller —
+    :func:`canonicalize_url`, hence the whole ``url_dedup`` path — never
+    reads it. Building it eagerly doubled ``url_dedup``'s wall time in
+    r8; a lazy entry keeps the dict API while charging only callers who
+    actually use the domain."""
+
+    def __init__(self, base: dict, host: Column) -> None:
+        super().__init__(base)
+        self._host = host
+
+    def __missing__(self, key: str) -> Column:
+        if key == "domain":
+            col = registered_domain(self._host)
+            self[key] = col
+            return col
+        raise KeyError(key)
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -316,19 +392,38 @@ def sql_url_parts(col: str) -> dict[str, str]:
     }
 
 
-def sql_registered_domain(host: str) -> str:
-    """DuckDB mirror of :func:`registered_domain`."""
+def registered_domain_sql(host: str, dialect: str = "duckdb") -> str:
+    """:func:`registered_domain` authored as ONE SQL string, for both
+    engines: ``dialect="duckdb"`` is the oracle mirror,
+    ``dialect="spark"`` parses with ``F.expr`` in a single py4j call —
+    the hot-path form (see the Column docstring for why). The two texts
+    differ only in the regex-match predicate spelling
+    (``regexp_matches`` vs ``regexp_like``); the CASE, the extracts,
+    and the IN lists are byte-identical, so the equivalence surface is
+    minimal and pinned by ``test_registered_domain_duckdb_mirror``."""
+    like = "regexp_matches" if dialect == "duckdb" else "regexp_like"
     suffixes = ", ".join(f"'{s}'" for s in sorted(PUBLIC_SUFFIXES))
-    is_ip = (
-        f"(regexp_matches({host}, '^[0-9.]+$') OR regexp_matches({host}, '^\\['))"
-    )
-    last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
-    last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    suffixes3 = ", ".join(f"'{s}'" for s in sorted(PUBLIC_SUFFIXES_3))
+    # regexes are deliberately backslash-free ([.] classes, substr for
+    # the leading bracket): Spark SQL string literals consume
+    # backslashes while DuckDB's do not, so any \-escape would need
+    # per-dialect text. A [.] class needs none and parses identically
+    # in RE2 and java.util.regex ([[] would not — Java nests classes).
+    is_ip = f"({like}({host}, '^[0-9.]+$') OR substr({host}, 1, 1) = '[')"
+    last2 = f"regexp_extract({host}, '([^.]+[.][^.]+)$', 1)"
+    last3 = f"regexp_extract({host}, '([^.]+[.][^.]+[.][^.]+)$', 1)"
+    last4 = f"regexp_extract({host}, '([^.]+[.][^.]+[.][^.]+[.][^.]+)$', 1)"
     return (
         f"(CASE WHEN {is_ip} THEN {host} "
+        f"WHEN {last4} <> '' AND {last3} IN ({suffixes3}) THEN {last4} "
         f"WHEN {last3} <> '' AND {last2} IN ({suffixes}) THEN {last3} "
         f"WHEN {last2} <> '' THEN {last2} ELSE {host} END)"
     )
+
+
+def sql_registered_domain(host: str) -> str:
+    """DuckDB mirror of :func:`registered_domain` (back-compat alias)."""
+    return registered_domain_sql(host, dialect="duckdb")
 
 
 def sql_canonicalize_url(col: str) -> str:

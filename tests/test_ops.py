@@ -1877,6 +1877,17 @@ def test_registered_domain_public_suffixes(spark):
         ("http://192.168.10.1/x", "192.168.10.1"),
         ("http://[2001:db8::1]/x", "[2001:db8::1]"),
         ("http://intranet", "intranet"),          # dotless host
+        # 3-label public suffixes keep FOUR labels
+        ("http://district.k12.ma.us", "district.k12.ma.us"),
+        ("http://WWW.school.K12.CA.US/x", "school.k12.ca.us"),
+        ("http://a.pref.aichi.jp", "a.pref.aichi.jp"),
+        ("http://deep.sub.site.pref.aichi.jp", "site.pref.aichi.jp"),
+        ("http://college.vic.edu.au", "college.vic.edu.au"),
+        ("http://agency.qld.gov.au/z", "agency.qld.gov.au"),
+        ("http://k12.ma.us", "k12.ma.us"),        # bare 3-label suffix
+        # a state-registry host NOT under k12/cc/lib still uses the
+        # 2-label state entry (ma.us) -> three labels
+        ("http://city.boston.ma.us", "boston.ma.us"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = {
@@ -1887,6 +1898,41 @@ def test_registered_domain_public_suffixes(spark):
     }
     for url, want in cases:
         assert got[url] == want, (url, got[url])
+
+
+def test_registered_domain_duckdb_mirror(spark):
+    """Spark registered_domain == the DuckDB mirror expression on every
+    suffix class (2-label, 3-label, bare suffix, IP, dotless) — the
+    contract the driver's url_canonicalize oracle row rests on."""
+    import duckdb
+
+    from sdvg_spark.ops.web import registered_domain, registered_domain_sql
+
+    hosts = [
+        "a.b.ex.co", "news.example.co.uk", "deep.sub.shop.com.au",
+        "city.ci.ca.us", "district.k12.ma.us", "school.k12.ca.us",
+        "a.pref.aichi.jp", "deep.sub.site.pref.aichi.jp",
+        "college.vic.edu.au", "agency.qld.gov.au", "k12.ma.us",
+        "boston.ma.us", "co.uk", "192.168.10.1", "[2001:db8::1]",
+        "intranet", "ex.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: (r.d, r.d_sql)
+        for r in df.select(
+            "host",
+            registered_domain(F.col("host")).alias("d"),
+            # the hot-path one-parse form must agree with the Column form
+            F.expr(registered_domain_sql("host", dialect="spark")).alias("d_sql"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = registered_domain_sql("host", dialect="duckdb")
+    for h in hosts:
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS host)", [h]
+        ).fetchone()[0]
+        assert got[h] == (want, want), (h, got[h], want)
 
 
 def test_url_dedup_keeps_min_id(spark):
