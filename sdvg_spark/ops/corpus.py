@@ -522,8 +522,14 @@ def duplicate_spans(
     ~n_tokens rows, but ids + 60-bit md5-fold fingerprints only — the
     gram TEXT never shuffles), one groupBy(fp) census keeping only
     fingerprints seen in ≥ min_docs docs (tiny by construction), then
-    an inner join back that AQE can broadcast. Skewed boilerplate
-    fingerprints split under AQE skew-join like any hot equi-key.
+    an inner join back. The census side carries a ``shuffle_hash``
+    hint: a sort-merge join would SORT the occurrence table — the
+    corpus × n_tokens side — by fingerprint, and at the sf100 probe
+    that sort spilled 12.3 GB exactly like minhash's wide payload SMJ
+    in r8; hashing the census (the provably-smaller side: distinct
+    flagged fingerprints ≤ occurrences) costs one in-memory map per
+    partition instead. Skewed boilerplate fingerprints split under AQE
+    skew-join like any hot equi-key.
     """
     from sdvg_spark.ops.text import tokens
 
@@ -559,7 +565,7 @@ def duplicate_spans(
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )
-    return occ.join(census, "span_fp").select(
+    return occ.join(census.hint("shuffle_hash"), "span_fp").select(
         id_col, "span_start", "span_fp", "n_docs"
     )
 
@@ -640,7 +646,11 @@ def remove_duplicate_spans(
     toks = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p0", "__tok")
     ).select(F.col(id_col), (F.col("__p0") + F.lit(1)).alias("__mp"), "__tok")
-    kept = toks.join(masked_occ, [id_col, "__mp"], "left_anti")
+    # anti-join hinted shuffle-hash for the same reason as the census
+    # join: SMJ would sort the corpus-tokens side; the mask set (≤
+    # span_tokens rows per non-canonical occurrence) is the smaller
+    # side and builds the hash map
+    kept = toks.join(masked_occ.hint("shuffle_hash"), [id_col, "__mp"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -654,7 +664,7 @@ def remove_duplicate_spans(
     base = docs.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
     )
-    return base.join(rebuilt, id_col, "left").select(
+    return base.join(rebuilt.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
         "n_tokens",

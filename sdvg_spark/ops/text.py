@@ -783,19 +783,72 @@ def tfidf_topk(
     ``(tfidf DESC, token ASC)`` — the true tf-idf order, deterministic
     within one engine but not oracle-exact across engines.
 
-    Scale shape: one shuffle for per-doc term counts, one for document
-    frequencies (vocab-sized output, AQE can broadcast it back), one
-    window shuffle for the per-doc top-k. The corpus size N is one
-    distributed count at plan-build time and rides as a literal — a
-    1-row crossJoin would put a BroadcastNestedLoopJoin in the plan,
-    and a constant-key equi-join constant-folds back into one.
+    Scale shape: per-doc term counts are computed INSIDE each row — a
+    sorted-array run-length fold in pure codegen HOFs — so the raw
+    token stream never shuffles and there is no (doc, term) partial-agg
+    hash map to spill (at the r8 sf100 probe that map was the query's
+    entire 6.6 GB spill: the synthetic fixture's (doc, term) key space
+    is near-raw-cardinality, so partial aggregation bought nothing and
+    fell back to sort-spill). What remains distributed: one vocab-keyed
+    aggregation for document frequencies (collapses well — vocab ≪
+    postings), a shuffle-hash join of postings to it (hashing the
+    vocab-sized side; SMJ would re-sort the postings), and the per-doc
+    top-k window. The corpus size N is one distributed count at
+    plan-build time and rides as a literal — a 1-row crossJoin would
+    put a BroadcastNestedLoopJoin in the plan, and a constant-key
+    equi-join constant-folds back into one.
     """
     from pyspark.sql.window import Window
 
     if order_by not in ("deterministic", "score"):
         raise ValueError(f"order_by must be deterministic/score, got {order_by!r}")
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # run-length-encode the sorted token array: one struct(token, tf)
+    # per DISTINCT per-doc term, all map-side. Each HOF input is staged
+    # behind a projection first — lambdas see no subexpression
+    # elimination, so an inlined `srt` would re-sort per element.
+    srt = df.select(
+        F.col(id_col), F.array_sort(tokens(F.col(text_col))).alias("__srt")
+    )
+    s = F.col("__srt")
+
+    def guarded_seq(n: Column) -> Column:
+        # sequence(1, 0) counts DOWN ([1, 0]) and element_at(x, 0)
+        # throws even non-ANSI — empty inputs need an explicit branch
+        return F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    # 1-based positions where a new run starts (position 1, or token
+    # differs from its predecessor; the CASE keeps element_at away from
+    # index 0)
+    starts = srt.select(
+        F.col(id_col),
+        "__srt",
+        F.filter(
+            guarded_seq(F.size(s)),
+            lambda p: F.when(p == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(s, p) != F.element_at(s, p - F.lit(1))
+            ),
+        ).alias("__starts"),
+    )
+    st = F.col("__starts")
+    # run length = next start - this start, with a sentinel end bound
+    bounds = F.concat(st, F.array(F.size(s) + F.lit(1)))
+    posting_structs = starts.select(
+        F.col(id_col),
+        F.inline_outer(
+            F.transform(
+                guarded_seq(F.size(st)),
+                lambda j: F.struct(
+                    F.element_at(s, F.element_at(st, j)).alias("token"),
+                    (
+                        F.element_at(bounds, j + F.lit(1)) - F.element_at(bounds, j)
+                    ).cast("long").alias("tf"),
+                ),
+            )
+        ),
+    )
+    tf = posting_structs.where(F.col("token").isNotNull())
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.count()
     score = F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))
@@ -806,7 +859,7 @@ def tfidf_topk(
             F.desc("tf"), F.asc("df"), F.asc("token")
         )
     return (
-        tf.join(dfreq, "token")
+        tf.join(dfreq.hint("shuffle_hash"), "token")
         .withColumn("__n", F.lit(n_docs))
         .withColumn("__score", score)
         .withColumn("rank", F.row_number().over(w))

@@ -24,10 +24,18 @@ should grow ~linearly with the factor:
   factor > 26);
 * ``documents.source`` gets a ``-r{i}`` suffix (group-keyed splits see
   10x groups of unchanged size);
-* ``embeddings.embedding`` is rotated by ``replica`` positions
-  (``slice``+``concat``): norms and within-replica geometry are
-  preserved, cross-replica cosine decorrelates, and the ``vec_id % 50``
-  query census keeps its 2% density at every scale.
+* ``embeddings.embedding`` gets a per-replica SEEDED permutation of
+  its dimensions (replica 0 is the identity): norms and within-replica
+  geometry are preserved exactly (a fixed index permutation is an
+  isometry), cross-replica cosine decorrelates, and the
+  ``vec_id % 50`` query census keeps its 2% density at every scale.
+  A cyclic ROTATION is not enough: it reduces mod dims (64), so
+  composed two-level builds collide — outer rotation 2 over inner 0
+  equals outer 0 over inner 8 at stride 100 (200 % 64 = 8), recreating
+  cross-replica duplicate embedding classes, the exact quadratic
+  failure the text permutation prevents. Permutation compositions
+  collide with probability ~1/64! instead, and replica() asserts
+  pairwise distinctness of the variant transforms at build time.
 
 All transformations are pure Column expressions — the build itself is
 a map-only Spark job per table.
@@ -79,11 +87,27 @@ def _permute_alphabet(col, r: int):
     return F.translate(col, _LOWER + _UPPER, rl + rl.upper())
 
 
-def _rotate_array(col, r: int, dims: int):
-    if r == 0:
+def _dim_perm(v: int, dims: int) -> tuple[int, ...]:
+    """The variant-``v`` dimension permutation (identity at v=0)."""
+    if v == 0:
+        return tuple(range(dims))
+    import random
+
+    perm = list(range(dims))
+    random.Random(0xD1A5 + v).shuffle(perm)
+    return tuple(perm)
+
+
+def _permute_array(col, v: int, dims: int):
+    """Per-variant seeded permutation of the embedding dimensions — an
+    exact isometry (norms and within-replica dot products unchanged)
+    that, unlike a cyclic rotation, does not reduce mod dims when
+    variant indices compose across two-level builds (see module
+    docstring)."""
+    if v == 0:
         return col
-    r = r % dims
-    return F.concat(F.slice(col, r + 1, dims - r), F.slice(col, 1, r))
+    perm = _dim_perm(v, dims)
+    return F.array(*[F.element_at(col, perm[i] + 1) for i in range(dims)])
 
 
 def replica(
@@ -105,9 +129,33 @@ def replica(
         )
     if table == "embeddings" and dims:
         df = df.withColumn(
-            "embedding", _rotate_array(F.col("embedding"), v, dims).cast("array<float>")
+            "embedding",
+            _permute_array(F.col("embedding"), v, dims).cast("array<float>"),
         )
     return df
+
+
+def assert_disjoint_variants(factor: int, stride: int, dims: int) -> None:
+    """Build-time guard: every (outer variant, inner variant) pair in
+    the replica grid must compose to a DISTINCT dimension permutation,
+    or cross-replica duplicate embedding classes reappear. For a
+    first-level build (stride 1) the source is pristine — the inner
+    grid is just the identity; for a second-level build the source
+    carries inner variants 0..factor-1 and the full grid is checked."""
+    inner_variants = range(factor) if stride > 1 else (0,)
+    seen: dict[tuple[int, ...], tuple[int, int]] = {}
+    for outer in range(factor):
+        po = _dim_perm(outer * stride, dims)
+        for inner in inner_variants:
+            pi = _dim_perm(inner, dims)
+            composed = tuple(pi[po[i]] for i in range(dims))
+            prev = seen.setdefault(composed, (outer, inner))
+            if prev != (outer, inner):
+                raise AssertionError(
+                    f"variant collision: outer={outer} inner={inner} composes "
+                    f"to the same dimension permutation as outer={prev[0]} "
+                    f"inner={prev[1]} (stride {stride}, dims {dims})"
+                )
 
 
 def main() -> None:
@@ -130,6 +178,7 @@ def main() -> None:
         dims = None
         if table == "embeddings":
             dims = df.select(F.max(F.size("embedding"))).first()[0]
+            assert_disjoint_variants(factor, max(1, shift // SHIFT), dims)
         if table in ("nation", "region"):
             big = df
         else:
