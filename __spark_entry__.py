@@ -461,6 +461,51 @@ def q_pack_sequences_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=8192, n_buckets=64)
 
 
+# pack_order interleave: char-budget and blend weights for the driver
+# row. Sources src{0..19} get weights 1..4 cycling — a deliberately
+# non-uniform blend so the row actually tests ratio arithmetic.
+_PACK_ORDER_BUDGET = 8192
+_PACK_ORDER_SEED = 20260815
+_PACK_ORDER_RATIOS = {f"src{i}": 1.0 + (i % 4) for i in range(20)}
+
+
+def q_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order over packed sequences
+    (ops/ordering.py:training_order): packs from the char-budget
+    packing, each tagged with its lead document's source, laid out in
+    a seeded global order that interleaves sources at configured
+    weights — the dataloader's pack -> shard -> order step. One range
+    shuffle on a uniform integer key; per-source counts ride a
+    broadcast; all key arithmetic is BIGINT so the DuckDB oracle is
+    value-exact."""
+    from sdvg_spark.ops.corpus import pack_sequences
+    from sdvg_spark.ops.ordering import training_order
+
+    d = _read(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.col("n_chars").cast("long").alias("n_tokens"))
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=_PACK_ORDER_BUDGET, n_buckets=64
+    )
+    leads = (
+        packed.groupBy("pack_id")
+        .agg(
+            F.min(F.struct("pack_offset", "doc_id")).alias("__l"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select("pack_id", F.col("__l.doc_id").alias("lead_doc"), "n_docs")
+    )
+    packs = leads.join(
+        d.select(F.col("doc_id").alias("lead_doc"), "source"), "lead_doc"
+    ).select("pack_id", "lead_doc", "source", "n_docs")
+    return training_order(
+        packs,
+        "pack_id",
+        seed=_PACK_ORDER_SEED,
+        source_col="source",
+        ratios=_PACK_ORDER_RATIOS,
+    ).select("pack_id", "lead_doc", "source", "n_docs", "order_key")
+
+
 def q_pack_nostraddle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit (no-straddle) packing — the other standard dataloader
     convention: a doc that would overflow the pack opens a new one;
@@ -1465,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pack_sequences": q_pack_sequences,
             "pack_sequences_chars": q_pack_sequences_chars,
             "pack_nostraddle": q_pack_nostraddle,
+            "pack_order": q_pack_order,
             "pii_redact": q_pii_redact,
             "curate": q_curate,
             "profile_events": q_profile_events,
@@ -1750,6 +1796,31 @@ FROM s GROUP BY user_id, session_seq"""
     )
     out["pack_nostraddle"] = pack_sequences_nostraddle_oracle_sql(
         budget=2048, n_shards=64
+    )
+
+    from sdvg_spark.ops.ordering import training_order_oracle_sql
+
+    # pack oracle (char budget) -> lead-doc source tag -> blending key;
+    # the pack CTE is the SAME text as the pack_sequences_chars oracle
+    _pack_cte = pack_sequences_oracle_sql(
+        n_tokens_sql="n_chars", budget=_PACK_ORDER_BUDGET
+    ).strip()
+    out["pack_order"] = training_order_oracle_sql(
+        table="packs",
+        id_col="pack_id",
+        seed=_PACK_ORDER_SEED,
+        source_col="source",
+        ratios=_PACK_ORDER_RATIOS,
+        select_cols="pack_id, lead_doc, source, n_docs",
+        prelude_ctes=(
+            f"p0 AS ({_pack_cte}),\n"
+            "l AS (SELECT pack_id, doc_id AS lead_doc,\n"
+            "  row_number() OVER (PARTITION BY pack_id"
+            " ORDER BY pack_offset, doc_id) AS rn,\n"
+            "  count(*) OVER (PARTITION BY pack_id) AS n_docs FROM p0),\n"
+            "packs AS (SELECT l.pack_id, l.lead_doc, d.source, l.n_docs\n"
+            "  FROM l JOIN documents d ON d.doc_id = l.lead_doc WHERE rn = 1),\n"
+        ),
     )
 
     from sdvg_spark.ops.pipeline import CurationConfig, curate_oracle_sql

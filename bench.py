@@ -170,6 +170,8 @@ def main() -> None:
         "url_dedup",
         "language_confidence",
         "paragraph_dedup",
+        # r9 additions
+        "pack_order",
     ]
     for name in bench_queries:
         # three full runs (construction + action: some operators do

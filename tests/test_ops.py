@@ -2067,3 +2067,92 @@ def test_html_to_text_parsed_tier(spark):
         ).collect()
     }
     assert got[3] == regex_t[3] == "same\ntext & more"
+
+
+def test_training_order_deterministic_across_partitioning(spark):
+    """The seeded order key is a pure function of (seed, id): the fully
+    sorted output is byte-identical at 2 and 16 input partitions, and a
+    different seed produces a different permutation."""
+    from sdvg_spark.ops.ordering import training_order
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    a = training_order(df.repartition(2), "id", seed=7).collect()
+    b = training_order(df.repartition(16), "id", seed=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    c = training_order(df, "id", seed=8).collect()
+    assert [r.id for r in a] != [r.id for r in c]
+    # the key column is a total order surrogate: sorting by it anywhere
+    # reproduces the stream
+    assert [r.id for r in a] == [r.id for r in sorted(a, key=lambda r: (r.order_key, r.id))]
+
+
+def test_training_order_interleave_ratios(spark):
+    """With ratios {a: 3, b: 1} and equal source sizes, every early
+    prefix of the stream mixes ~3:1 and source a exhausts ~3x sooner;
+    within-source order is the seeded hash order."""
+    from sdvg_spark.ops.ordering import training_order
+
+    rows = [(i, "a") for i in range(600)] + [(1000 + i, "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    out = training_order(
+        df, "id", seed=42, source_col="source", ratios={"a": 3.0, "b": 1.0}
+    ).collect()
+    assert len(out) == 1200
+    prefix = out[:400]
+    n_a = sum(1 for r in prefix if r.source == "a")
+    # expected 300 of 400 (binomial, sd ~8.7) — generous 4-sigma band
+    assert 260 <= n_a <= 335, n_a
+    # keys are monotone in the output and deterministic
+    keys = [r.order_key for r in out]
+    assert keys == sorted(keys)
+
+
+def test_training_order_unknown_source_raises(spark):
+    import pytest as _pytest
+
+    from sdvg_spark.ops.ordering import training_order
+
+    df = spark.createDataFrame([(1, "a"), (2, "zz")], "id long, source string")
+    with _pytest.raises(Exception, match="source missing from ratios"):
+        training_order(
+            df, "id", seed=1, source_col="source", ratios={"a": 1.0}
+        ).collect()
+
+
+def test_training_order_duckdb_mirror(spark):
+    """Spark blending keys == the DuckDB oracle expression, both modes."""
+    import duckdb
+
+    from sdvg_spark.ops.ordering import training_order, training_order_oracle_sql
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    ratios = {"s0": 1.0, "s1": 2.5, "s2": 0.5, "s3": 4.0}
+    got = {
+        r.id: r.order_key
+        for r in training_order(
+            df, "id", seed=99, source_col="source", ratios=ratios
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = training_order_oracle_sql(
+        table="t", id_col="id", seed=99, source_col="source",
+        ratios=ratios, select_cols="id, source",
+    )
+    want = {r[0]: r[2] for r in con.execute(sql).fetchall()}
+    assert got == want
+    # plain mode
+    got_p = {
+        r.id: r.order_key for r in training_order(df, "id", seed=99).collect()
+    }
+    want_p = {
+        r[0]: r[1]
+        for r in con.execute(
+            training_order_oracle_sql(table="t", id_col="id", seed=99,
+                                      select_cols="id")
+        ).fetchall()
+    }
+    assert got_p == want_p
