@@ -74,22 +74,31 @@ def _current_round() -> int:
 def test_deferred_certificates_within_freshness_budget():
     """Round-7 verdict item #2: unchanged code is necessary but not
     sufficient to sit past the cap — certificates must not age
-    indefinitely. A deferred query's last green driver row must be at
-    most 2 completed rounds old (age 3+ queries rotate back into the
-    window this round and get a fresh row)."""
+    indefinitely.
+
+    The budget counts age AT THE MOMENT THIS ROUND'S RESULTS ARE
+    RECORDED (r8 lesson: checking age-now flipped the suite red the
+    instant the driver dropped CORRECTNESS_r08.json, because age-2 rows
+    became age-3 retroactively). A deferred query must therefore still
+    be within budget AFTER this round completes — i.e. its last green
+    row is at most MAX_AGE - 1 rounds old now — which in steady state
+    means only rows certified in the immediately previous round may sit
+    past the cap (35 deferred ≤ 50 window slots, so the halves
+    alternate round over round)."""
     order = list(_load_entry().queries().keys())
     ledger = _ledger()
     cur = _current_round()
     MAX_AGE = 2
     offenders = [
-        f"{q}: last row r{ledger[q]['round']} is {cur - ledger[q]['round']}"
-        f" rounds old (budget {MAX_AGE})"
+        f"{q}: last row r{ledger[q]['round']} would be"
+        f" {cur + 1 - ledger[q]['round']} rounds old once r{cur} records"
+        f" (budget {MAX_AGE})"
         for q in order[WINDOW:]
-        if q in ledger and cur - ledger[q]["round"] > MAX_AGE
+        if q in ledger and cur + 1 - ledger[q]["round"] > MAX_AGE
     ]
     assert not offenders, (
-        "stale certificates past the 50-row cap — rotate these into the "
-        "window:\n  " + "\n  ".join(offenders)
+        "certificates past the 50-row cap would go stale when this round "
+        "records — rotate these into the window:\n  " + "\n  ".join(offenders)
     )
 
 
