@@ -783,25 +783,41 @@ def tfidf_topk(
     ``(tfidf DESC, token ASC)`` — the true tf-idf order, deterministic
     within one engine but not oracle-exact across engines.
 
-    Scale shape: per-doc term counts are computed INSIDE each row — a
-    sorted-array run-length fold in pure codegen HOFs — so the raw
-    token stream never shuffles and there is no (doc, term) partial-agg
-    hash map to spill (at the r8 sf100 probe that map was the query's
-    entire 6.6 GB spill: the synthetic fixture's (doc, term) key space
-    is near-raw-cardinality, so partial aggregation bought nothing and
-    fell back to sort-spill). What remains distributed: one vocab-keyed
-    aggregation for document frequencies (collapses well — vocab ≪
-    postings), a shuffle-hash join of postings to it (hashing the
-    vocab-sized side; SMJ would re-sort the postings), and the per-doc
-    top-k window. The corpus size N is one distributed count at
-    plan-build time and rides as a literal — a 1-row crossJoin would
-    put a BroadcastNestedLoopJoin in the plan, and a constant-key
-    equi-join constant-folds back into one.
-    """
-    from pyspark.sql.window import Window
+    Scale shape — TIERED on corpus size like the rollup
+    (``_TFIDF_RLE_MIN_DOCS``; both tiers are value-identical so one
+    oracle text covers either):
 
+    * small corpora: classic explode + (doc, term) hash aggregation —
+      one shuffle fewer stages and fastest when the partial-agg map
+      fits comfortably;
+    * at ``n_docs ≥ _TFIDF_RLE_MIN_DOCS``: per-doc term counts are
+      computed INSIDE each row — a sorted-array run-length fold in
+      pure codegen HOFs — so the raw token stream never shuffles and
+      there is no (doc, term) partial-agg hash map to spill (at the r8
+      sf100 probe that map was the query's entire 6.6 GB spill: the
+      synthetic fixture's (doc, term) key space is
+      near-raw-cardinality, so partial aggregation bought nothing and
+      fell back to sort-spill).
+
+    Either way, what remains distributed: one vocab-keyed aggregation
+    for document frequencies (collapses well — vocab ≪ postings), a
+    shuffle-hash join of postings to it (hashing the vocab-sized side;
+    SMJ would re-sort the postings), and the per-doc top-k window. The
+    corpus size N — needed for the score literal anyway — is one
+    distributed count at plan-build time and doubles as the tier
+    probe; a 1-row crossJoin would put a BroadcastNestedLoopJoin in
+    the plan, and a constant-key equi-join constant-folds back into
+    one.
+    """
     if order_by not in ("deterministic", "score"):
         raise ValueError(f"order_by must be deterministic/score, got {order_by!r}")
+    n_docs = df.count()
+    if n_docs < _TFIDF_RLE_MIN_DOCS:
+        tok = df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+        return _tfidf_rank(tf, id_col, n_docs, top_n, round_digits, order_by)
     # run-length-encode the sorted token array: one struct(token, tf)
     # per DISTINCT per-doc term, all map-side. Each HOF input is staged
     # behind a projection first — lambdas see no subexpression
@@ -849,8 +865,23 @@ def tfidf_topk(
         ),
     )
     tf = posting_structs.where(F.col("token").isNotNull())
+    return _tfidf_rank(tf, id_col, n_docs, top_n, round_digits, order_by)
+
+
+# tier bound: below this many documents the explode + (doc, term) hash
+# aggregation is cheapest (its partial-agg map fits); above it the map
+# is the spill (r8 sf100: 6.6 GB at 5M docs, zero at 500k) and the
+# in-row run-length fold takes over
+_TFIDF_RLE_MIN_DOCS = 2_000_000
+
+
+def _tfidf_rank(tf, id_col: str, n_docs: int, top_n: int,
+                round_digits: int, order_by: str):
+    """Shared tail of both tfidf tiers: document frequencies, the
+    shuffle-hash join back, and the per-doc top-k window."""
+    from pyspark.sql.window import Window
+
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = df.count()
     score = F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))
     if order_by == "score":
         w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("token"))

@@ -2156,3 +2156,19 @@ def test_training_order_duckdb_mirror(spark):
         ).fetchall()
     }
     assert got_p == want_p
+
+
+def test_tfidf_tiers_value_identical(spark, monkeypatch):
+    """The explode+groupBy small tier and the in-row run-length-fold
+    scale tier must produce byte-identical rows (the tier bound is a
+    performance decision, never a semantic one)."""
+    import sdvg_spark.ops.text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "b c c"), (3, ""), (4, "a"), (5, "d d d d")],
+        "doc_id long, text string",
+    )
+    small = sorted(map(tuple, T.tfidf_topk(docs, "doc_id", "text", top_n=2).collect()))
+    monkeypatch.setattr(T, "_TFIDF_RLE_MIN_DOCS", 0)
+    rle = sorted(map(tuple, T.tfidf_topk(docs, "doc_id", "text", top_n=2).collect()))
+    assert small == rle
