@@ -551,18 +551,36 @@ def duplicate_spans(
             lambda i: F.array_join(F.slice(toks, i, span_tokens), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = staged.select(
-        F.col(id_col), F.posexplode(grams).alias("__p", "__g")
+    # fingerprints computed IN-ROW over the gram array (the gram text
+    # never leaves its row) — staged behind a projection so both
+    # consumers below see one array, not a re-tokenization
+    fp_staged = staged.select(
+        F.col(id_col),
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ).alias("__fps"),
+    )
+    occ = fp_staged.select(
+        F.col(id_col), F.posexplode(F.col("__fps")).alias("__p", "span_fp")
     ).select(
         F.col(id_col),
         (F.col("__p") + F.lit(1)).cast("long").alias("span_start"),
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("span_fp"),
+        "span_fp",
     )
+    # census: count per-doc-DISTINCT fingerprints (array_distinct in
+    # the row), so the aggregation input is 8-byte fp rows — no id
+    # column in the shuffle and no two-level countDistinct. At the
+    # sf100 probe the old countDistinct's partial maps over (fp, id)
+    # were the query's entire 12.3 GB spill (the SHJ fix to the join
+    # changed nothing — the join sort was never the spiller); halving
+    # the key bytes and dropping the distinct level is the remaining
+    # exact-algorithm lever: an exact ≥min_docs census must still move
+    # each (doc-distinct) fingerprint once.
     census = (
-        occ.groupBy("span_fp")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
+        fp_staged.select(F.explode(F.array_distinct("__fps")).alias("span_fp"))
+        .groupBy("span_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )
     return occ.join(census.hint("shuffle_hash"), "span_fp").select(
@@ -615,11 +633,17 @@ def remove_duplicate_spans(
     hashed), ``n_masked`` how many token positions were removed.
 
     Plan shape: the detector's occurrence table (ids + fingerprints)
-    ranks canonicals with one window, non-canonical occurrences explode
-    to masked token positions (≤ span_tokens rows each), and the
-    corpus tokens anti-join them positionally before regrouping —
-    O(corpus tokens) shuffle, which a corpus-rewriting operator pays by
-    definition. No all-pairs term anywhere; a boilerplate span shared
+    ranks canonicals with one window, non-canonical occurrences fold to
+    ONE masked-position list per document (positions are
+    doc-length-bounded), and the rewrite itself happens IN-ROW —
+    ``array_except`` of the position sequence, ``element_at`` to
+    re-materialize the surviving tokens. The corpus token stream never
+    shuffles: the only corpus-sized exchanges are the detector's own.
+    (The previous form positionally anti-joined an exploded corpus
+    token table and re-grouped it with collect_list — at the sf100
+    probe those two corpus-token exchanges and the list buffers were
+    23 GB of shuffle and 17.7 GB of spill, all of which this shape
+    deletes.) No all-pairs term anywhere; a boilerplate span shared
     by millions of docs is one fingerprint group in the canonical
     window (AQE-skew-splittable) and its masks stay per-doc-bounded.
     """
@@ -629,7 +653,7 @@ def remove_duplicate_spans(
         docs, id_col, text_col, span_tokens=span_tokens, min_docs=min_docs
     )
     w = Window.partitionBy("span_fp").orderBy(F.col(id_col), F.col("span_start"))
-    masked_occ = (
+    masks = (
         occ.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") > 1)  # canonical occurrence survives
         .select(
@@ -641,34 +665,34 @@ def remove_duplicate_spans(
                 )
             ).alias("__mp"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__mp")).alias("__mask"))
     )
-    toks = docs.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p0", "__tok")
-    ).select(F.col(id_col), (F.col("__p0") + F.lit(1)).alias("__mp"), "__tok")
-    # anti-join hinted shuffle-hash for the same reason as the census
-    # join: SMJ would sort the corpus-tokens side; the mask set (≤
-    # span_tokens rows per non-canonical occurrence) is the smaller
-    # side and builds the hash map
-    kept = toks.join(masked_occ.hint("shuffle_hash"), [id_col, "__mp"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).join(masks.hint("shuffle_hash"), id_col, "left")
+    t = F.col("__toks")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size(t)),
+        F.coalesce(F.col("__mask"), F.array().cast("array<long>")),
+    )
+    staged2 = staged.select(
+        F.col(id_col),
+        "__toks",
+        F.when(F.size(t) > 0, kept_pos)
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__kept"),
+    )
+    k = F.col("__kept")
+    return staged2.select(
+        F.col(id_col),
         F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("__mp", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
+            # positions coerced to bigint by the array_except against
+            # the long mask; element_at wants int
+            F.transform(k, lambda p: F.element_at(t, p.cast("int"))), " "
         ).alias("trimmed_text"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    base = docs.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
-    )
-    return base.join(rebuilt.hint("shuffle_hash"), id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long").alias("n_masked"),
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(t) - F.size(k)).cast("long").alias("n_masked"),
     )
 
 

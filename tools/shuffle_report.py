@@ -44,6 +44,7 @@ QUERIES = [
     "corpus_vocab",
     "decontaminate",
     "pack_sequences",
+    "pack_order",
     "events_asof",
     "events_range_join",
     "events_rollup",
