@@ -462,11 +462,20 @@ def q_pack_sequences_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # pack_order interleave: char-budget and blend weights for the driver
-# row. Sources src{0..19} get weights 1..4 cycling — a deliberately
-# non-uniform blend so the row actually tests ratio arithmetic.
+# row. Base sources src{N} get weights 1..4 cycling (N % 4) — a
+# deliberately non-uniform blend so the row actually tests ratio
+# arithmetic. The weight is a RULE over the source name (shared SQL
+# text, both engines) rather than an enumerated dict: the scale
+# fixtures suffix sources per replica (src8-r0, src6-r7-r0), and an
+# enumerated blend would reject them — the r9 sf100 probe caught
+# exactly that via the op's unknown-source raise. Replica-suffixed
+# sources keep their base weight and count as their own source.
 _PACK_ORDER_BUDGET = 8192
 _PACK_ORDER_SEED = 20260815
-_PACK_ORDER_RATIOS = {f"src{i}": 1.0 + (i % 4) for i in range(20)}
+_PACK_ORDER_WEIGHT_EXPR = (
+    "(1 + (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4))"
+    " * 1000000"
+)
 
 
 def q_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +511,7 @@ def q_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         seed=_PACK_ORDER_SEED,
         source_col="source",
-        ratios=_PACK_ORDER_RATIOS,
+        weight_expr=_PACK_ORDER_WEIGHT_EXPR,
     ).select("pack_id", "lead_doc", "source", "n_docs", "order_key")
 
 
@@ -1810,7 +1819,7 @@ FROM s GROUP BY user_id, session_seq"""
         id_col="pack_id",
         seed=_PACK_ORDER_SEED,
         source_col="source",
-        ratios=_PACK_ORDER_RATIOS,
+        weight_expr=_PACK_ORDER_WEIGHT_EXPR,
         select_cols="pack_id, lead_doc, source, n_docs",
         prelude_ctes=(
             f"p0 AS ({_pack_cte}),\n"

@@ -83,6 +83,7 @@ def training_order(
     seed: int,
     source_col: str | None = None,
     ratios: dict[str, float] | None = None,
+    weight_expr: str | None = None,
     key_col: str = "order_key",
 ) -> DataFrame:
     """Seeded deterministic global training order.
@@ -101,21 +102,35 @@ def training_order(
     tiny aggregation broadcast back onto the stream; ties break by
     (hash, id), so the full sort key is deterministic across engines
     and partitionings.
+
+    ``weight_expr`` is the open-world alternative to ``ratios``: a SQL
+    expression (over the input columns) yielding the PRE-SCALED
+    integer weight — e.g. a rule over the source NAME — for corpora
+    whose source set is unbounded or not enumerable up front. The same
+    text evaluates in the DuckDB oracle, so rule-derived blends stay
+    value-exact. A NULL weight (rule doesn't match) raises inside the
+    plan, same as an unknown ``ratios`` source.
     """
+    if ratios is not None and weight_expr is not None:
+        raise ValueError("pass ratios or weight_expr, not both")
     hk = order_hash(seed, F.col(id_col))
-    if ratios is None:
+    if ratios is None and weight_expr is None:
         return df.withColumn(key_col, hk).orderBy(key_col, id_col)
     if source_col is None:
-        raise ValueError("ratios given but source_col is None")
-    w = _int_weights(ratios)
-    weights = F.create_map(
-        *[F.lit(x) for kv in w.items() for x in kv]  # src, weight, src, ...
-    )
+        raise ValueError("ratios/weight_expr given but source_col is None")
+    if weight_expr is not None:
+        wcol = F.expr(weight_expr).cast("long")
+    else:
+        w = _int_weights(ratios)
+        weights = F.create_map(
+            *[F.lit(x) for kv in w.items() for x in kv]  # src, weight, src, ...
+        )
+        wcol = weights[F.col(source_col)]
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_src"))
     staged = (
         df.join(F.broadcast(counts), source_col)
         .withColumn("__hk", hk)
-        .withColumn("__w", weights[F.col(source_col)])
+        .withColumn("__w", wcol)
     )
     # an unknown source would make __w NULL and the key NULL (silently
     # sorted first); raise inside the key expression instead — the
@@ -142,6 +157,7 @@ def training_order_oracle_sql(
     seed: int,
     source_col: str | None = None,
     ratios: dict[str, float] | None = None,
+    weight_expr: str | None = None,
     key_col: str = "order_key",
     select_cols: str = "*",
     prelude_ctes: str = "",
@@ -149,9 +165,10 @@ def training_order_oracle_sql(
     """DuckDB mirror of :func:`training_order` (the key VALUES — the
     driver's comparison is order-insensitive, and the key IS the
     order). ``prelude_ctes`` lets the caller define ``table`` as a CTE
-    chain (``"p AS (...), packs AS (...),"`` — trailing comma)."""
+    chain (``"p AS (...), packs AS (...),"`` — trailing comma);
+    ``weight_expr`` must be the SAME text passed to the Spark side."""
     hk = sql_order_hash(seed, id_col)
-    if ratios is None:
+    if ratios is None and weight_expr is None:
         if prelude_ctes:
             return (
                 f"WITH {prelude_ctes.rstrip(', ')} "
@@ -159,11 +176,15 @@ def training_order_oracle_sql(
             )
         return f"SELECT {select_cols}, {hk} AS {key_col} FROM {table}"
     assert source_col is not None
-    w = _int_weights(ratios)
-    cases = " ".join(f"WHEN '{s}' THEN {v}" for s, v in sorted(w.items()))
+    if weight_expr is not None:
+        wsql = f"({weight_expr})"
+    else:
+        w = _int_weights(ratios)
+        cases = " ".join(f"WHEN '{s}' THEN {v}" for s, v in sorted(w.items()))
+        wsql = f"(CASE {source_col} {cases} END)"
     return f"""
 WITH {prelude_ctes}
 c AS (SELECT {source_col} AS __s, count(*) AS __n_src FROM {table} GROUP BY 1)
 SELECT {select_cols},
-  (({hk} % {_H_MOD}) * __n_src) // (CASE {source_col} {cases} END) AS {key_col}
+  (({hk} % {_H_MOD}) * __n_src) // {wsql} AS {key_col}
 FROM {table} JOIN c ON {source_col} = __s"""

@@ -2172,3 +2172,47 @@ def test_tfidf_tiers_value_identical(spark, monkeypatch):
     monkeypatch.setattr(T, "_TFIDF_RLE_MIN_DOCS", 0)
     rle = sorted(map(tuple, T.tfidf_topk(docs, "doc_id", "text", top_n=2).collect()))
     assert small == rle
+
+
+def test_training_order_weight_expr_rule(spark):
+    """weight_expr: a name-rule blend must (a) match the equivalent
+    enumerated ratios on enumerable sources, (b) accept sources the
+    enumeration has never seen (the r9 sf100 probe failure mode:
+    replica-suffixed fixture sources), (c) mirror in DuckDB."""
+    import duckdb
+
+    from sdvg_spark.ops.ordering import training_order, training_order_oracle_sql
+
+    expr = "(1 + (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4)) * 1000000"
+    rows = [(i, f"src{i % 6}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    by_rule = {
+        r.id: r.order_key
+        for r in training_order(
+            df, "id", seed=5, source_col="source", weight_expr=expr
+        ).collect()
+    }
+    by_dict = {
+        r.id: r.order_key
+        for r in training_order(
+            df, "id", seed=5, source_col="source",
+            ratios={f"src{i}": 1.0 + (i % 4) for i in range(6)},
+        ).collect()
+    }
+    assert by_rule == by_dict
+    # replica-suffixed sources: rule still applies, each suffix its own count
+    rows2 = [(i, "src2-r1" if i % 2 else "src2") for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "id long, source string")
+    out2 = training_order(
+        df2, "id", seed=5, source_col="source", weight_expr=expr
+    ).collect()
+    assert len(out2) == 100
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows2)
+    sql = training_order_oracle_sql(
+        table="t", id_col="id", seed=5, source_col="source",
+        weight_expr=expr, select_cols="id",
+    )
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert {r.id: r.order_key for r in out2} == want
