@@ -524,12 +524,14 @@ def duplicate_spans(
     fingerprints seen in ≥ min_docs docs (tiny by construction), then
     an inner join back. The census side carries a ``shuffle_hash``
     hint: a sort-merge join would SORT the occurrence table — the
-    corpus × n_tokens side — by fingerprint, and at the sf100 probe
-    that sort spilled 12.3 GB exactly like minhash's wide payload SMJ
-    in r8; hashing the census (the provably-smaller side: distinct
-    flagged fingerprints ≤ occurrences) costs one in-memory map per
-    partition instead. Skewed boilerplate fingerprints split under AQE
-    skew-join like any hot equi-key.
+    corpus × n_tokens side — by fingerprint; hashing the census (the
+    provably-smaller side: distinct flagged fingerprints ≤
+    occurrences) costs one in-memory map per partition instead. (The
+    r9 sf100 probe showed the join sort was NOT the query's 12.3 GB
+    spill — that is the census countDistinct's partial maps, see the
+    in-body comment — but SMJ would add a sort on top of it.) Skewed
+    boilerplate fingerprints split under AQE skew-join like any hot
+    equi-key.
     """
     from sdvg_spark.ops.text import tokens
 
@@ -551,36 +553,30 @@ def duplicate_spans(
             lambda i: F.array_join(F.slice(toks, i, span_tokens), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # fingerprints computed IN-ROW over the gram array (the gram text
-    # never leaves its row) — staged behind a projection so both
-    # consumers below see one array, not a re-tokenization
-    fp_staged = staged.select(
-        F.col(id_col),
-        F.transform(
-            grams,
-            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-        ).alias("__fps"),
-    )
-    occ = fp_staged.select(
-        F.col(id_col), F.posexplode(F.col("__fps")).alias("__p", "span_fp")
+    # fingerprints are computed AFTER the positional explode, where the
+    # md5/conv/substring chain runs inside WholeStageCodegen. The
+    # in-row alternative — transform(grams, g -> md5-fold(g)) with a
+    # per-doc array_distinct census — was measured and REJECTED:
+    # higher-order functions are CodegenFallback, so wrapping the
+    # fingerprint chain in a lambda evaluates it interpreted per
+    # window (same-session sf0.1 A/B: 1.56 s -> 4.8 s, 3x) to buy only
+    # 18% of the sf100 census spill (12.3 -> 10.1 GB). The remaining
+    # spill is the countDistinct partial map over a near-raw
+    # fingerprint space — the r8-adjudicated graceful class (an exact
+    # ≥min_docs census must move each distinct fingerprint once; one
+    # 16 GiB probe JVM holds ~100 executors' key share).
+    occ = staged.select(
+        F.col(id_col), F.posexplode(grams).alias("__p", "__g")
     ).select(
         F.col(id_col),
         (F.col("__p") + F.lit(1)).cast("long").alias("span_start"),
-        "span_fp",
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("span_fp"),
     )
-    # census: count per-doc-DISTINCT fingerprints (array_distinct in
-    # the row), so the aggregation input is 8-byte fp rows — no id
-    # column in the shuffle and no two-level countDistinct. At the
-    # sf100 probe the old countDistinct's partial maps over (fp, id)
-    # were the query's entire 12.3 GB spill (the SHJ fix to the join
-    # changed nothing — the join sort was never the spiller); halving
-    # the key bytes and dropping the distinct level is the remaining
-    # exact-algorithm lever: an exact ≥min_docs census must still move
-    # each (doc-distinct) fingerprint once.
     census = (
-        fp_staged.select(F.explode(F.array_distinct("__fps")).alias("span_fp"))
-        .groupBy("span_fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        occ.groupBy("span_fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )
     return occ.join(census.hint("shuffle_hash"), "span_fp").select(
