@@ -1585,19 +1585,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deferred: 35 r8-certified rows over untouched modules (the 18
     # gen_* rows just re-certified, the untouched ann/dedup/events
     # remainders).
+    # (mid-r9 swap: dedup.py changed late in the round — exact-tier
+    # score-matrix chunking + the quadratic-work row cap — so ALL
+    # dedup rows rotated in-window and six untouched r8-certified rows
+    # (ann_lsh, ann_recall, events_funnel, media_audio_features,
+    # profile_events, stream_funnel) deferred in their place.)
     deferred = [
         # r8-certified, modules untouched in r9
         "ann_ivf",
         "ann_ivf_index",
+        "ann_lsh",
         "ann_quantized",
+        "ann_recall",
         "ann_topk",
-        "dedup_components",
-        "dedup_embedding",
-        "dedup_exact",
-        "dedup_incremental",
-        "dedup_incremental_minhash",
-        "dedup_jaccard",
         "embedding_quantize",
+        "events_funnel",
+        "media_audio_features",
+        "profile_events",
+        "stream_funnel",
         "events_hourly",
         "events_session_window",
         "events_sessionize",

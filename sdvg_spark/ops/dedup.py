@@ -1506,6 +1506,7 @@ def embedding_dup_pairs(
     exact: bool = False,
     dims: int | None = None,
     exact_max_bytes: int = 1 << 30,
+    exact_max_rows: int = 1_000_000,
     on_exact_overflow: str = "fallback",
     bucket_cap: int = 32_768,
     max_oversized_buckets: int = 10_000,
@@ -1516,12 +1517,18 @@ def embedding_dup_pairs(
     embedding matrix and a blocked numpy matmul per partition — each
     task computes its row-block × corpusᵀ, so the O(n²) similarity work
     is distributed and vectorized, never an interpreted per-pair
-    expression. The broadcast build is guarded by
-    :func:`bounded_local_vectors` (``exact_max_bytes``, default 1 GiB):
-    above the cap the corpus doesn't fit any executor's broadcast
-    either, so the call falls back to the LSH tier
-    (``on_exact_overflow="fallback"``, logged) or raises
-    (``"error"``) — no unbounded driver materialization on any path.
+    expression, row-chunked to ≤ 32 MB score matrices
+    (``similarity._SCORE_CHUNK_ELEMS`` — an unchunked Arrow batch
+    against a 200k corpus is a 16 GB allocation, the r9 probe OOM).
+    The tier is guarded two ways, both with ``on_exact_overflow``
+    semantics (``"fallback"`` → LSH with a warning, ``"error"`` →
+    raise): ``exact_max_bytes`` (default 1 GiB — above it the corpus
+    doesn't fit any executor's broadcast) and ``exact_max_rows``
+    (default 1M — bytes bound the MEMORY but rows² bound the WORK: a
+    512 MB / 2M-row corpus passes the byte cap yet costs ~10^14 FLOP
+    all-pairs, hours on one node; past the row cap the LSH tier is the
+    honest scale path). No unbounded driver materialization on any
+    path.
 
     Otherwise: random-hyperplane LSH — sign signature over ``n_planes``
     seeded hyperplanes (vectorized matmul kernel), block on the
@@ -1534,17 +1541,21 @@ def embedding_dup_pairs(
 
         spark = df.sparkSession
         loc = bounded_local_vectors(df, id_col, vec_col, exact_max_bytes)
+        if loc is not None and len(loc[0]) > exact_max_rows:
+            loc = None  # work cap: n² pair work past this is not a plan
         if loc is None:
             if on_exact_overflow == "error":
                 raise ValueError(
-                    f"embedding corpus exceeds exact_max_bytes={exact_max_bytes}; "
-                    "use exact=False (LSH) or raise the cap"
+                    f"embedding corpus exceeds exact_max_bytes={exact_max_bytes} "
+                    f"or exact_max_rows={exact_max_rows}; "
+                    "use exact=False (LSH) or raise the caps"
                 )
             import warnings
 
             warnings.warn(
-                "embedding_dup_pairs: corpus too large for the exact broadcast "
-                "tier; falling back to LSH (approximate recall)",
+                "embedding_dup_pairs: corpus too large for the exact tier "
+                "(bytes or quadratic work); falling back to LSH "
+                "(approximate recall)",
                 stacklevel=2,
             )
             exact = False
@@ -1557,21 +1568,33 @@ def embedding_dup_pairs(
             thr = float(threshold)
 
             def block_pairs(batches):
+                # row-chunked like similarity._SCORE_CHUNK_ELEMS: a full
+                # Arrow batch (10k rows) against a 200k corpus is a
+                # 16 GB score matrix — at the r9 sf10/sf100 probes that
+                # OOM-killed the Python workers (the same defect class
+                # the r8 ANN chunking fixed; this tier was never probed
+                # then). 32 MB of doubles per matmul instead.
+                from sdvg_spark.ops.similarity import _SCORE_CHUNK_ELEMS
+
                 b_ids, b_mat = bc.value
+                n = len(b_ids)
+                step = max(1, _SCORE_CHUNK_ELEMS // max(n, 1))
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(dtype=np.int64))
-                    sims = b_mat[ia] @ b_mat.T  # (batch, n)
-                    ra, cb = np.nonzero(sims >= thr)
-                    keep = b_ids[ia[ra]] < b_ids[cb]
-                    yield pd.DataFrame(
-                        {
-                            "id_a": b_ids[ia[ra[keep]]],
-                            "id_b": b_ids[cb[keep]],
-                            "cosine": sims[ra[keep], cb[keep]],
-                        }
-                    )
+                    for s0 in range(0, len(ia), step):
+                        blk = ia[s0 : s0 + step]
+                        sims = b_mat[blk] @ b_mat.T  # (≤step, n)
+                        ra, cb = np.nonzero(sims >= thr)
+                        keep = b_ids[blk[ra]] < b_ids[cb]
+                        yield pd.DataFrame(
+                            {
+                                "id_a": b_ids[blk[ra[keep]]],
+                                "id_b": b_ids[cb[keep]],
+                                "cosine": sims[ra[keep], cb[keep]],
+                            }
+                        )
 
             return df.select(F.col(id_col).alias("id_a")).mapInPandas(
                 block_pairs, "id_a long, id_b long, cosine double"
@@ -1633,8 +1656,13 @@ def embedding_dup_pairs(
         Mn = M / nrm[:, None]
         ids = pdf["__id"].to_numpy(dtype=np.int64)
         out_a, out_b, out_s = [], [], []
-        for s0 in range(0, n, 2048):
-            S = Mn[s0 : s0 + 2048] @ Mn.T  # (block, n)
+        # 32 MB score-matrix cap (a fixed 2048-row block against a
+        # bucket_cap bucket is 512 MB × 32 workers — the r9 probe OOM)
+        from sdvg_spark.ops.similarity import _SCORE_CHUNK_ELEMS
+
+        step = max(1, _SCORE_CHUNK_ELEMS // max(n, 1))
+        for s0 in range(0, n, step):
+            S = Mn[s0 : s0 + step] @ Mn.T  # (block, n)
             ra, cb = np.nonzero(S >= thr)
             ga = ra + s0
             keep = ga < cb
@@ -1678,8 +1706,11 @@ def embedding_dup_pairs(
         ida = a["__id"].to_numpy(dtype=np.int64)
         idb = b["__id"].to_numpy(dtype=np.int64)
         out_a, out_b, out_s = [], [], []
-        for s0 in range(0, len(Ma), 2048):
-            S = Ma[s0 : s0 + 2048] @ Mb.T
+        from sdvg_spark.ops.similarity import _SCORE_CHUNK_ELEMS
+
+        step = max(1, _SCORE_CHUNK_ELEMS // max(len(Mb), 1))
+        for s0 in range(0, len(Ma), step):
+            S = Ma[s0 : s0 + step] @ Mb.T
             ra, cb = np.nonzero(S >= thr)
             if len(ra):
                 ai, bi = ida[ra + s0], idb[cb]
