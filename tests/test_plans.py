@@ -354,3 +354,44 @@ def test_simhash_join_tiers(spark, entry):
     # block comparisons; no pair-keyed aggregate survives
     assert "shiftrightunsigned" in big
     assert not re.search(r"HashAggregate\(keys=\[id_a", big)
+
+
+def test_span_census_joins_are_hash_not_sortmerge(spark, entry):
+    """duplicate_spans / remove_duplicate_spans: every corpus-scale join
+    is shuffle-hash — SMJ would sort the corpus × windows occurrence
+    side (r9 probe: the join sort is avoidable even though the census
+    spill is the countDistinct partial maps)."""
+    for q in ("duplicate_spans", "remove_duplicate_spans"):
+        plan = _plan(entry.queries()[q](spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, q
+        assert "ShuffledHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_remove_duplicate_spans_never_shuffles_corpus_tokens(spark, entry):
+    """The rewrite rebuilds trimmed text in-row: no exploded-token
+    exchange, no collect_list regroup — the only aggregates left are
+    the detector's census and the per-doc mask fold."""
+    plan = _plan(entry.queries()["remove_duplicate_spans"](spark, SF_DIR))
+    assert "collect_list" not in plan
+    assert "array_except" in plan  # the in-row rebuild is in the plan
+
+
+def test_pack_order_single_range_shuffle_no_smj(spark, entry):
+    """training_order: ONE global range partitioning (the order itself),
+    pack-level joins broadcast, nothing sort-merges or nest-loops."""
+    plan = _plan(entry.queries()["pack_order"](spark, SF_DIR))
+    assert plan.count("rangepartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_join_is_hash_and_window_group_limited(spark, entry):
+    """tfidf: the df join hashes the vocab-sized side (no postings
+    re-sort) and the per-doc top-k carries WindowGroupLimit so rank<=k
+    prunes map-side."""
+    plan = _plan(entry.queries()["tfidf_keywords"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "WindowGroupLimit" in plan
