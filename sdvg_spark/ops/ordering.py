@@ -133,13 +133,16 @@ def training_order(
         .withColumn("__w", wcol)
     )
     # an unknown source would make __w NULL and the key NULL (silently
-    # sorted first); raise inside the key expression instead — the
-    # CASE is codegen and free when the contract holds. (A separate
-    # assert column would be pruned away and never run.)
+    # sorted first), and a zero/negative rule-derived weight would
+    # divide-by-zero or invert the order; raise inside the key
+    # expression instead — the CASE is codegen and free when the
+    # contract holds. (A separate assert column would be pruned away
+    # and never run.)
     key = F.expr(
         f"((__hk % {_H_MOD}) * __n_src) DIV "
-        f"(CASE WHEN __w IS NULL THEN CAST(raise_error(concat("
-        f"'source missing from ratios: ', CAST({source_col} AS STRING)"
+        f"(CASE WHEN __w IS NULL OR __w <= 0 THEN CAST(raise_error(concat("
+        f"'source missing from ratios or non-positive weight: ', "
+        f"CAST({source_col} AS STRING)"
         f")) AS BIGINT) ELSE __w END)"
     )
     out_cols = df.columns

@@ -2118,6 +2118,13 @@ def test_training_order_unknown_source_raises(spark):
         training_order(
             df, "id", seed=1, source_col="source", ratios={"a": 1.0}
         ).collect()
+    # rule-derived weights must be positive: a 0 weight would divide by
+    # zero, a negative one would invert the order — both raise in-plan
+    with _pytest.raises(Exception, match="non-positive weight"):
+        training_order(
+            df, "id", seed=1, source_col="source",
+            weight_expr="CASE WHEN source = 'a' THEN 1000000 ELSE 0 END",
+        ).collect()
 
 
 def test_training_order_duckdb_mirror(spark):
