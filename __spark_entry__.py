@@ -1462,11 +1462,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document — integer-deterministic
     ranking (tf DESC, df ASC, token), float score display-only
-    (ops/text.py:tfidf_topk)."""
+    (ops/text.py:tfidf_topk). Corpus count (score literal + tier
+    probe) from parquet footer metadata — no plan-build count job."""
     from sdvg_spark.ops.text import tfidf_topk
 
     docs = _read(spark, sf_dir, "documents")
-    return tfidf_topk(docs, "doc_id", "text", top_n=3)
+    n = _parquet_rows(sf_dir, "documents")
+    return tfidf_topk(
+        docs, "doc_id", "text", top_n=3, n_docs=None if n < 0 else n
+    )
 
 
 # ---------------------------------------------------------------------------

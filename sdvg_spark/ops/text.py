@@ -766,8 +766,12 @@ def tfidf_topk(
     top_n: int = 3,
     round_digits: int = 6,
     order_by: str = "deterministic",
+    n_docs: int | None = None,
 ):
-    """Top-``top_n`` keywords per document.
+    """Top-``top_n`` keywords per document. ``n_docs`` (the corpus
+    count: the score literal and the tier probe) may be passed by
+    callers who already know it — e.g. from parquet footer metadata —
+    to skip the plan-build count job.
 
     ``order_by="deterministic"`` (default) ranks by the INTEGER-ONLY
     key ``(tf DESC, df ASC, token ASC)``. This is NOT the tf·ln(N/df)
@@ -811,7 +815,8 @@ def tfidf_topk(
     """
     if order_by not in ("deterministic", "score"):
         raise ValueError(f"order_by must be deterministic/score, got {order_by!r}")
-    n_docs = df.count()
+    if n_docs is None:
+        n_docs = df.count()
     if n_docs < _TFIDF_RLE_MIN_DOCS:
         tok = df.select(
             F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")

@@ -2223,3 +2223,21 @@ def test_training_order_weight_expr_rule(spark):
     )
     want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert {r.id: r.order_key for r in out2} == want
+
+
+def test_parquet_rows_footer_metadata(spark, tmp_path):
+    """__spark_entry__._parquet_rows: footer-metadata counts match the
+    engine for single-file and directory layouts; missing paths report
+    -1 (callers fall back to df.count())."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_pr", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+    df = spark.range(1234).selectExpr("id", "id * 2 AS v")
+    df.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    assert E._parquet_rows(str(tmp_path), "t") == 1234
+    assert E._parquet_rows(str(tmp_path), "missing") == -1
