@@ -270,6 +270,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10, n_cells=16, n_probe=12).select("q_id", "c_id", "rank")
 
 
+def q_ann_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task-merged IVF kernel (ops/ivf_merge.py): value-identical to
+    similarity.ivf_topk — the oracle SQL is shared verbatim — but the
+    corpus-pass kernel keeps one running top-k pool per query and
+    emits ≤ queries × k rows per TASK, fixing the sf100 pre-rank sort
+    spill SHUFFLE_r09.md pinned (50 GB disk / 127 GB memory on the
+    per-(batch, cell, query) emission). Registered as its own query
+    this round because similarity.py and the composed q_ann_* wrappers
+    are certificate-frozen (rotation ledger); it supersedes ann_ivf's
+    path next round when the ann family rotates in-window."""
+    from sdvg_spark.ops.ivf_merge import ivf_topk_merged
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivf_topk_merged(emb, q, k=10, n_cells=16, n_probe=12).select(
+        "q_id", "c_id", "rank"
+    )
+
+
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index path end-to-end: train centroids (n_iters=0
     degenerates to the n_cells smallest-id sample rows — the corpus fits
@@ -1503,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": q_ann_topk,
             "ann_lsh": q_ann_lsh,
             "ann_ivf": q_ann_ivf,
+            "ann_ivf_merged": q_ann_ivf_merged,
             "ann_ivf_index": q_ann_ivf_index,
             "ann_recall": q_ann_recall,
             "pricing_summary": q_pricing_summary,
@@ -1594,8 +1617,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup rows rotated in-window and six untouched r8-certified rows
     # (ann_lsh, ann_recall, events_funnel, media_audio_features,
     # profile_events, stream_funnel) deferred in their place.)
+    # (late-r9 swap #2: the NEW ann_ivf_merged row — ops/ivf_merge.py's
+    # task-merged kernel that closes SHUFFLE_r09's 50 GB sf100 spill,
+    # sharing ann_ivf's oracle verbatim — takes the one free slot;
+    # events_retention (r8 cert, analytics.py untouched) defers in its
+    # place. ann_ivf itself and the composed ann_recall keep their r8
+    # certificates: similarity.py and the q_ann_* wrappers are
+    # untouched; the merged path replaces ann_ivf's next round.)
     deferred = [
         # r8-certified, modules untouched in r9
+        "events_retention",
         "ann_ivf",
         "ann_ivf_index",
         "ann_lsh",
@@ -1705,6 +1736,9 @@ WHERE a.vec_id < b.vec_id
         k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64
     )
     out["ann_ivf"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)
+    # the task-merged kernel is value-identical by construction — the
+    # SAME oracle certifies it (ops/ivf_merge.py docstring)
+    out["ann_ivf_merged"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)
     # the persisted-index search is value-equal to the in-memory ivf
     # variant by construction (n_iters=0 + full-corpus sample -> same
     # centroids; same assignment kernel; same cosine arithmetic), so the
