@@ -41,7 +41,8 @@ _H_BITS = 30
 _H_MOD = 1 << _H_BITS
 _W_SCALE = 1_000_000
 # counts at or above this would overflow key * count past 2^61 — at
-# that size (2B+ rows in ONE source) shard the source first
+# that size (2B+ rows in ONE source) shard the source first; enforced
+# by a raise_error branch inside the blend-key expression
 _MAX_SOURCE_ROWS = (1 << 61) // _H_MOD
 
 
@@ -139,7 +140,10 @@ def training_order(
     # contract holds. (A separate assert column would be pruned away
     # and never run.)
     key = F.expr(
-        f"((__hk % {_H_MOD}) * __n_src) DIV "
+        f"((__hk % {_H_MOD}) * CASE WHEN __n_src >= {_MAX_SOURCE_ROWS} THEN "
+        f"CAST(raise_error(concat('source too large for the 30-bit blend key "
+        f"(shard it first): ', CAST({source_col} AS STRING))) AS BIGINT) "
+        f"ELSE __n_src END) DIV "
         f"(CASE WHEN __w IS NULL OR __w <= 0 THEN CAST(raise_error(concat("
         f"'source missing from ratios or non-positive weight: ', "
         f"CAST({source_col} AS STRING)"

@@ -32,6 +32,7 @@ QUERIES = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_merged",
     "ann_ivf_index",
     "ann_quantized",
     "pricing_summary",
