@@ -214,3 +214,214 @@ def ivf_topk_merged(
         ),
     ).where(F.col("rank") <= k)
     return final.select("q_id", "c_id", "cosine", "rank")
+
+
+def _dedup_pool(q, c, s):
+    """Drop repeated (q, c) pairs from a candidate pool (cross-table
+    LSH collisions of the same pair score identically, so any instance
+    may be kept). MUST run before a top-k cut: a pair duplicated into
+    two of a query's k slots would evict a genuine winner that the
+    final ranking (which sees each pair once) still needs."""
+    import numpy as np
+
+    o = np.lexsort((c, q))
+    q, c, s = q[o], c[o], s[o]
+    first = np.r_[True, (q[1:] != q[:-1]) | (c[1:] != c[:-1])]
+    return q[first], c[first], s[first]
+
+
+def _lsh_taskmerge_kernel(bc, top_n: int, compact_rows: int = _POOL_COMPACT_ROWS):
+    """mapInPandas kernel: per-table signatures + bucket scoring + ONE
+    running per-query top-k pool for the whole task — the scale fix for
+    similarity's ``_lsh_fused_kernel``, which buffers the full batch
+    triple set (tables × probing-queries × rows) before compacting; at
+    the sf100 census that is ~110 GB per 64k-row Arrow batch and the
+    Python workers die on the allocation (SHUFFLE_r09.md).
+
+    Three bounds replace the batch buffer:
+
+    * per-(table, bucket) block cut — each scored block contributes at
+      most |probing queries| × top_n rows (``_topk_select``, the exact
+      per-block cut every kernel here shares);
+    * a per-query score threshold — once a query's pool holds top_n
+      candidates, its k-th score is a floor no later candidate may
+      under-run (ties kept: ``>=``), so post-warmup blocks contribute
+      little;
+    * pool compaction past ``compact_rows``: dedup cross-table (q, c)
+      repeats, cut to exact per-query top-k, refresh the thresholds.
+
+    The pool stores query INDICES (positions in the sorted q_ids /
+    Qn), mapped to ids once at emission.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sdvg_spark.ops.similarity import _SCORE_CHUNK_ELEMS, _topk_select
+
+    def run(batches):
+        q_ids, Qn, w_flat, n_tables, n_planes, tables = bc.value
+        nq = len(q_ids)
+        if nq == 0:
+            return
+        q_arr = np.asarray(q_ids, dtype=np.int64)
+        acc_q: list = []
+        acc_c: list = []
+        acc_s: list = []
+        pending = 0
+        thr = np.full(nq, -np.inf)
+
+        def compact():
+            nonlocal pending
+            q = np.concatenate(acc_q)
+            c = np.concatenate(acc_c)
+            s = np.concatenate(acc_s)
+            q, c, s = _dedup_pool(q, c, s)
+            q, c, s = _pool_topk(q, c, s, top_n)
+            acc_q[:], acc_c[:], acc_s[:] = [q], [c], [s]
+            pending = len(q)
+            starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+            counts = np.diff(np.append(starts, len(q)))
+            full = counts >= top_n
+            thr[q[starts[full]]] = s[starts[full] + top_n - 1]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            bits = (M @ w_flat.T) >= 0  # sign rule ≡ hyperplane_sigs_df
+            sigs = np.zeros((len(M), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for p in range(n_planes):
+                    sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C = M / nrm[:, None]
+            for t in range(n_tables):
+                tbl = tables[t]
+                col = sigs[:, t]
+                uniq, inv = np.unique(col, return_inverse=True)
+                for ui in range(len(uniq)):
+                    qidx = tbl.get(int(uniq[ui]))
+                    if qidx is None or not len(qidx):
+                        continue
+                    rows = np.flatnonzero(inv == ui)
+                    ids_b = c_ids[rows]
+                    Cb = C[rows]
+                    top = min(top_n, len(rows))
+                    qidx = np.asarray(qidx, dtype=np.int64)
+                    chunk = max(1, _SCORE_CHUNK_ELEMS // len(rows))
+                    for s0 in range(0, len(qidx), chunk):
+                        qc = qidx[s0 : s0 + chunk]
+                        sims = Cb @ Qn[qc].T  # (rows, |qc|)
+                        cols, rws = _topk_select(sims, ids_b, top)
+                        sv = sims[rws, cols]
+                        qi = qc[cols]
+                        keep = sv >= thr[qi]
+                        if not keep.any():
+                            continue
+                        acc_q.append(qi[keep])
+                        acc_c.append(ids_b[rws[keep]])
+                        acc_s.append(sv[keep])
+                        pending += int(keep.sum())
+                        if pending > compact_rows:
+                            compact()
+        if acc_q:
+            compact()
+            yield pd.DataFrame(
+                {"q_id": q_arr[acc_q[0]], "c_id": acc_c[0], "cosine": acc_s[0]}
+            )
+
+    return run
+
+
+def lsh_topk_merged(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    multiprobe: int = 1,
+    seed: int = 7,
+    dims: int | None = None,
+) -> DataFrame:
+    """Drop-in, value-identical replacement for :func:`similarity.
+    lsh_topk` built on :func:`_lsh_taskmerge_kernel` — same hyperplane
+    tensor, signatures, multiprobe expansion, scoring arithmetic, and
+    (cosine DESC, id ASC) ranking (``lsh_topk_oracle_sql`` stays the
+    oracle), but the corpus-pass kernel never materializes more than
+    the compaction pool: at the sf100 census the old kernel's batch
+    triple buffer is ~110 GB and kills the worker; this one peaks at
+    ~25 MB. Driver-side setup mirrors lsh_topk line-for-line; folds
+    back into similarity.py with the round-10 certificate rotation.
+    """
+    import numpy as np
+
+    from sdvg_spark.ops.dedup import bounded_local_vectors, widen
+    from sdvg_spark.ops.similarity import hyperplane_weights
+
+    spark = corpus.sparkSession
+    qloc = bounded_local_vectors(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
+        "q_id",
+        "__qv",
+        256_000_000,
+    )
+    if qloc is None:
+        raise ValueError("query set exceeds max_query_bytes")
+    q_ids, Q = qloc
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rank int"
+        )
+    if dims is None:
+        dims = Q.shape[1]
+    w_flat = hyperplane_weights(n_planes, n_tables, seed, dims).reshape(
+        n_tables * n_planes, dims
+    )
+    qbits = (Q @ w_flat.T) >= 0
+    qsigs = np.zeros((len(q_ids), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            qsigs[:, t] |= qbits[:, t * n_planes + p].astype(np.int64) << p
+    flips = [0]
+    if multiprobe >= 1:
+        flips += [1 << b for b in range(n_planes)]
+    if multiprobe >= 2:
+        flips += [
+            (1 << b1) | (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        ]
+    tables: list[dict] = []
+    for t in range(n_tables):
+        buckets: dict = {}
+        for qi in range(len(q_ids)):
+            for fl in flips:
+                buckets.setdefault(int(qsigs[qi, t]) ^ fl, []).append(qi)
+        tables.append({s: np.array(v, dtype=np.int64) for s, v in buckets.items()})
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, Qn, w_flat, n_tables, n_planes, tables)
+    )
+    part = (
+        widen(corpus)
+        .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
+        .mapInPandas(
+            _lsh_taskmerge_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
+        )
+    )
+    final = part.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+        ),
+    ).where(F.col("rank") <= k)
+    return final.select("q_id", "c_id", "cosine", "rank")

@@ -49,7 +49,25 @@ def main() -> None:
         n = pin
     print(f"<!-- {sf_dir}: shuffle.partitions={n} -->", flush=True)
 
-    qs = E.queries()
+    qs = dict(E.queries())
+
+    def _ann_lsh_merged(spark, sf_dir):
+        # q_ann_lsh's exact parameters over the task-merged kernel —
+        # not a driver row this round (the 50-slot window is full), so
+        # the probe wires it directly
+        from pyspark.sql import functions as F
+
+        from sdvg_spark.ops.ivf_merge import lsh_topk_merged
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        q = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return lsh_topk_merged(
+            emb, q, k=10, n_planes=6, n_tables=16, multiprobe=1
+        ).select("q_id", "c_id", "rank")
+
+    qs["ann_lsh_merged"] = _ann_lsh_merged
     only = [q for q in os.environ.get("PROBE_QUERIES", "").split(",") if q]
     for name in only or ("ann_ivf_merged", "ann_ivf"):
         tag = f"{name}@{sf_dir}"
