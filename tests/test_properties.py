@@ -261,3 +261,149 @@ def test_funnel_replay_equals_chain_and_composes(data, steps, window):
                 state, mkdf(batch), "ts", "t", first_index, fi, w_us
             )
     assert state == one_shot
+
+
+# --- task-merged ANN kernels (ops/ivf_merge.py) -------------------------
+
+@given(
+    n=st.integers(20, 300),
+    nq=st.integers(1, 12),
+    dims=st.integers(2, 24),
+    top=st.integers(1, 8),
+    batch=st.integers(7, 97),
+    compact=st.integers(4, 64),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_ivf_taskmerge_pool_reduces_to_fused(n, nq, dims, top, batch, compact, seed):
+    """For ANY corpus/query census, batch size, and compaction cadence,
+    the merged ivf kernel's emission reduces (dedup + exact per-query
+    top-k) to the same winners as the per-(batch, cell) fused kernel —
+    the associativity the sf100 spill fix rests on."""
+    import pandas as pd
+
+    from sdvg_spark.ops.ivf_merge import (
+        _dedup_pool,
+        _ivf_taskmerge_kernel,
+        _pool_topk,
+    )
+    from sdvg_spark.ops.similarity import _ivf_fused_kernel
+
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(n, dims))
+    C /= np.maximum(np.linalg.norm(C, axis=1)[:, None], 1e-12)
+    c_ids = rng.permutation(n).astype(np.int64) * 7 + 1
+    n_cells = min(4, n)
+    cent = C[:n_cells].copy()
+    Qn = rng.normal(size=(nq, dims))
+    Qn /= np.maximum(np.linalg.norm(Qn, axis=1)[:, None], 1e-12)
+    q_ids = (np.arange(nq, dtype=np.int64) + 1) * 1000
+    n_probe = max(1, n_cells - 1)
+    order = np.argsort(-(Qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    probing = [np.flatnonzero((order == c).any(axis=1)) for c in range(n_cells)]
+    bc_val = (q_ids, Qn, cent, probing)
+
+    class BC:
+        value = bc_val
+
+    def run(factory, **kw):
+        kern = factory(BC(), top, **kw)
+        frames = list(
+            kern(
+                pd.DataFrame(
+                    {"c_id": c_ids[s : s + batch], "__v": list(C[s : s + batch])}
+                )
+                for s in range(0, n, batch)
+            )
+        )
+        if not frames:
+            return None
+        df = pd.concat(frames, ignore_index=True)
+        q = df["q_id"].to_numpy(np.int64)
+        c = df["c_id"].to_numpy(np.int64)
+        s = df["cosine"].to_numpy(np.float64)
+        q, c, s = _dedup_pool(q, c, s)
+        q, c, s = _pool_topk(q, c, s, top)
+        return list(zip(q.tolist(), c.tolist()))
+
+    assert run(_ivf_taskmerge_kernel, compact_rows=compact) == run(_ivf_fused_kernel)
+
+
+@given(
+    n=st.integers(20, 250),
+    nq=st.integers(1, 10),
+    dims=st.integers(2, 16),
+    top=st.integers(1, 6),
+    n_planes=st.integers(1, 5),
+    n_tables=st.integers(1, 5),
+    batch=st.integers(7, 83),
+    compact=st.integers(4, 48),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_lsh_taskmerge_pool_reduces_to_fused(
+    n, nq, dims, top, n_planes, n_tables, batch, compact, seed
+):
+    """Same associativity property for the lsh kernel, which must ALSO
+    dedup cross-table (q, c) collisions before any cut — duplicated
+    corpus directions are planted to force multi-table collisions."""
+    import pandas as pd
+
+    from sdvg_spark.ops.ivf_merge import (
+        _dedup_pool,
+        _lsh_taskmerge_kernel,
+        _pool_topk,
+    )
+    from sdvg_spark.ops.similarity import _lsh_fused_kernel, hyperplane_weights
+
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(n, dims))
+    C /= np.maximum(np.linalg.norm(C, axis=1)[:, None], 1e-12)
+    C[-1] = C[0]  # exact duplicate direction -> all-table collisions
+    c_ids = rng.permutation(n).astype(np.int64) * 3 + 2
+    Q = rng.normal(size=(nq, dims))
+    q_ids = (np.arange(nq, dtype=np.int64) + 1) * 100
+    w_flat = hyperplane_weights(n_planes, n_tables, seed % 997, dims).reshape(
+        n_tables * n_planes, dims
+    )
+    qbits = (Q @ w_flat.T) >= 0
+    qsigs = np.zeros((nq, n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            qsigs[:, t] |= qbits[:, t * n_planes + p].astype(np.int64) << p
+    flips = [0] + [1 << b for b in range(n_planes)]
+    tables = []
+    for t in range(n_tables):
+        buckets: dict = {}
+        for qi in range(nq):
+            for fl in flips:
+                buckets.setdefault(int(qsigs[qi, t]) ^ fl, []).append(qi)
+        tables.append({s: np.array(v, dtype=np.int64) for s, v in buckets.items()})
+    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+    Qn = Q / qn[:, None]
+    bc_val = (q_ids, Qn, w_flat, n_tables, n_planes, tables)
+
+    class BC:
+        value = bc_val
+
+    def run(factory, **kw):
+        kern = factory(BC(), top, **kw)
+        frames = list(
+            kern(
+                pd.DataFrame(
+                    {"c_id": c_ids[s : s + batch], "__v": list(C[s : s + batch])}
+                )
+                for s in range(0, n, batch)
+            )
+        )
+        if not frames:
+            return None
+        df = pd.concat(frames, ignore_index=True)
+        q = df["q_id"].to_numpy(np.int64)
+        c = df["c_id"].to_numpy(np.int64)
+        s = df["cosine"].to_numpy(np.float64)
+        q, c, s = _dedup_pool(q, c, s)
+        q, c, s = _pool_topk(q, c, s, top)
+        return list(zip(q.tolist(), c.tolist()))
+
+    assert run(_lsh_taskmerge_kernel, compact_rows=compact) == run(_lsh_fused_kernel)
