@@ -963,8 +963,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap-fill: a 6-hour grid per user over the
     user's own event window, each grid point carrying the last event
-    value at or before it (LOCF; null before the first event). Composes
-    the bounds-aggregate grid with the as-of join — two shuffles total
+    value at or before it (LOCF; null before the first event). Two
+    shuffles (bounds agg + lead-window over the OBSERVATIONS only);
+    the grid rows are sequence-exploded map-side from each event's
+    validity interval, never sorted — the r9 sf100 probe measured the
+    old grid+as-of union sort at 17.7 GB memory spill
     (ops/joins.py:gap_fill_locf). Oracle: per-key integer grid +
     DuckDB's native ASOF LEFT JOIN."""
     from sdvg_spark.ops.joins import gap_fill_locf

@@ -65,6 +65,7 @@ def asof_join(
     mode: str = "auto",
     broadcast_max_rows: int = 2_000_000,
     broadcast_max_bytes: int = 256_000_000,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Attach to every left row the payload of the temporally nearest
     right row with the same ``on`` key.
@@ -79,8 +80,17 @@ def asof_join(
 
     Contract: the right side must be unique per ``(on…, right_ts)`` —
     with duplicates the picked row would be engine-dependent (DuckDB's
-    ASOF JOIN leaves it undefined too). Pre-aggregate the right side
-    (e.g. ``max_by`` per key+ts) before calling.
+    ASOF JOIN leaves it undefined too). Either pre-aggregate the right
+    side (e.g. ``max_by`` per key+ts) before calling, or pass
+    ``right_tiebreak``: among equal ``(on…, right_ts)`` right rows the
+    one with the GREATEST tiebreak wins (nulls lose to any non-null),
+    in every direction and in both tiers. The tiebreak rides the
+    window's EXISTING per-key sort as one extra order column — it costs
+    no shuffle, where a ``max_by`` pre-aggregation over a right side
+    whose (key, ts) pairs are near-unique (real telemetry) is a full
+    near-raw-cardinality hash aggregate: at the sf100 probe that
+    partial-agg was 17.7 GB of memory spill in gap_fill_locf before
+    this parameter replaced it (SHUFFLE_r09.md).
 
     NULL keys follow JOIN semantics, not window semantics: a null key
     never matches anything (right rows with a null key are dropped;
@@ -137,6 +147,9 @@ def asof_join(
             )
 
     t, tag, pay = "__asof_t", "__asof_side", "__asof_p"
+    tb = "__asof_tb"
+    if right_tiebreak is not None and right_tiebreak not in right.columns:
+        raise ValueError(f"right_tiebreak {right_tiebreak!r} not in right columns")
     # join semantics for nulls: a null-key right row can match nothing
     keycond = None
     for c in on:
@@ -146,9 +159,24 @@ def asof_join(
 
     if mode != "window":
         loc = _bounded_local_right(
-            right, [*on, right_ts, *payload], broadcast_max_rows, broadcast_max_bytes
+            right,
+            [*on, right_ts, *payload]
+            + ([right_tiebreak] if right_tiebreak not in (None, *on, right_ts, *payload) else []),
+            broadcast_max_rows,
+            broadcast_max_bytes,
         )
         if loc is not None:
+            if right_tiebreak is not None:
+                # same winner as the window tier's tiebreak sort: keep
+                # the greatest-tiebreak row per (key, ts) — driver-side
+                # pandas, bounded by the broadcast caps
+                extra = right_tiebreak not in (*on, right_ts, *payload)
+                loc = (
+                    loc.sort_values([*on, right_ts, right_tiebreak], na_position="first")
+                    .drop_duplicates([*on, right_ts], keep="last")
+                    .drop(columns=[right_tiebreak] if extra else [])
+                    .reset_index(drop=True)
+                )
             return _asof_broadcast(
                 left, right, loc,
                 on=on, left_ts=left_ts, right_ts=right_ts, payload=payload,
@@ -163,10 +191,14 @@ def asof_join(
             )
     # one struct per right row: matched ts + payload, so every output
     # field provably comes from the same matched row
+    tbcols_r = (
+        [F.col(right_tiebreak).alias(tb)] if right_tiebreak is not None else []
+    )
     r2 = right.select(
         *on,
         F.col(right_ts).alias(t),
         F.lit(0).alias(tag),
+        *tbcols_r,
         F.struct(F.col(right_ts).alias("__mt"), *[F.col(c) for c in payload]).alias(pay),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -178,6 +210,11 @@ def asof_join(
         *on,
         F.col(left_ts).alias(t),
         F.lit(1).alias(tag),
+        *(
+            [F.lit(None).cast(right.schema[right_tiebreak].dataType).alias(tb)]
+            if right_tiebreak is not None
+            else []
+        ),
         F.lit(None).cast(r2.schema[pay].dataType).alias(pay),
         *[F.col(c) for c in left.columns if c not in on],
     )
@@ -188,6 +225,14 @@ def asof_join(
     # backward, pandas merge_asof's rule).
     def w_of(desc: bool):
         order = [F.col(t).desc() if desc else F.col(t).asc(), F.col(tag).asc()]
+        if right_tiebreak is not None:
+            # among equal (key, ts) right rows the cumulative
+            # last(ignorenulls) picks the row latest in sort order —
+            # tiebreak ASC (nulls first) makes that the greatest
+            # tiebreak, in both directions (tag separates the sides, so
+            # the extra column never reorders left rows relative to
+            # right ones)
+            order.append(F.col(tb).asc_nulls_first())
         return (
             Window.partitionBy(*on)
             .orderBy(*order)
@@ -395,49 +440,118 @@ def gap_fill_locf(
 
     The grid spans each key's own [min, max] observation window,
     aligned down to a ``step_us`` multiple (so grid timestamps are
-    bucket boundaries, comparable across keys); pass ``start_us`` /
-    ``end_us`` (epoch-µs, inclusive) to pin either bound globally
-    instead — every key then shares an identical grid, the shape a
-    cross-key join or matrix export needs. It is generated
-    distributively — per-key bounds from one aggregate, then
-    ``sequence``+``explode`` — and the fill is :func:`asof_join`, so
-    the whole operator is three map-side-combined shuffles (bounds agg,
-    per-(key, ts) dedup agg, the as-of window) regardless of scale.
-    With duplicate observations per (key, ts) the
-    one with the greatest ``tiebreak_col`` wins (required if
-    duplicates are possible — the as-of contract needs a unique right
-    side).
+    epoch-aligned bucket boundaries, comparable across keys); pass
+    ``start_us`` / ``end_us`` (epoch-µs, inclusive) to pin either bound
+    globally instead — every key then shares an identical grid, the
+    shape a cross-key join or matrix export needs.
+
+    Plan shape — the grid is GENERATED, never sorted: one lead-window
+    over the observations (each observation learns its validity
+    interval ``[ts, next ts)``) and each observation then
+    ``sequence``+``explode``-s the grid points it covers MAP-SIDE,
+    after the sort; the leading-gap (pre-first-observation) null rows
+    come from the per-key bounds aggregate the same way. Two map-side-
+    combined shuffles regardless of scale — the bounds aggregate and
+    the observation window — and the only sorted relation is the
+    observations themselves. The previous formulation (grid explode →
+    as-of union window) sorted grid+observations TOGETHER: with a
+    fine grid the sort input is dominated by the OUTPUT (sf100 probe:
+    1.5G grid points over 100M events — 17.7 GB of memory spill
+    through the dedup agg + as-of sort; the interval formulation
+    sorts 100M rows and spills nothing, SHUFFLE_r09.md).
+
+    Duplicate observations per (key, ts): the one with the greatest
+    ``tiebreak_col`` wins — duplicates resolve INSIDE the window's
+    existing per-key sort (non-winners get an empty validity interval),
+    costing no extra shuffle. Without ``tiebreak_col`` a dedup
+    aggregate (max per value column) is the only deterministic option
+    and adds a third shuffle (its (key, ts) grouping is near-raw
+    cardinality over real telemetry — prefer the tiebreak).
 
     Output: keys…, ``ts`` (grid point, µs-exact timestamp), ``obs_us``
     (µs of the carried observation, null in leading gaps), and the
     ``value_cols`` as carried.
     """
+    step = F.lit(step_us)
     obs_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    per_ts = observations.groupBy(*keys, obs_us.alias("__us"))
     if tiebreak_col is None:
-        obs = per_ts.agg(*[F.max(c).alias(c) for c in value_cols])
-    else:
-        obs = per_ts.agg(
-            *[F.max_by(F.col(c), F.col(tiebreak_col)).alias(c) for c in value_cols]
+        obs = observations.groupBy(*keys, obs_us.alias("__us")).agg(
+            *[F.max(c).alias(c) for c in value_cols]
         )
-    bounds = observations.groupBy(*keys).agg(
-        F.min(obs_us).alias("__mn"), F.max(obs_us).alias("__mx")
-    )
+        order = [F.col("__us").asc()]
+    else:
+        obs = observations.select(
+            *keys, obs_us.alias("__us"), *value_cols,
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        # duplicates sort before their max-tiebreak winner: lead(ts)
+        # hands every non-winner its own ts back -> empty interval
+        order = [F.col("__us").asc(), F.col("__tb").asc_nulls_first()]
+
     # integer alignment (x - x % step): float division could lose a µs
-    # near 2^53
-    lo = F.lit(int(start_us) - int(start_us) % step_us) if start_us is not None \
-        else F.col("__mn") - F.col("__mn") % F.lit(step_us)
-    hi = F.lit(int(end_us)) if end_us is not None else F.col("__mx")
-    grid = bounds.select(
-        *keys,
-        F.explode(F.sequence(lo, hi, F.lit(step_us))).alias("__g_us"),
+    # near 2^53. Grid points are epoch multiples of step, so alignment
+    # needs no per-key anchor.
+    def down(c: Column) -> Column:
+        return c - c % step
+
+    def up(c: Column) -> Column:
+        return c + (step - c % step) % step
+
+    w_ord = Window.partitionBy(*keys).orderBy(*order)
+    w_all = Window.partitionBy(*keys)
+    lo = (
+        F.lit(int(start_us) - int(start_us) % step_us)
+        if start_us is not None
+        else down(F.min("__us").over(w_all))
     )
-    filled = asof_join(
-        grid, obs,
-        on=keys, left_ts="__g_us", right_ts="__us",
-        payload=value_cols, matched_ts="obs_us",
+    hi_g = (
+        F.lit(int(end_us) - int(end_us) % step_us)
+        if end_us is not None
+        else down(F.max("__us").over(w_all))
     )
-    return filled.select(
+    nxt = F.lead("__us").over(w_ord)
+    cov_lo = F.greatest(up(F.col("__us")), lo)
+    cov_hi = F.least(F.coalesce(down(nxt - 1), hi_g), hi_g)
+    covered = (
+        obs.withColumn("__lo", cov_lo)
+        .withColumn("__hi", cov_hi)
+        .where(F.col("__lo") <= F.col("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence("__lo", "__hi", step)).alias("__g_us"),
+            F.col("__us").alias("obs_us"),
+            *value_cols,
+        )
+    )
+    bounds = observations.groupBy(*keys).agg(F.min(obs_us).alias("__mn"))
+    gap_lo = (
+        F.lit(int(start_us) - int(start_us) % step_us)
+        if start_us is not None
+        else down(F.col("__mn"))
+    )
+    gap_hi_cap = (
+        F.lit(int(end_us) - int(end_us) % step_us)
+        if end_us is not None
+        else None
+    )
+    gap_hi = down(F.col("__mn") - 1)
+    if gap_hi_cap is not None:
+        gap_hi = F.least(gap_hi, gap_hi_cap)
+    gaps = (
+        bounds.withColumn("__lo", gap_lo)
+        .withColumn("__hi", gap_hi)
+        .where(F.col("__lo") <= F.col("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence("__lo", "__hi", step)).alias("__g_us"),
+            F.lit(None).cast("long").alias("obs_us"),
+            *[
+                F.lit(None).cast(observations.schema[c].dataType).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    return gaps.unionByName(covered).select(
         *keys, F.timestamp_micros(F.col("__g_us")).alias("ts"), "obs_us", *value_cols
     )
 

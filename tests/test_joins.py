@@ -537,3 +537,122 @@ def test_interval_join_rejects_bad_args(spark):
     with pytest.raises(ValueError, match="ambiguous"):
         interval_join(df, df, on=["k"], left_lo="lo", left_hi="hi",
                       right_lo="lo", right_hi="hi", bucket=1)
+
+
+@pytest.mark.parametrize("mode", ["window", "broadcast"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_right_tiebreak_matches_max_by_preagg(spark, direction, mode):
+    """right_tiebreak must pick exactly the row a max_by(key, ts)
+    pre-aggregation would have picked, in every direction and tier —
+    the contract that lets gap_fill_locf drop its near-raw-cardinality
+    dedup aggregate (the sf100 17.7 GB spill, SHUFFLE_r09)."""
+    import random
+
+    from sdvg_spark.ops.joins import asof_join
+
+    rng = random.Random(42)
+    right_rows = []
+    seq = 0
+    for k in ("a", "b"):
+        for ts in range(0, 100, 7):
+            for _ in range(rng.randint(1, 4)):  # duplicates per (k, ts)
+                seq += 1
+                right_rows.append((k, ts, seq * 11 % 97, float(seq)))
+    right = spark.createDataFrame(right_rows, "k string, ts long, tb long, v double")
+    left = spark.createDataFrame(
+        [("a", t) for t in range(0, 100, 5)] + [("b", t) for t in range(3, 100, 9)],
+        "k string, ts long",
+    )
+    # reference: deterministic max_by pre-agg then plain asof
+    ded = right.groupBy("k", "ts").agg(F.max_by("v", "tb").alias("v"))
+    want = {
+        (r.k, r.ts): (r.matched_ts, r.v)
+        for r in asof_join(
+            left, ded, on=["k"], left_ts="ts", right_ts="ts",
+            payload=["v"], direction=direction, suffix="_m", mode=mode,
+        ).withColumnRenamed("v_m", "v").collect()
+    }
+    got = {
+        (r.k, r.ts): (r.matched_ts, r.v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload=["v"], direction=direction, suffix="_m", mode=mode,
+            right_tiebreak="tb",
+        ).withColumnRenamed("v_m", "v").collect()
+    }
+    assert got == want
+
+
+def test_asof_right_tiebreak_nulls_lose(spark):
+    from sdvg_spark.ops.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("a", 10, None, 1.0), ("a", 10, 5, 2.0), ("a", 10, 3, 3.0)],
+        "k string, ts long, tb long, v double",
+    )
+    left = spark.createDataFrame([("a", 11)], "k string, ts long")
+    for mode in ("window", "broadcast"):
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload=["v"], mode=mode, right_tiebreak="tb", suffix="_m",
+        ).collect()
+        assert len(out) == 1 and out[0]["v_m"] == 2.0, mode
+
+
+def test_asof_right_tiebreak_unknown_column_raises(spark):
+    from sdvg_spark.ops.joins import asof_join
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(df, df.drop("v"), on=["k"], left_ts="ts", right_ts="ts",
+                  payload=[], right_tiebreak="nope")
+
+
+def test_gap_fill_tiebreak_path_matches_preagg_path(spark):
+    """gap_fill_locf with a tiebreak (in-window resolution, two
+    shuffles) must produce exactly the rows of the explicit
+    max_by-pre-aggregated formulation (its previous plan)."""
+    import random
+
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for _ in range(rng.randint(2, 12)):
+            eid += 1
+            rows.append((u, rng.randint(0, 50) * 1_000_000, float(eid % 13), eid))
+    obs = spark.createDataFrame(rows, "u long, ts long, v double, eid long")
+    obs = obs.withColumn("ts", F.timestamp_micros("ts"))
+    ded = (
+        obs.groupBy("u", F.unix_micros("ts").alias("us"))
+        .agg(F.max_by("v", "eid").alias("v"))
+        .select("u", F.timestamp_micros("us").alias("ts"), "v",
+                F.lit(0).alias("eid"))
+    )
+    kw = dict(keys=["u"], ts_col="ts", value_cols=["v"], step_us=7_000_000)
+    want = sorted(map(tuple, gap_fill_locf(ded, tiebreak_col=None, **kw).collect()))
+    got = sorted(
+        map(tuple, gap_fill_locf(obs.select("u", "ts", "v", "eid"),
+                                 tiebreak_col="eid", **kw).collect())
+    )
+    assert got == want
+
+
+def test_gap_fill_tiebreak_plan_has_no_dedup_aggregate(spark):
+    """The tiebreak path's window tier is TWO exchanges (bounds agg +
+    as-of window) — the near-raw-cardinality (key, ts) dedup aggregate
+    is gone from the plan, not just cheap."""
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    obs = spark.createDataFrame(
+        [(1, 10_000_000, 1.0, 1)], "u long, ts long, v double, eid long"
+    ).withColumn("ts", F.timestamp_micros("ts"))
+    plan = (
+        gap_fill_locf(obs, keys=["u"], ts_col="ts", value_cols=["v"],
+                      step_us=1_000_000, tiebreak_col="eid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "max_by" not in plan
