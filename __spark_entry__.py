@@ -1243,10 +1243,11 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     15k tokens — the bucketed float-axis prefix-sum (ops/sampling.py:
     token_budget_sample), never a single-partition corpus window."""
     from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.dedup import widen
     from sdvg_spark.ops.sampling import token_budget_sample
 
     docs = _read(spark, sf_dir, "documents")
-    staged = docs.select(
+    staged = widen(docs).select(
         "doc_id", F.col("text").alias("__t"), T.tokens(F.col("text")).alias("__toks")
     )
     scored = staged.select(

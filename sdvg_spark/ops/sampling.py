@@ -375,11 +375,22 @@ def token_budget_sample(
         raise ValueError(f"budget must be >= 0, got {budget!r}")
     if not score_hi > score_lo:
         raise ValueError(f"need score_hi > score_lo, got {score_lo}, {score_hi}")
-    d = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(n_tokens_col).cast("long").alias("__n"),
-        F.col(score_col).cast("double").alias("__s"),
-    ).where(F.col("__n").isNotNull() & F.col("__s").isNotNull())
+    # The op consumes its input TWICE (the ≤n_bins stats aggregate,
+    # then the windowed cumsum). Materialize the slim 24 B/row triple
+    # projection once — without this the caller's upstream (typically
+    # a full tokenize+quality scan of the corpus) re-executes per
+    # pass: the sf100 probe measured token_budget_sample at 1417 s,
+    # double-scanning a 5M-doc tokenization to select 68 MB of
+    # triples.
+    d = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(n_tokens_col).cast("long").alias("__n"),
+            F.col(score_col).cast("double").alias("__s"),
+        )
+        .where(F.col("__n").isNotNull() & F.col("__s").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     span = float(score_hi) - float(score_lo)
     raw_bin = F.floor(
         (F.lit(float(score_hi)) - F.col("__s")) / F.lit(span) * F.lit(int(n_bins))
