@@ -321,7 +321,12 @@ def test_ivf_taskmerge_pool_reduces_to_fused(n, nq, dims, top, batch, compact, s
         df = pd.concat(frames, ignore_index=True)
         q = df["q_id"].to_numpy(np.int64)
         c = df["c_id"].to_numpy(np.int64)
-        s = df["cosine"].to_numpy(np.float64)
+        # 12-dp rounding: a candidate pair scored in two different gemm
+        # block shapes can differ in the LAST ULP (planted exact
+        # duplicates make such ties real), so exact-float tie-breaking
+        # is block-shape-dependent in BOTH kernels; rounding restores a
+        # true tie and the (score DESC, id ASC) cut is deterministic.
+        s = np.round(df["cosine"].to_numpy(np.float64), 12)
         q, c, s = _dedup_pool(q, c, s)
         q, c, s = _pool_topk(q, c, s, top)
         return list(zip(q.tolist(), c.tolist()))
@@ -401,7 +406,12 @@ def test_lsh_taskmerge_pool_reduces_to_fused(
         df = pd.concat(frames, ignore_index=True)
         q = df["q_id"].to_numpy(np.int64)
         c = df["c_id"].to_numpy(np.int64)
-        s = df["cosine"].to_numpy(np.float64)
+        # 12-dp rounding: a candidate pair scored in two different gemm
+        # block shapes can differ in the LAST ULP (planted exact
+        # duplicates make such ties real), so exact-float tie-breaking
+        # is block-shape-dependent in BOTH kernels; rounding restores a
+        # true tie and the (score DESC, id ASC) cut is deterministic.
+        s = np.round(df["cosine"].to_numpy(np.float64), 12)
         q, c, s = _dedup_pool(q, c, s)
         q, c, s = _pool_topk(q, c, s, top)
         return list(zip(q.tolist(), c.tolist()))
