@@ -63,12 +63,12 @@ def test_changed_or_unverified_queries_are_in_window():
     )
 
 
-def _current_round() -> int:
-    """The round in progress = latest CORRECTNESS_r{N}.json + 1."""
+def _latest_completed_round() -> int:
+    """The latest round with a recorded CORRECTNESS_r{N}.json."""
     rounds = [
         int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
     ]
-    return (max(rounds) if rounds else 0) + 1
+    return max(rounds) if rounds else 0
 
 
 def test_deferred_certificates_within_freshness_budget():
@@ -76,29 +76,34 @@ def test_deferred_certificates_within_freshness_budget():
     sufficient to sit past the cap — certificates must not age
     indefinitely.
 
-    The budget counts age AT THE MOMENT THIS ROUND'S RESULTS ARE
-    RECORDED (r8 lesson: checking age-now flipped the suite red the
-    instant the driver dropped CORRECTNESS_r08.json, because age-2 rows
-    became age-3 retroactively). A deferred query must therefore still
-    be within budget AFTER this round completes — i.e. its last green
-    row is at most MAX_AGE - 1 rounds old now — which in steady state
-    means only rows certified in the immediately previous round may sit
-    past the cap (35 deferred ≤ 50 window slots, so the halves
-    alternate round over round)."""
+    Age is measured against the latest COMPLETED round (max over the
+    recorded CORRECTNESS_r*.json — the r8/r9 verdicts' prescription).
+    The two prior formulations both flipped the suite red at a round
+    boundary: age-at-now went red the instant the driver recorded the
+    round (deferred rows aged retroactively), and the prospective
+    ``max+1`` variant just moved the same red to post-record, because
+    "deferred" by definition means "not certified in the round that
+    just recorded". Against the completed round the steady state is
+    clean: a deferred row must carry a row from the latest or the
+    immediately previous completed round (age <= 1), the halves of the
+    query set alternate through the 50-slot window round over round,
+    and recording round N leaves every N-1-certified deferred row at
+    age exactly 1."""
     order = list(_load_entry().queries().keys())
     ledger = _ledger()
-    cur = _current_round()
-    MAX_AGE = 2
+    latest = _latest_completed_round()
+    MAX_AGE = 1
     offenders = [
-        f"{q}: last row r{ledger[q]['round']} would be"
-        f" {cur + 1 - ledger[q]['round']} rounds old once r{cur} records"
+        f"{q}: last row r{ledger[q]['round']} is"
+        f" {latest - ledger[q]['round']} rounds behind r{latest}"
         f" (budget {MAX_AGE})"
         for q in order[WINDOW:]
-        if q in ledger and cur + 1 - ledger[q]["round"] > MAX_AGE
+        if q in ledger and latest - ledger[q]["round"] > MAX_AGE
     ]
     assert not offenders, (
-        "certificates past the 50-row cap would go stale when this round "
-        "records — rotate these into the window:\n  " + "\n  ".join(offenders)
+        "certificates past the 50-row cap are stale against the latest "
+        "completed round — rotate these into the window:\n  "
+        + "\n  ".join(offenders)
     )
 
 
