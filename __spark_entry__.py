@@ -270,28 +270,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10, n_cells=16, n_probe=12).select("q_id", "c_id", "rank")
 
 
-def q_ann_ivf_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Task-merged IVF kernel (ops/ivf_merge.py): value-identical to
-    similarity.ivf_topk — the oracle SQL is shared verbatim — but the
-    corpus-pass kernel keeps one running top-k pool per query and
-    emits ≤ queries × k rows per TASK, fixing the sf100 pre-rank sort
-    spill SHUFFLE_r09.md pinned (50 GB disk / 127 GB memory on the
-    per-(batch, cell, query) emission). Registered as its own query
-    this round because similarity.py and the composed q_ann_* wrappers
-    are certificate-frozen (rotation ledger); it supersedes ann_ivf's
-    path next round when the ann family rotates in-window."""
-    from sdvg_spark.ops.ivf_merge import ivf_topk_merged
-
-    emb = _read(spark, sf_dir, "embeddings")
-    q = (
-        emb.where(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    )
-    return ivf_topk_merged(emb, q, k=10, n_cells=16, n_probe=12).select(
-        "q_id", "c_id", "rank"
-    )
-
-
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index path end-to-end: train centroids (n_iters=0
     degenerates to the n_cells smallest-id sample rows — the corpus fits
@@ -400,12 +378,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style profiling of the events table: one scan computing
-    count/nulls/exact-distinct/min/max for every column, stacked to one
-    row per column; values rendered through dialect-portable formats so
-    the DuckDB mirror matches byte-for-byte."""
+    count/nulls/distinct/min/max for every column, stacked to one row
+    per column; values rendered through dialect-portable formats so the
+    DuckDB mirror matches byte-for-byte. Tiered on the footer row count
+    (the r9 verdict item-5 fix): exact multi-distinct up to 20M rows
+    (every oracle scale — the mirror stays value-exact), HLL
+    approx_count_distinct above it, where the exact expand-based
+    multi-distinct spilled 133 GB of memory in ONE 16 GiB JVM at the
+    sf100 probe; estimates are the documented ANALYZE contract at that
+    scale (profile_table(exact_distinct=False))."""
     from sdvg_spark.ops.profile import profile_table
 
-    return profile_table(_read(spark, sf_dir, "events"))
+    n_events = _parquet_rows(sf_dir, "events")
+    # footer fallback (-1) profiles exact — the oracle-safe default
+    return profile_table(
+        _read(spark, sf_dir, "events"),
+        exact_distinct=n_events < 20_000_000,
+    )
 
 
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,11 +1057,18 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal: per-doc mean negative
     log-likelihood + perplexity under a Lidstone-smoothed top-500
     unigram model fit on the corpus itself; token-order-deterministic
-    folds on both engines (ops/corpus.py:unigram_nll)."""
-    from sdvg_spark.ops.corpus import unigram_nll
+    folds on both engines (ops/corpus.py:unigram_nll). Tiered on the
+    footer row count (ops/vocab.py): ≥2M docs swaps the model-fit side
+    to map-side N + RLE-postings vocab + persisted-aggregate V —
+    value-identical (pytest-pinned), removing the full-stream
+    countDistinct whose partials were the 20.7 GB sf100 spill."""
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
 
     docs = _read(spark, sf_dir, "documents")
-    return unigram_nll(docs, "doc_id", "text", top_n=500)
+    n = _parquet_rows(sf_dir, "documents")
+    return unigram_nll_tiered(
+        docs, "doc_id", "text", top_n=500, n_docs=None if n < 0 else n
+    )
 
 
 def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,13 +1191,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (ops/corpus.py: dsir_logweights):
     hashed-unigram log-likelihood ratio of the lang='en' target slice
     vs the raw corpus — two bucket aggs + broadcast LLR table +
-    token-ordered fold."""
-    from sdvg_spark.ops.corpus import dsir_logweights
+    token-ordered fold. Tiered on the footer row count (ops/vocab.py):
+    ≥2M docs collects the ≤256-row LLR table into an array literal and
+    folds Σ llr[bucket(tok)] IN-ROW — value-identical (pytest-pinned),
+    turning the scored stage map-only (the per-doc collect_list buffer
+    was the operator's entire 18.6 GB sf100 spill)."""
+    from sdvg_spark.ops.vocab import dsir_logweights_tiered
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     target = docs.where(F.col("lang") == "en")
-    return dsir_logweights(
-        docs.select("doc_id", "text"), target.select("doc_id", "text")
+    n = _parquet_rows(sf_dir, "documents")
+    return dsir_logweights_tiered(
+        docs.select("doc_id", "text"), target.select("doc_id", "text"),
+        n_docs=None if n < 0 else n,
     )
 
 
@@ -1529,7 +1531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": q_ann_topk,
             "ann_lsh": q_ann_lsh,
             "ann_ivf": q_ann_ivf,
-            "ann_ivf_merged": q_ann_ivf_merged,
             "ann_ivf_index": q_ann_ivf_index,
             "ann_recall": q_ann_recall,
             "pricing_summary": q_pricing_summary,
@@ -1590,82 +1591,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 84 exist, so 34 sit past the cap every round. Rotation
+    # this dict; 85 exist, so 35 sit past the cap every round. Rotation
     # is governed by the ledger invariant (tools/rotation_ledger.py +
     # tests/test_rotation.py): a query may sit past the cap ONLY if it
     # has a green driver row, neither its op modules nor its q_* wrapper
     # (including transitively composed q_* callees) changed since that
-    # row, AND the row is at most 2 rounds old (the freshness budget —
-    # certificates rotate back in before they age out). The full 84
-    # stay covered by tools/check_entry.py (EXACT=1) locally.
+    # row, AND the row is from the latest or the immediately previous
+    # completed round (freshness budget 1 against max(recorded rounds)
+    # — the halves of the query set alternate through the window round
+    # over round). The full 85 stay covered by tools/check_entry.py
+    # (EXACT=1) locally.
     #
-    # r09 rotations IN: the eight r6-certified rows at the freshness
-    # edge (corpus_vocab, decontaminate, events_percentiles,
-    # media_features, pricing_summary, remove_duplicate_spans,
-    # token_divergence, zipf_fit — the r8 verdict's #1), every query
-    # over the modules changed this round (corpus.py duplicate-spans
-    # SHJ tier, text.py tfidf min_df tier, web.py 3-label PSL — the
-    # whole corpus/text/web families), the two wrappers switched to
-    # footer-metadata sizing (dedup_simhash, events_rollup), the r7
-    # remainder (corpus_mix, curate, data_split×2, events_asof/gapfill/
-    # interval/range, quality_band, stratified_sample) so no r7 cert
-    # survives to age out at r10, the new pack_order row, and family
-    # representatives (ann_lsh per the verdict watch, ann_recall,
-    # dedup_minhash/semantic, funnel/retention, stream_funnel,
-    # paragraph_dedup, profile_events, media_audio_features).
-    # Deferred: 35 r8-certified rows over untouched modules (the 18
-    # gen_* rows just re-certified, the untouched ann/dedup/events
-    # remainders).
-    # (mid-r9 swap: dedup.py changed late in the round — exact-tier
-    # score-matrix chunking + the quadratic-work row cap — so ALL
-    # dedup rows rotated in-window and six untouched r8-certified rows
-    # (ann_lsh, ann_recall, events_funnel, media_audio_features,
-    # profile_events, stream_funnel) deferred in their place.)
-    # (late-r9 swap #2: the NEW ann_ivf_merged row — ops/ivf_merge.py's
-    # task-merged kernel that closes SHUFFLE_r09's 50 GB sf100 spill,
-    # sharing ann_ivf's oracle verbatim — takes the one free slot;
-    # events_retention (r8 cert, analytics.py untouched) defers in its
-    # place. ann_ivf itself and the composed ann_recall keep their r8
-    # certificates: similarity.py and the q_ann_* wrappers are
-    # untouched; the merged path replaces ann_ivf's next round.)
+    # r10 rotations IN: all 36 r8-certified rows at the freshness edge
+    # (the 18 gen_* rows, the ann family — now running the folded-back
+    # task-merged kernels as similarity.py defaults, the r9 verdict's
+    # #1 — plus embedding_quantize, the events streaming/session/
+    # sessionize/funnel/retention rows, media_audio_features,
+    # profile_events, stream_funnel, skew_salted_agg, top_revenue,
+    # user_running_value), every r9 row over modules changed this round
+    # (joins.py gapfill sign-correct alignment -> events_asof/gapfill/
+    # interval/range; sampling.py checkpoint-to-persist -> corpus_mix,
+    # data_split×2, quality_band, source_cap, stratified_sample,
+    # token_budget_sample; the new vocab partial-RLE tier ->
+    # unigram_nll, dsir_weights), and dedup_semantic (the r9 bench
+    # regression, re-baselined with a fresh row). ann_ivf_merged is
+    # GONE: ops/ivf_merge.py folded into similarity.py and the merged
+    # kernel IS ann_ivf now.
+    # Deferred: 35 r9-certified rows over modules untouched in r10
+    # (corpus.py, text.py, dedup.py, web.py families — corpus.py's own
+    # RLE tier waits for r11 when those rows rotate back in; rotation
+    # arithmetic: 36 r8 must-ins + 14 corpus rows > 50 slots).
     deferred = [
-        # r8-certified, modules untouched in r9
-        "events_retention",
-        "ann_ivf",
-        "ann_ivf_index",
-        "ann_lsh",
-        "ann_quantized",
-        "ann_recall",
-        "ann_topk",
-        "embedding_quantize",
-        "events_funnel",
-        "media_audio_features",
-        "profile_events",
-        "stream_funnel",
-        "events_hourly",
-        "events_session_window",
-        "events_sessionize",
-        "gen_datetime_ordered",
-        "gen_datetime_random",
-        "gen_enum",
-        "gen_first_name",
-        "gen_float32",
-        "gen_float_null",
-        "gen_foreign_key",
-        "gen_integer_distinct",
-        "gen_integer_ordered",
-        "gen_integer_random",
-        "gen_last_name",
-        "gen_phone",
-        "gen_ranges",
-        "gen_slice_resume",
-        "gen_string_simple",
-        "gen_template",
-        "gen_text",
-        "gen_uuid",
-        "skew_salted_agg",
-        "top_revenue",
-        "user_running_value",
+        # r9-certified, modules untouched in r10
+        "text_features",
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_components",
+        "dedup_embedding",
+        "dedup_incremental",
+        "dedup_incremental_minhash",
+        "paragraph_dedup",
+        "pricing_summary",
+        "media_features",
+        "corpus_vocab",
+        "decontaminate",
+        "pack_sequences",
+        "pack_sequences_chars",
+        "pack_nostraddle",
+        "pack_order",
+        "pii_redact",
+        "curate",
+        "events_rollup",
+        "tfidf_keywords",
+        "events_percentiles",
+        "doc_chunks",
+        "duplicate_spans",
+        "remove_duplicate_spans",
+        "repetition_features",
+        "collocations",
+        "token_divergence",
+        "zipf_fit",
+        "bm25_retrieval",
+        "url_canonicalize",
+        "url_dedup",
+        "language_confidence",
+        "html_extract",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}
@@ -1740,9 +1732,6 @@ WHERE a.vec_id < b.vec_id
         k=10, n_planes=6, n_tables=16, multiprobe=1, seed=7, dims=64
     )
     out["ann_ivf"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)
-    # the task-merged kernel is value-identical by construction — the
-    # SAME oracle certifies it (ops/ivf_merge.py docstring)
-    out["ann_ivf_merged"] = ivf_topk_oracle_sql(k=10, n_cells=16, n_probe=12)
     # the persisted-index search is value-equal to the in-memory ivf
     # variant by construction (n_iters=0 + full-corpus sample -> same
     # centroids; same assignment kernel; same cosine arithmetic), so the
@@ -1954,7 +1943,9 @@ WITH e AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value, event_id FROM e
 obs AS (SELECT user_id, us, arg_max(value, event_id) AS value
         FROM e GROUP BY user_id, us),
 b AS (SELECT user_id, min(us) AS mn, max(us) AS mx FROM e GROUP BY user_id),
-grid AS (SELECT user_id, unnest(range(mn - mn % 21600000000, mx + 1, 21600000000)) AS g_us
+grid AS (SELECT user_id,
+                unnest(range(mn - ((mn % 21600000000 + 21600000000) % 21600000000),
+                             mx + 1, 21600000000)) AS g_us
          FROM b)
 SELECT grid.user_id, make_timestamp(grid.g_us) AS ts, obs.us AS obs_us, obs.value
 FROM grid ASOF LEFT JOIN obs

@@ -488,14 +488,21 @@ def gap_fill_locf(
         # hands every non-winner its own ts back -> empty interval
         order = [F.col("__us").asc(), F.col("__tb").asc_nulls_first()]
 
-    # integer alignment (x - x % step): float division could lose a µs
-    # near 2^53. Grid points are epoch multiples of step, so alignment
-    # needs no per-key anchor.
+    # integer alignment (x - floormod(x, step)): float division could
+    # lose a µs near 2^53. Grid points are epoch multiples of step, so
+    # alignment needs no per-key anchor. pmod, not % — Spark's % is
+    # truncated (sign-of-dividend), so for NEGATIVE (pre-1970) epochs
+    # `c - c % step` would round toward zero, i.e. UP: cov_hi =
+    # down(next-1) could reach into the next observation's interval and
+    # emit the same grid point twice with conflicting LOCF values. pmod
+    # is non-negative for positive step, making down()/up() true
+    # floor/ceil alignment on the whole int64 line (mirrored with
+    # ((x % s + s) % s) in the DuckDB oracle).
     def down(c: Column) -> Column:
-        return c - c % step
+        return c - F.pmod(c, step)
 
     def up(c: Column) -> Column:
-        return c + (step - c % step) % step
+        return c + F.pmod(step - F.pmod(c, step), step)
 
     w_ord = Window.partitionBy(*keys).orderBy(*order)
     w_all = Window.partitionBy(*keys)

@@ -335,6 +335,7 @@ def token_budget_sample(
     score_hi: float = 1.0,
     n_bins: int = 256,
     max_bin_rows: int = 1 << 22,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Best-first selection up to a global token budget: rank documents
     by ``score_col`` DESC (ties by id ASC) and mark ``selected`` those
@@ -375,22 +376,37 @@ def token_budget_sample(
         raise ValueError(f"budget must be >= 0, got {budget!r}")
     if not score_hi > score_lo:
         raise ValueError(f"need score_hi > score_lo, got {score_lo}, {score_hi}")
+    if materialize not in ("persist", "checkpoint", "none"):
+        raise ValueError(
+            f"materialize must be persist|checkpoint|none, got {materialize!r}"
+        )
     # The op consumes its input TWICE (the ≤n_bins stats aggregate,
     # then the windowed cumsum). Materialize the slim 24 B/row triple
     # projection once — without this the caller's upstream (typically
     # a full tokenize+quality scan of the corpus) re-executes per
     # pass: the sf100 probe measured token_budget_sample at 1417 s,
     # double-scanning a 5M-doc tokenization to select 68 MB of
-    # triples.
-    d = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.col(n_tokens_col).cast("long").alias("__n"),
-            F.col(score_col).cast("double").alias("__s"),
-        )
-        .where(F.col("__n").isNotNull() & F.col("__s").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    # triples. Default is persist(MEMORY_AND_DISK) + a materializing
+    # count: recomputable from lineage on executor loss and evictable
+    # under memory pressure, unlike localCheckpoint, whose blocks are
+    # unrecoverable if an executor dies mid-query (explicitly unsafe
+    # under dynamic allocation) and pinned for the session lifetime.
+    # "checkpoint" keeps the old localCheckpoint behavior (skips the
+    # second upstream recompute even on cache eviction — acceptable
+    # only with static executors); "none" skips materialization so a
+    # caller that already persisted upstream doesn't double-cache.
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(n_tokens_col).cast("long").alias("__n"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).where(F.col("__n").isNotNull() & F.col("__s").isNotNull())
+    if materialize == "persist":
+        from pyspark import StorageLevel
+
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()  # populate the cache before the two consuming passes
+    elif materialize == "checkpoint":
+        d = d.localCheckpoint(eager=True)
     span = float(score_hi) - float(score_lo)
     raw_bin = F.floor(
         (F.lit(float(score_hi)) - F.col("__s")) / F.lit(span) * F.lit(int(n_bins))

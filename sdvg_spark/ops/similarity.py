@@ -9,8 +9,32 @@ multi-probe, trading recall for a corpus-fraction scan.
 Brute-force scoring is an Arrow-batched numpy matmul per partition
 (corpus-block × queriesᵀ): Spark's higher-order lambdas evaluate
 interpreted per element, so a vectorized Pandas-UDF block beats the
-"native" zip_with dot product by ~10×. The LSH path keeps expression
-scoring — its candidate sets are tiny by construction.
+"native" zip_with dot product by ~10×.
+
+The LSH and IVF entry points run TASK-MERGED kernels by default
+(``_lsh_taskmerge_kernel`` / ``_ivf_taskmerge_kernel``, folded back
+from the round-9 ops/ivf_merge.py staging module): one running
+per-query top-k pool per task, emitting ≤ queries × k rows at task
+end instead of per (batch, cell/bucket). The per-batch kernels
+(``_lsh_fused_kernel`` / ``_ivf_fused_kernel``) are retained as the
+semantic reference the property suite reduces the merged kernels
+against — at the sf100 census the per-batch ivf emission cost a
+127 GB memory / 51 GB disk pre-rank sort spill and the per-batch lsh
+triple buffer OOM-killed the Python workers (SHUFFLE_r09.md), while
+the merged kernels run both censuses with ZERO spill at equal wall.
+
+LSH score-quantization contract: both lsh kernels round every cosine
+to ``_SCORE_DECIMALS`` right after the gemm, BEFORE any threshold or
+cut. The same (query, candidate) pair is scored in different gemm
+block shapes across the two kernels (full-bucket vs chunked) and
+across tables, so mathematically-tied scores (duplicate vectors)
+differ in the last ulp and exact-float tie-breaking becomes
+block-shape-dependent — Hypothesis found a pool cut permanently
+evicting the (score DESC, id ASC) tie winner (r9 verdict #1).
+Rounding makes true ties true, the order a total order consistent
+across any block decomposition, and the pool's exact cuts
+associative. 12 dp sits ~3 orders above ulp noise on unit cosines and
+~6 below real score gaps, so only genuine ties are affected.
 """
 
 from __future__ import annotations
@@ -26,6 +50,52 @@ from pyspark.sql import functions as F
 # scale probe that was a 15 GB array per task and the sweep killed the
 # JVM.
 _SCORE_CHUNK_ELEMS = 4_000_000
+
+# Decimal places both LSH kernels round cosines to before any
+# threshold/cut (see the module docstring's quantization contract).
+_SCORE_DECIMALS = 12
+
+# Compact a task-merged kernel's running pool once it holds this many
+# candidate rows (3 × int64/float64 arrays ≈ 24 MB at the bound):
+# large enough that compaction is amortized across many emit-bounded
+# blocks, small enough that a task's peak candidate footprint stays
+# flat no matter how many batches × cells/buckets it scans.
+_POOL_COMPACT_ROWS = 1_000_000
+
+
+def _pool_topk(q, c, s, top: int):
+    """Exact per-query top-``top`` of a candidate pool under the total
+    order (score DESC, c_id ASC): one lexsort + group-rank pass, no
+    per-query Python loop. Unlike ``_topk_select``'s per-block cut
+    (which keeps k-th-score ties as a cheap over-approximation), this
+    cuts exactly at ``top`` — safe because the ordering it cuts by is
+    the same total order the final ranking window uses (for lsh, on
+    quantized scores, so ties are true ties), so every globally
+    ranked-≤ k row survives the pool cut."""
+    import numpy as np
+
+    order = np.lexsort((c, -s, q))
+    qo = q[order]
+    starts = np.flatnonzero(np.r_[True, qo[1:] != qo[:-1]])
+    grp = np.repeat(starts, np.diff(np.append(starts, len(qo))))
+    keep = (np.arange(len(qo)) - grp) < top
+    idx = order[keep]
+    return q[idx], c[idx], s[idx]
+
+
+def _dedup_pool(q, c, s):
+    """Drop repeated (q, c) pairs from a candidate pool (cross-table
+    LSH collisions of the same pair carry the same quantized score, so
+    any instance may be kept). MUST run before a top-k cut: a pair
+    duplicated into two of a query's k slots would evict a genuine
+    winner that the final ranking (which sees each pair once) still
+    needs."""
+    import numpy as np
+
+    o = np.lexsort((c, q))
+    q, c, s = q[o], c[o], s[o]
+    first = np.r_[True, (q[1:] != q[:-1]) | (c[1:] != c[:-1])]
+    return q[first], c[first], s[first]
 
 
 def _block_topk_into(C_rows, block_ids, Qn, qidx, q_ids, top_n, out_q, out_c, out_s):
@@ -305,10 +375,14 @@ def lsh_topk(
     driver-side from the collected query matrix), scores those
     candidates, dedups per query across tables (a pair colliding in
     several tables appears once, matching the old dropDuplicates), and
-    emits its per-query top-k. No bucket join, no candidate→vector
-    re-attach shuffle, no global dedup exchange; the final exchange
-    moves only O(partitions × queries × k) rows into the ranking
-    window.
+    keeps ONE running per-query top-k pool for the whole task
+    (:func:`_lsh_taskmerge_kernel` — bounded-pool emission; the
+    per-batch kernel's triple buffer was ~110 GB per Arrow batch at
+    the sf100 census and OOM-killed the workers). No bucket join, no
+    candidate→vector re-attach shuffle, no global dedup exchange; the
+    final exchange moves only O(tasks × queries × k) rows into the
+    ranking window. Cosines are quantized to ``_SCORE_DECIMALS`` (see
+    the module docstring) so tie-breaking is block-shape-independent.
     """
     import numpy as np
     import pandas as pd
@@ -367,7 +441,7 @@ def lsh_topk(
         widen(corpus)
         .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
         .mapInPandas(
-            _lsh_fused_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
+            _lsh_taskmerge_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
         )
     )
     final = part.withColumn(
@@ -465,7 +539,17 @@ def _lsh_fused_kernel(bc, top_n: int):
     boundary-tie rule (every row ≥ the k-th score survives to the c_id
     tiebreak). The cut applies PER ARROW BATCH — the ranking window
     reduces across batches/partitions (finer local cuts stay correct),
-    and peak memory is O(batch), never O(partition vectors)."""
+    and peak memory is O(batch), never O(partition vectors).
+
+    Scores are quantized to ``_SCORE_DECIMALS`` straight off the gemm
+    (module-docstring contract) so this kernel and the task-merged
+    default emit identical values for any block decomposition.
+
+    NOT an entry-point kernel since round 10: per-batch emission
+    buffers the full (tables × probing-queries × rows) triple set —
+    ~110 GB per 64k-row Arrow batch at the sf100 census, OOM-killing
+    the workers (SHUFFLE_r09.md). Retained as the semantic reference
+    the property suite reduces ``_lsh_taskmerge_kernel`` against."""
     import numpy as np
     import pandas as pd
 
@@ -505,7 +589,7 @@ def _lsh_fused_kernel(bc, top_n: int):
                     if qidx is None:
                         continue
                     rows = np.flatnonzero(inv == ui)
-                    sims = C[rows] @ Qn[qidx].T  # (|rows|, |qidx|)
+                    sims = np.round(C[rows] @ Qn[qidx].T, _SCORE_DECIMALS)
                     tri_q.append(np.repeat(np.asarray(qidx), len(rows)))
                     tri_c.append(np.tile(c_ids[rows], len(qidx)))
                     tri_s.append(sims.T.ravel())
@@ -542,6 +626,115 @@ def _lsh_fused_kernel(bc, top_n: int):
                         "cosine": np.concatenate(out_s),
                     }
                 )
+
+    return run
+
+
+def _lsh_taskmerge_kernel(bc, top_n: int, compact_rows: int = _POOL_COMPACT_ROWS):
+    """mapInPandas kernel (the :func:`lsh_topk` default): per-table
+    signatures + bucket scoring + ONE running per-query top-k pool for
+    the whole task — the scale fix for ``_lsh_fused_kernel``, which
+    buffers the full batch triple set (tables × probing-queries × rows)
+    before compacting; at the sf100 census that is ~110 GB per 64k-row
+    Arrow batch and the Python workers die on the allocation
+    (SHUFFLE_r09.md).
+
+    Three bounds replace the batch buffer:
+
+    * per-(table, bucket) block cut — each scored block contributes at
+      most |probing queries| × top_n rows (``_topk_select``, the exact
+      per-block cut every kernel here shares);
+    * a per-query score threshold — once a query's pool holds top_n
+      candidates, its k-th score is a floor no later candidate may
+      under-run (ties kept: ``>=``), so post-warmup blocks contribute
+      little;
+    * pool compaction past ``compact_rows``: dedup cross-table (q, c)
+      repeats, cut to exact per-query top-k, refresh the thresholds.
+
+    Scores are quantized to ``_SCORE_DECIMALS`` straight off each gemm
+    — BEFORE the threshold, the block cut, and every pool cut — so the
+    (score DESC, id ASC) order is a total order identical across block
+    decompositions and the exact pool cuts are associative (the r9
+    Hypothesis counterexample: an ulp-noise winner evicted the id-ASC
+    tie winner permanently). The pool stores query INDICES (positions
+    in the sorted q_ids / Qn), mapped to ids once at emission.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        q_ids, Qn, w_flat, n_tables, n_planes, tables = bc.value
+        nq = len(q_ids)
+        if nq == 0:
+            return
+        q_arr = np.asarray(q_ids, dtype=np.int64)
+        acc_q: list = []
+        acc_c: list = []
+        acc_s: list = []
+        pending = 0
+        thr = np.full(nq, -np.inf)
+
+        def compact():
+            nonlocal pending
+            q = np.concatenate(acc_q)
+            c = np.concatenate(acc_c)
+            s = np.concatenate(acc_s)
+            q, c, s = _dedup_pool(q, c, s)
+            q, c, s = _pool_topk(q, c, s, top_n)
+            acc_q[:], acc_c[:], acc_s[:] = [q], [c], [s]
+            pending = len(q)
+            starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+            counts = np.diff(np.append(starts, len(q)))
+            full = counts >= top_n
+            thr[q[starts[full]]] = s[starts[full] + top_n - 1]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            bits = (M @ w_flat.T) >= 0  # sign rule ≡ hyperplane_sigs_df
+            sigs = np.zeros((len(M), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for p in range(n_planes):
+                    sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C = M / nrm[:, None]
+            for t in range(n_tables):
+                tbl = tables[t]
+                col = sigs[:, t]
+                uniq, inv = np.unique(col, return_inverse=True)
+                for ui in range(len(uniq)):
+                    qidx = tbl.get(int(uniq[ui]))
+                    if qidx is None or not len(qidx):
+                        continue
+                    rows = np.flatnonzero(inv == ui)
+                    ids_b = c_ids[rows]
+                    Cb = C[rows]
+                    top = min(top_n, len(rows))
+                    qidx = np.asarray(qidx, dtype=np.int64)
+                    chunk = max(1, _SCORE_CHUNK_ELEMS // len(rows))
+                    for s0 in range(0, len(qidx), chunk):
+                        qc = qidx[s0 : s0 + chunk]
+                        sims = np.round(Cb @ Qn[qc].T, _SCORE_DECIMALS)
+                        cols, rws = _topk_select(sims, ids_b, top)
+                        sv = sims[rws, cols]
+                        qi = qc[cols]
+                        keep = sv >= thr[qi]
+                        if not keep.any():
+                            continue
+                        acc_q.append(qi[keep])
+                        acc_c.append(ids_b[rws[keep]])
+                        acc_s.append(sv[keep])
+                        pending += int(keep.sum())
+                        if pending > compact_rows:
+                            compact()
+        if acc_q:
+            compact()
+            yield pd.DataFrame(
+                {"q_id": q_arr[acc_q[0]], "c_id": acc_c[0], "cosine": acc_s[0]}
+            )
 
     return run
 
@@ -599,7 +792,14 @@ def _ivf_fused_kernel(bc, top_n: int):
     own (batch, cell) cut — same boundary-tie rule as
     :func:`_partition_topk_kernel` (every row ≥ the k-th score is kept
     before the c_id tiebreak cuts). Per-batch processing keeps peak
-    memory at O(batch), never O(partition vectors)."""
+    memory at O(batch), never O(partition vectors).
+
+    NOT an entry-point kernel since round 10: per-(batch, cell)
+    emission hands ≈ queries × n_probe × k rows per task to the
+    ranking exchange, whose map-side rank≤k prune sorted 4.8M rows per
+    task at the sf100 census — 127 GB memory / 51 GB disk spill
+    (SHUFFLE_r09.md). Retained as the semantic reference the property
+    suite reduces ``_ivf_taskmerge_kernel`` against."""
     import numpy as np
     import pandas as pd
 
@@ -634,6 +834,78 @@ def _ivf_fused_kernel(bc, top_n: int):
                         "cosine": np.concatenate(out_s),
                     }
                 )
+
+    return run
+
+
+def _ivf_taskmerge_kernel(bc, top_n: int, compact_rows: int = _POOL_COMPACT_ROWS):
+    """mapInPandas kernel (the :func:`ivf_topk` default): cell
+    assignment + candidate scoring + ONE running per-query top-k pool
+    for the whole task.
+
+    Identical per-block scoring to ``_ivf_fused_kernel`` (it calls the
+    same ``_block_topk_into``); the difference is that block winners
+    accumulate into a task-wide pool that is compacted to exact
+    per-query top-k whenever it exceeds ``compact_rows``, and the task
+    emits a single Arrow batch of ≤ queries × top_n rows at the end
+    instead of per-(batch, cell) frames — the sf100 pre-rank-sort
+    spill fix, A/B'd at 1062 partitions to ZERO spill at equal wall
+    (SHUFFLE_r09.md). Per-query top-k under (score DESC, id ASC) is
+    associative across row subsets (a corpus vector lives in exactly
+    one cell and one batch, so every pair is scored ONCE and the order
+    is strict — no cross-shape tie hazard, unlike lsh), so the pool
+    cut never drops a global winner; property-tested against the fused
+    reference over random censuses, batch sizes, and compaction
+    cadences.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        q_ids, Qn, cent, probing = bc.value
+        if len(q_ids) == 0:
+            return
+        acc_q: list = []
+        acc_c: list = []
+        acc_s: list = []
+        pending = 0
+
+        def compact():
+            nonlocal pending
+            q = np.concatenate(acc_q)
+            c = np.concatenate(acc_c)
+            s = np.concatenate(acc_s)
+            q, c, s = _pool_topk(q, c, s, top_n)
+            acc_q[:], acc_c[:], acc_s[:] = [q], [c], [s]
+            pending = len(q)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["__v"]), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0] = 1.0
+            C = M / nrm[:, None]
+            c_ids = pdf["c_id"].to_numpy(dtype=np.int64)
+            cells = np.argmax(C @ cent.T, axis=1)  # first max = lowest cell
+            before = len(acc_q)
+            for cell in np.unique(cells):
+                qidx = probing[cell]
+                if not len(qidx):
+                    continue
+                rows = np.flatnonzero(cells == cell)
+                _block_topk_into(
+                    C[rows], c_ids[rows], Qn, qidx, q_ids, top_n,
+                    acc_q, acc_c, acc_s,
+                )
+            pending += sum(len(a) for a in acc_q[before:])
+            if pending > compact_rows:
+                compact()
+        if acc_q:
+            compact()
+            yield pd.DataFrame(
+                {"q_id": acc_q[0], "c_id": acc_c[0], "cosine": acc_s[0]}
+            )
 
     return run
 
@@ -683,12 +955,15 @@ def ivf_topk(
     At 100 TB: ONE map-only pass over the corpus — each partition
     assigns its vectors to cells (broadcast centroid matmul), scores
     them against only the queries probing those cells (broadcast
-    inverted probe map), and emits its per-(cell, query) top-k. No
-    probe join, no candidate→vector re-attach shuffle (the earlier
-    shape shuffled the corpus on c_id to re-fetch vectors the map pass
-    already held); the final exchange moves only
-    O(partitions × queries × n_probe × k) rows into the ranking
-    window. Ties everywhere break by id/cell ascending.
+    inverted probe map), and keeps ONE running per-query top-k pool
+    for the whole task (:func:`_ivf_taskmerge_kernel`), emitting
+    ≤ queries × k rows per task. No probe join, no candidate→vector
+    re-attach shuffle (the earlier shape shuffled the corpus on c_id
+    to re-fetch vectors the map pass already held); the final exchange
+    moves O(tasks × queries × k) rows and the map-side rank≤k prune
+    sorts only the already-merged pool (≈12 MB/task at the sf100
+    census that previously sorted 4.8M rows/task, 127 GB spill —
+    SHUFFLE_r09.md). Ties everywhere break by id/cell ascending.
     """
     import numpy as np
     import pandas as pd
@@ -746,7 +1021,7 @@ def ivf_topk(
         widen(corpus)
         .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
         .mapInPandas(
-            _ivf_fused_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
+            _ivf_taskmerge_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
         )
     )
     final = part.withColumn(

@@ -1,5 +1,6 @@
-"""Task-merged IVF kernel (ops/ivf_merge.py): value identity with the
-certified similarity.ivf_topk path, the per-task emission bound that IS
+"""Task-merged IVF kernel (similarity._ivf_taskmerge_kernel — the
+ivf_topk default since round 10): value identity against an
+independent numpy ground truth, the per-task emission bound that IS
 the sf100 spill fix, and exact tie semantics of the pool cut."""
 
 from __future__ import annotations
@@ -18,24 +19,52 @@ def _embeddings(spark, n=120, dims=16):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def test_ivf_merged_value_identical_to_ivf_topk(spark):
-    """Same centroids, probing, scoring, and ranking — rows must match
-    the certified path EXACTLY (ids and ranks; cosines to fp noise)."""
-    from sdvg_spark.ops.ivf_merge import ivf_topk_merged
+def _ivf_ground_truth(V, ids, q_mask, k, n_cells, n_probe):
+    """Independent re-derivation of ivf_topk's contract: smallest-id
+    centroid sample, nearest-cell assignment (ties -> lowest cell),
+    n_probe probing (stable argsort), exact cosine over probed cells,
+    (cosine DESC, id ASC) top-k."""
+    order = np.argsort(ids)
+    cent = V[order[:n_cells]]
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1)[:, None], 1e-300)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-300)
+    cells = np.argmax(Vn @ cent.T, axis=1)
+    out = {}
+    for qi in np.flatnonzero(q_mask):
+        probe = np.argsort(-(Vn[qi] @ cent.T), kind="stable")[:n_probe]
+        cand = np.flatnonzero(np.isin(cells, probe))
+        sims = Vn[cand] @ Vn[qi]
+        sel = sorted(zip(-sims, ids[cand]))[:k]
+        out[int(ids[qi])] = [
+            (int(cid), rank + 1) for rank, (_, cid) in enumerate(sel)
+        ]
+    return out
+
+
+def test_ivf_topk_matches_numpy_ground_truth(spark):
+    """The merged-kernel default must reproduce the operator contract
+    end-to-end — centroids, probing, scoring, ranking — against a
+    from-scratch numpy implementation (not merely the old kernel)."""
     from sdvg_spark.ops.similarity import ivf_topk
 
-    emb = _embeddings(spark)
+    n, dims, k, n_cells, n_probe = 120, 16, 5, 8, 4
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(n, dims))
+    V /= np.linalg.norm(V, axis=1)[:, None]
+    ids = np.arange(n, dtype=np.int64)
+    emb = spark.createDataFrame(
+        [(int(i), V[j].tolist()) for j, i in enumerate(ids)],
+        "vec_id long, embedding array<double>",
+    )
     q = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    a = {(r.q_id, r.rank): (r.c_id, r.cosine)
-         for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).collect()}
-    b = {(r.q_id, r.rank): (r.c_id, r.cosine)
-         for r in ivf_topk_merged(emb, q, k=5, n_cells=8, n_probe=4).collect()}
-    assert a.keys() == b.keys() and len(a) > 0
-    for key, (cid, cos) in a.items():
-        assert b[key][0] == cid, key
-        assert b[key][1] == pytest.approx(cos, abs=1e-12)
+    got = {}
+    for r in ivf_topk(emb, q, k=k, n_cells=n_cells, n_probe=n_probe).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.rank))
+    got = {qid: sorted(v, key=lambda t: t[1]) for qid, v in got.items()}
+    want = _ivf_ground_truth(V, ids, ids % 20 == 0, k, n_cells, n_probe)
+    assert got == want and len(want) > 0
 
 
 class _FakeBroadcast:
@@ -83,8 +112,11 @@ def test_taskmerge_kernel_emission_bound_and_values():
     task emits at most queries × k rows — and, after the global rank
     both kernels' emissions reduce to, the selected ids are identical.
     compact_rows is forced tiny so the mid-stream compaction path runs."""
-    from sdvg_spark.ops.ivf_merge import _ivf_taskmerge_kernel, _pool_topk
-    from sdvg_spark.ops.similarity import _ivf_fused_kernel
+    from sdvg_spark.ops.similarity import (
+        _ivf_fused_kernel,
+        _ivf_taskmerge_kernel,
+        _pool_topk,
+    )
 
     bc_val, C, c_ids = _kernel_inputs()
     q_ids = bc_val[0]
@@ -112,7 +144,7 @@ def test_taskmerge_kernel_emission_bound_and_values():
 def test_pool_topk_exact_cut_and_tiebreak():
     """Ties on score resolve by id ASC and the cut is exactly k — the
     same total order the final ranking window applies."""
-    from sdvg_spark.ops.ivf_merge import _pool_topk
+    from sdvg_spark.ops.similarity import _pool_topk
 
     q = np.array([1, 1, 1, 1, 2, 2], dtype=np.int64)
     c = np.array([40, 30, 20, 10, 7, 9], dtype=np.int64)
@@ -125,7 +157,7 @@ def test_pool_topk_exact_cut_and_tiebreak():
 def test_taskmerge_kernel_empty_and_no_probe_cells():
     """No queries -> no emission; cells nobody probes contribute no
     candidates (the corpus rows assigned there are skipped)."""
-    from sdvg_spark.ops.ivf_merge import _ivf_taskmerge_kernel
+    from sdvg_spark.ops.similarity import _ivf_taskmerge_kernel
 
     bc_val, C, c_ids = _kernel_inputs(n_queries=0)
     out = _run_kernel(_ivf_taskmerge_kernel, bc_val, C, c_ids, 5, batch_size=50)

@@ -203,6 +203,35 @@ def test_gap_fill_locf(spark):
     }
 
 
+def test_gap_fill_locf_negative_epochs_floor_aligned(spark):
+    """Pre-1970 timestamps: grid alignment must FLOOR on the whole
+    int64 line (pmod), not round toward zero. The r9 advice
+    counterexample: step=6, obs at -7µs and 0µs — truncated % aligned
+    down(-7-? ) wrongly so grid point 0 was emitted by BOTH
+    observations with conflicting LOCF values. Floor alignment gives
+    every grid point exactly one owner."""
+    from sdvg_spark.ops.joins import gap_fill_locf
+
+    obs = spark.createDataFrame(
+        [(1, -7, 1.0, 1), (1, 0, 2.0, 2)],
+        "k int, t long, v double, seq long",
+    ).withColumn("t", F.timestamp_micros(F.col("t")))
+    out = gap_fill_locf(
+        obs, keys=["k"], ts_col="t", value_cols=["v"],
+        step_us=6, tiebreak_col="seq",
+    )
+    rows = [
+        (int(r["g"]), r.obs_us, r.v)
+        for r in out.selectExpr("unix_micros(ts) as g", "obs_us", "v").collect()
+    ]
+    assert sorted(rows) == [
+        (-12, None, None),  # floor(-7/6)*6 = -12: leading gap bucket
+        (-6, -7, 1.0),      # -7's interval covers [-6, -1] -> grid -6
+        (0, 0, 2.0),        # 0 owns its own boundary point, exactly once
+    ]
+    assert len(rows) == len(set(r[0] for r in rows))  # no duplicate grid points
+
+
 def test_joins_ops_empty_inputs(spark):
     """Empty sides must yield empty (or fully-null-payload) results, not
     crash — no guard branches needed, the plans are closed under empty

@@ -1,46 +1,84 @@
-"""Task-merged LSH kernel (ops/ivf_merge.py:lsh_topk_merged): value
-identity with the certified similarity.lsh_topk path, the bounded-pool
-emission that replaces the batch triple buffer (the sf100
-worker-killer, SHUFFLE_r09.md), and the cross-table pair dedup rule."""
+"""Task-merged LSH kernel (similarity._lsh_taskmerge_kernel — the
+lsh_topk default since round 10): value identity against an
+independent numpy ground truth (including planted exact-duplicate
+ties, which the 12-dp in-kernel score quantization makes
+deterministic), the bounded-pool emission that replaces the batch
+triple buffer (the sf100 worker-killer, SHUFFLE_r09.md), and the
+cross-table pair dedup rule."""
 
 from __future__ import annotations
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 
-def _embeddings(spark, n=150, dims=16):
-    rng = np.random.default_rng(23)
-    rows = []
-    for i in range(n):
-        v = rng.normal(size=dims)
-        rows.append((i, (v / np.linalg.norm(v)).tolist()))
-    # NOTE: no planted exact-duplicate pairs here — two distinct ids
-    # with identical vectors produce a true cosine tie whose computed
-    # scores differ in the last ulp across gemm block shapes, so the
-    # tie winner is legitimately batch-layout-dependent in BOTH
-    # kernels (covered tie-aware in the kernel-level tests below).
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+def _signatures(V, w_flat, n_tables, n_planes):
+    bits = (V @ w_flat.T) >= 0
+    sigs = np.zeros((len(V), n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            sigs[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+    return sigs
 
 
-def test_lsh_merged_value_identical_to_lsh_topk(spark):
-    from sdvg_spark.ops.ivf_merge import lsh_topk_merged
+def _lsh_ground_truth(V, ids, q_mask, k, n_planes, n_tables, multiprobe, seed):
+    """Independent re-derivation of lsh_topk's contract: per-table
+    signatures, multiprobe bucket expansion, cross-table candidate
+    union, 12-dp-quantized cosine, (cosine DESC, id ASC) top-k."""
+    from sdvg_spark.ops.similarity import hyperplane_weights
+
+    dims = V.shape[1]
+    w_flat = hyperplane_weights(n_planes, n_tables, seed, dims).reshape(
+        n_tables * n_planes, dims
+    )
+    sigs = _signatures(V, w_flat, n_tables, n_planes)
+    flips = [0]
+    if multiprobe >= 1:
+        flips += [1 << b for b in range(n_planes)]
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-300)
+    out = {}
+    for qi in np.flatnonzero(q_mask):
+        cand = set()
+        for t in range(n_tables):
+            probes = {int(sigs[qi, t]) ^ fl for fl in flips}
+            cand.update(np.flatnonzero(np.isin(sigs[:, t], list(probes))))
+        cand = np.array(sorted(cand), dtype=np.int64)
+        sims = np.round(Vn[cand] @ Vn[qi], 12)
+        sel = sorted(zip(-sims, ids[cand]))[:k]
+        out[int(ids[qi])] = [
+            (int(cid), rank + 1) for rank, (_, cid) in enumerate(sel)
+        ]
+    return out
+
+
+def test_lsh_topk_matches_numpy_ground_truth(spark):
+    """End-to-end contract check against a from-scratch numpy
+    implementation — WITH a planted exact-duplicate pair, whose tie the
+    in-kernel quantization resolves identically (id ASC) no matter how
+    Spark batches the corpus (the r9 Hypothesis bug class)."""
     from sdvg_spark.ops.similarity import lsh_topk
 
-    emb = _embeddings(spark)
+    n, dims = 150, 16
+    rng = np.random.default_rng(23)
+    V = rng.normal(size=(n, dims))
+    V /= np.linalg.norm(V, axis=1)[:, None]
+    V[-1] = V[0]  # exact duplicate direction -> true cosine ties
+    ids = np.arange(n, dtype=np.int64)
+    emb = spark.createDataFrame(
+        [(int(i), V[j].tolist()) for j, i in enumerate(ids)],
+        "vec_id long, embedding array<double>",
+    )
     q = emb.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    kw = dict(k=5, n_planes=4, n_tables=6, multiprobe=1)
-    a = {(r.q_id, r.rank): (r.c_id, r.cosine)
-         for r in lsh_topk(emb, q, **kw).collect()}
-    b = {(r.q_id, r.rank): (r.c_id, r.cosine)
-         for r in lsh_topk_merged(emb, q, **kw).collect()}
-    assert a.keys() == b.keys() and len(a) > 0
-    for key, (cid, cos) in a.items():
-        assert b[key][0] == cid, key
-        assert b[key][1] == pytest.approx(cos, abs=1e-12)
+    kw = dict(k=5, n_planes=4, n_tables=6, multiprobe=1, seed=7)
+    got = {}
+    for r in lsh_topk(emb, q, **kw).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.rank))
+    got = {qid: sorted(v, key=lambda t: t[1]) for qid, v in got.items()}
+    want = _lsh_ground_truth(V, ids, ids % 25 == 0, kw["k"], kw["n_planes"],
+                             kw["n_tables"], kw["multiprobe"], kw["seed"])
+    assert got == want and len(want) > 0
 
 
 class _FakeBroadcast:
@@ -102,10 +140,15 @@ def test_lsh_taskmerge_kernel_bounded_and_reduce_equal():
     """Across many batches the merged kernel emits at most queries × k
     deduped rows, and the exact global per-query top-k both kernels
     reduce to is identical — including pairs that collide in several
-    tables (which must count ONCE, hence dedup-before-cut). Tiny
+    tables (which must count ONCE, hence dedup-before-cut) and planted
+    true ties (stable under the in-kernel quantization). Tiny
     compact_rows forces the threshold + compaction path."""
-    from sdvg_spark.ops.ivf_merge import _lsh_taskmerge_kernel, _pool_topk, _dedup_pool
-    from sdvg_spark.ops.similarity import _lsh_fused_kernel
+    from sdvg_spark.ops.similarity import (
+        _dedup_pool,
+        _lsh_fused_kernel,
+        _lsh_taskmerge_kernel,
+        _pool_topk,
+    )
 
     bc_val, C, c_ids = _lsh_inputs()
     q_ids = bc_val[0]
@@ -121,11 +164,7 @@ def test_lsh_taskmerge_kernel_bounded_and_reduce_equal():
     def reduce(df):
         q = df["q_id"].to_numpy(np.int64)
         c = df["c_id"].to_numpy(np.int64)
-        # 12-dp rounding: the planted duplicate direction creates true
-        # cosine ties whose floats differ in the last ulp across gemm
-        # block shapes; rounding restores the tie so the id-asc cut is
-        # deterministic in both kernels
-        s = np.round(df["cosine"].to_numpy(np.float64), 12)
+        s = df["cosine"].to_numpy(np.float64)  # already 12-dp quantized
         q, c, s = _dedup_pool(q, c, s)
         q, c, s = _pool_topk(q, c, s, top)
         return list(zip(q.tolist(), c.tolist()))
@@ -133,8 +172,22 @@ def test_lsh_taskmerge_kernel_bounded_and_reduce_equal():
     assert reduce(merged) == reduce(fused)
 
 
+def test_lsh_kernels_emit_quantized_scores():
+    """The quantization contract itself: every emitted cosine equals
+    its 12-dp rounding, in both kernels — the invariant the pool cuts'
+    associativity rests on."""
+    from sdvg_spark.ops.similarity import _lsh_fused_kernel, _lsh_taskmerge_kernel
+
+    bc_val, C, c_ids = _lsh_inputs()
+    for factory, kw in ((_lsh_taskmerge_kernel, {"compact_rows": 16}),
+                        (_lsh_fused_kernel, {})):
+        out = _run_kernel(factory, bc_val, C, c_ids, 4, batch_size=41, **kw)
+        s = out["cosine"].to_numpy(np.float64)
+        assert np.array_equal(s, np.round(s, 12))
+
+
 def test_dedup_pool_keeps_one_instance():
-    from sdvg_spark.ops.ivf_merge import _dedup_pool
+    from sdvg_spark.ops.similarity import _dedup_pool
 
     q = np.array([1, 1, 1, 2], dtype=np.int64)
     c = np.array([5, 5, 6, 5], dtype=np.int64)

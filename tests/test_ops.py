@@ -840,6 +840,18 @@ def test_token_budget_sample_matches_naive_global_window(spark):
             ).collect()
         }
         assert got == naive, n_bins
+    # materialization modes are value-transparent; unknown mode raises
+    got = {
+        r.doc_id: (r.cum_tokens, r.selected)
+        for r in token_budget_sample(
+            df, "doc_id", "n_tokens", "s", budget=5000, materialize="none"
+        ).collect()
+    }
+    assert got == naive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="materialize"):
+        token_budget_sample(df, "doc_id", "n_tokens", "s", budget=1, materialize="x")
 
 
 def test_token_budget_sample_bin_skew_guard(spark):

@@ -163,10 +163,10 @@ def test_hyperplane_sigs_kernel_is_map_only(spark):
 
 
 def test_ann_search_plans_are_join_free(spark, entry):
-    """The fused lsh/ivf kernels removed their bucket/probe joins and
-    candidate→vector re-attach shuffles entirely — pin that both plans
-    are join-FREE (one corpus pass + the k-sized ranking window)."""
-    for name in ("ann_lsh", "ann_ivf", "ann_ivf_merged"):
+    """The task-merged lsh/ivf kernels have no bucket/probe joins and
+    no candidate→vector re-attach shuffles — pin that both plans are
+    join-FREE (one corpus pass + the k-sized ranking window)."""
+    for name in ("ann_lsh", "ann_ivf"):
         plan = _plan(entry.queries()[name](spark, SF_DIR))
         assert "MapInPandas" in plan, name
         for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):

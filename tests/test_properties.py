@@ -263,7 +263,7 @@ def test_funnel_replay_equals_chain_and_composes(data, steps, window):
     assert state == one_shot
 
 
-# --- task-merged ANN kernels (ops/ivf_merge.py) -------------------------
+# --- task-merged ANN kernels (ops/similarity.py defaults) ---------------
 
 @given(
     n=st.integers(20, 300),
@@ -282,12 +282,12 @@ def test_ivf_taskmerge_pool_reduces_to_fused(n, nq, dims, top, batch, compact, s
     the associativity the sf100 spill fix rests on."""
     import pandas as pd
 
-    from sdvg_spark.ops.ivf_merge import (
+    from sdvg_spark.ops.similarity import (
         _dedup_pool,
+        _ivf_fused_kernel,
         _ivf_taskmerge_kernel,
         _pool_topk,
     )
-    from sdvg_spark.ops.similarity import _ivf_fused_kernel
 
     rng = np.random.default_rng(seed)
     C = rng.normal(size=(n, dims))
@@ -354,12 +354,13 @@ def test_lsh_taskmerge_pool_reduces_to_fused(
     corpus directions are planted to force multi-table collisions."""
     import pandas as pd
 
-    from sdvg_spark.ops.ivf_merge import (
+    from sdvg_spark.ops.similarity import (
         _dedup_pool,
+        _lsh_fused_kernel,
         _lsh_taskmerge_kernel,
         _pool_topk,
+        hyperplane_weights,
     )
-    from sdvg_spark.ops.similarity import _lsh_fused_kernel, hyperplane_weights
 
     rng = np.random.default_rng(seed)
     C = rng.normal(size=(n, dims))
@@ -406,11 +407,11 @@ def test_lsh_taskmerge_pool_reduces_to_fused(
         df = pd.concat(frames, ignore_index=True)
         q = df["q_id"].to_numpy(np.int64)
         c = df["c_id"].to_numpy(np.int64)
-        # 12-dp rounding: a candidate pair scored in two different gemm
-        # block shapes can differ in the LAST ULP (planted exact
-        # duplicates make such ties real), so exact-float tie-breaking
-        # is block-shape-dependent in BOTH kernels; rounding restores a
-        # true tie and the (score DESC, id ASC) cut is deterministic.
+        # Both lsh kernels quantize cosines to 12 dp INTERNALLY now
+        # (the r9 counterexample: ulp noise across gemm block shapes
+        # made pool cuts evict true-tie winners), so the emitted
+        # values are already tie-stable; this re-round is a no-op kept
+        # as a guard against a kernel regressing the contract.
         s = np.round(df["cosine"].to_numpy(np.float64), 12)
         q, c, s = _dedup_pool(q, c, s)
         q, c, s = _pool_topk(q, c, s, top)

@@ -1,0 +1,121 @@
+"""Value identity of the ops/vocab.py scale tiers with the corpus.py
+reference shapes (the r9 verdict item-4 contract: 'tiers pinned
+value-identical'), plus the plan properties that ARE the fix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat", "en"),
+        (1, "a b c d e f g a a b", "en"),
+        (2, "", "ru"),  # empty doc
+        (3, "zzz yyy zzz zzz unique tokens here", "ru"),
+        (4, "the the the the", "en"),
+        (5, None, "en"),  # null text behaves like empty
+        (6, "mixed bag of the cat and zzz", "ru"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_unigram_nll_tiers_value_identical(spark):
+    from sdvg_spark.ops.corpus import unigram_nll
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
+
+    docs = _docs(spark).select("doc_id", "text")
+    kw = dict(top_n=5, alpha=0.5, round_digits=9)
+    small = {tuple(r) for r in unigram_nll(docs, "doc_id", "text", **kw).collect()}
+    scale = {
+        tuple(r)
+        for r in unigram_nll_tiered(
+            docs, "doc_id", "text", n_docs=7, scale_min_docs=0, **kw
+        ).collect()
+    }
+    assert small == scale and len(small) == 7
+
+
+def test_unigram_nll_tiered_delegates_below_bound(spark):
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
+
+    docs = _docs(spark).select("doc_id", "text")
+    out = unigram_nll_tiered(docs, "doc_id", "text", top_n=3, n_docs=7)
+    # below the 2M-doc bound: the delegate path, same schema and rows
+    assert out.count() == 7
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "n_oov", "nll", "ppl",
+    ]
+
+
+def test_unigram_nll_scale_tier_has_no_distinct_aggregate(spark):
+    """The sf100 spill driver was the full-stream countDistinct; the
+    scale tier must compute V without ANY distinct aggregate."""
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
+
+    docs = _docs(spark).select("doc_id", "text")
+    plan = unigram_nll_tiered(
+        docs, "doc_id", "text", top_n=5, n_docs=7, scale_min_docs=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in plan.lower()
+
+
+def test_dsir_tiers_value_identical(spark):
+    from sdvg_spark.ops.corpus import dsir_logweights
+    from sdvg_spark.ops.vocab import dsir_logweights_tiered
+
+    d = _docs(spark)
+    docs = d.select("doc_id", "text")
+    target = d.where(F.col("lang") == "en").select("doc_id", "text")
+    kw = dict(buckets=16, alpha=0.5, round_digits=9)
+    small = {tuple(r) for r in dsir_logweights(docs, target, "doc_id", "text", **kw).collect()}
+    scale = {
+        tuple(r)
+        for r in dsir_logweights_tiered(
+            docs, target, "doc_id", "text", n_docs=7, scale_min_docs=0, **kw
+        ).collect()
+    }
+    assert small == scale and len(small) == 7
+
+
+def test_dsir_scale_tier_scored_stage_is_map_only(spark):
+    """The fix: after the two ≤buckets-row aggregates, the scored query
+    is ONE pass — no exchange anywhere in its plan (the small tier
+    shuffles every (doc, token) row into a collect_list buffer, the
+    entire 18.6 GB sf100 spill)."""
+    from sdvg_spark.ops.vocab import dsir_logweights_tiered
+
+    d = _docs(spark)
+    out = dsir_logweights_tiered(
+        d.select("doc_id", "text"),
+        d.where(F.col("lang") == "en").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        buckets=16,
+        n_docs=7,
+        scale_min_docs=0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan  # pure codegen/HOF expressions
+
+
+def test_rle_postings_match_exploded_counts(spark):
+    from sdvg_spark.ops.vocab import rle_postings
+    from sdvg_spark.ops.text import tokens
+
+    docs = _docs(spark).select("doc_id", "text")
+    got = {
+        (r.doc_id, r.token): r.tf
+        for r in rle_postings(docs, "doc_id", "text").collect()
+    }
+    want = {
+        (r.doc_id, r.token): r.tf
+        for r in docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    }
+    assert got == want and len(want) > 0

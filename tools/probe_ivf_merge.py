@@ -1,9 +1,10 @@
-"""A/B spill probe: similarity.ivf_topk vs ivf_merge.ivf_topk_merged.
+"""ANN spill probe over the entry queries (default: ann_ivf, ann_lsh
+— the task-merged similarity.py defaults since round 10).
 
-Reproduces the SHUFFLE_r09 ann_ivf probe conditions on an
-embeddings-only scale fixture (the query reads nothing else) so the
-task-merged kernel's fix can be measured against the recorded 50 GB
-sf100 spill under the SAME partitioning:
+Reproduces the SHUFFLE_r09 ann probe conditions on an embeddings-only
+scale fixture (the query reads nothing else) so kernel changes can be
+measured against the recorded sf100 rows (ivf: 50 GB disk spill;
+lsh: worker OOM) under the SAME partitioning:
 
     SPARK_DRIVER_MEMORY=16g python tools/probe_ivf_merge.py \
         <sf_dir> [shuffle_partitions]
@@ -50,26 +51,8 @@ def main() -> None:
     print(f"<!-- {sf_dir}: shuffle.partitions={n} -->", flush=True)
 
     qs = dict(E.queries())
-
-    def _ann_lsh_merged(spark, sf_dir):
-        # q_ann_lsh's exact parameters over the task-merged kernel —
-        # not a driver row this round (the 50-slot window is full), so
-        # the probe wires it directly
-        from pyspark.sql import functions as F
-
-        from sdvg_spark.ops.ivf_merge import lsh_topk_merged
-
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        q = emb.where(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-        )
-        return lsh_topk_merged(
-            emb, q, k=10, n_planes=6, n_tables=16, multiprobe=1
-        ).select("q_id", "c_id", "rank")
-
-    qs["ann_lsh_merged"] = _ann_lsh_merged
     only = [q for q in os.environ.get("PROBE_QUERIES", "").split(",") if q]
-    for name in only or ("ann_ivf_merged", "ann_ivf"):
+    for name in only or ("ann_ivf", "ann_lsh"):
         tag = f"{name}@{sf_dir}"
         sc.setJobGroup(tag, tag)
         t0 = time.time()

@@ -32,7 +32,6 @@ QUERIES = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
-    "ann_ivf_merged",
     "ann_ivf_index",
     "ann_quantized",
     "pricing_summary",
