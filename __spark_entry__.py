@@ -623,7 +623,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-ready tumbling-window aggregate (streaming operator run
     in batch mode — Spark's unified semantics make the plans identical;
-    the oracle pins the arithmetic)."""
+    the oracle pins the arithmetic). shuffle_first above 20M events
+    (footer probe): the (user, hour) group space is near-raw-cardinality
+    there, so the default plan's map-side partials collapsed nothing and
+    spilled 12.3 GB at the sf100 probe — pre-partitioning on user_id
+    runs the aggregate once post-shuffle, same values."""
     from sdvg_spark.streaming import windowed_agg
 
     ev = _read(spark, sf_dir, "events")
@@ -636,13 +640,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value": _micros_to_value(F.sum(_value_micros())),
         },
         keys=["user_id"],
+        shuffle_first=_parquet_rows(sf_dir, "events") >= 20_000_000,
     )
     return out.select("user_id", "window_start", "n_events", "total_value")
 
 
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) — the streaming sessionizer in
-    batch mode, oracle-checked against a gap-and-cumsum SQL rewrite."""
+    batch mode, oracle-checked against a gap-and-cumsum SQL rewrite.
+    shuffle_first above 20M events (footer probe): same rationale and
+    sf100 measurement as events_hourly."""
     from sdvg_spark.streaming import sessionize_stream
 
     ev = _read(spark, sf_dir, "events")
@@ -655,6 +662,7 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value": _micros_to_value(F.sum(_value_micros())),
         },
         keys=["user_id"],
+        shuffle_first=_parquet_rows(sf_dir, "events") >= 20_000_000,
     )
     return out.select("user_id", "session_start", "session_end", "n_events", "session_value")
 
@@ -730,7 +738,11 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result must equal a plain GROUP BY — this row proves it against
     an independent engine. Sums ride in integer micro-units (exact,
     order-independent); avg is one bigint/bigint division on both sides.
-    """
+    r10: the default salt derivation is now spark_partition_id (rows of
+    a key in one partition share a shard, so stage 1's map-side combine
+    collapses them like a plain aggregate — the row salt multiplied the
+    partial key space x32 for zero benefit and spilled 11.3 GB at the
+    sf100 probe; hot keys spanning partitions still fan out)."""
     from sdvg_spark.ops.skew import salted_agg
 
     ev = _read(spark, sf_dir, "events").withColumn("vu", _value_micros())

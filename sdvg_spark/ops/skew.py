@@ -45,6 +45,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, str | Column]],
     n_salts: int = 64,
+    salt_by: str = "partition",
 ) -> DataFrame:
     """Two-stage aggregation sharding hot keys over ``n_salts`` salts.
 
@@ -57,10 +58,24 @@ def salted_agg(
     ``approx_count_distinct`` shards DataSketches HLL sketches and
     unions them (lossless under union).
 
-    The salt is ``monotonically_increasing_id() % n_salts``: which rows
-    land in which shard varies with partitioning, but every listed
-    aggregate is shard-order-insensitive, so the final result is
-    deterministic (collect_* outputs are sorted for that reason).
+    ``salt_by`` picks the shard derivation (every listed aggregate is
+    shard-order-insensitive, so BOTH give the deterministic plain
+    GROUP BY answer — collect_* outputs are sorted for that reason):
+
+    * ``"partition"`` (default): salt = spark_partition_id % n_salts.
+      Rows of a key within one input partition share a salt, so stage
+      1's map-side combine still collapses them to ONE partial row per
+      (key, partition) — the pre-shuffle data volume of a PLAIN
+      aggregate. A hot key spanning many input partitions (the normal
+      skew shape: scans interleave keys) still fans out across shards.
+      The r9 sf100 probe measured the row-salt form at 11.3 GB memory
+      spill on a NON-skewed high-cardinality key space: the row salt
+      multiplied every partition's partial-agg key space x n_salts for
+      zero benefit, which this derivation never does.
+    * ``"row"``: salt = monotonically_increasing_id % n_salts — shards
+      even a key confined to a single input partition, at n_salts x
+      the partial-agg state. Reach for it only when one upstream
+      partition itself holds the hot key (e.g. a pre-sorted input).
     """
     for name, (fn, _) in aggs.items():
         if fn not in _DECOMPOSABLE:
@@ -68,9 +83,13 @@ def salted_agg(
                 f"{name}: {fn!r} is not decomposable; supported: "
                 f"{sorted(_DECOMPOSABLE)}"
             )
-    salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-    )
+    if salt_by == "partition":
+        salt = F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salts))
+    elif salt_by == "row":
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    else:
+        raise ValueError(f"salt_by must be partition|row, got {salt_by!r}")
+    salted = df.withColumn("__salt", salt)
     partials = []
     for name, (fn, col) in aggs.items():
         if fn == "avg":

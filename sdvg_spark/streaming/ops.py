@@ -15,6 +15,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _shuffle_first(df: DataFrame, keys: list[str] | None) -> DataFrame:
+    """Repartition on the grouping keys BEFORE a near-raw-cardinality
+    windowed/session aggregate (batch-mode scale knob).
+
+    With (key, window) group cardinality close to the row count, the
+    default plan's MAP-side partial aggregate collapses almost nothing
+    — its hash map fills with the task's whole group set and falls back
+    to sort-spill (r9 sf100 probe: ~12.3 GB memory spill each for the
+    hourly and session rows over 100M events). Pre-partitioning on the
+    keys satisfies the aggregate's clustered-distribution requirement
+    (HashPartitioning(keys) ⊆ the (window, keys) clustering), so the
+    partial+final pair runs in ONE post-shuffle stage where every key's
+    rows are co-located and collapse in a single pass over
+    output/partitions groups per task. The exchange moves raw projected
+    rows instead of barely-reduced partials — about the same bytes when
+    partials don't reduce, minus the spill.
+    """
+    if not keys:
+        return df
+    return df.repartition(*[F.col(k) for k in keys])
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str,
@@ -24,15 +46,21 @@ def windowed_agg(
     keys: list[str] | None = None,
     slide: str | None = None,
     watermark: str | None = None,
+    shuffle_first: bool = False,
 ) -> DataFrame:
     """Tumbling (or sliding, with ``slide``) event-time windows.
 
     ``aggs`` maps output name -> aggregate Column. ``watermark`` (e.g.
     "10 minutes") bounds state and admits that much event-time lateness;
-    required for append-mode streaming sinks.
+    required for append-mode streaming sinks. ``shuffle_first`` (batch
+    scale knob, see :func:`_shuffle_first`) repartitions on ``keys``
+    before grouping — same values, spill-free when (key, window)
+    cardinality is near the row count.
     """
     if watermark:
         df = df.withWatermark(ts_col, watermark)
+    if shuffle_first:
+        df = _shuffle_first(df, keys)
     win = (
         F.window(F.col(ts_col), window, slide)
         if slide
@@ -56,14 +84,19 @@ def sessionize_stream(
     *,
     keys: list[str] | None = None,
     watermark: str | None = None,
+    shuffle_first: bool = False,
 ) -> DataFrame:
     """Session windows: events within ``gap`` of each other merge into
     one session per key (the streaming form of the batch sessionize
     query — ``session_window`` keeps merge/expiry in Spark's state
     store instead of a custom applyInPandasWithState operator).
+    ``shuffle_first`` (batch scale knob, see :func:`_shuffle_first`)
+    repartitions on ``keys`` so session merge runs once post-shuffle.
     """
     if watermark:
         df = df.withWatermark(ts_col, watermark)
+    if shuffle_first:
+        df = _shuffle_first(df, keys)
     win = F.session_window(F.col(ts_col), gap)
     group = [win, *[F.col(k) for k in (keys or [])]]
     out = df.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])

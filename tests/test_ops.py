@@ -409,23 +409,7 @@ def test_salted_agg_matches_plain_agg(spark):
     from sdvg_spark.ops.skew import salted_agg
 
     rows = [(i % 3, i % 7, float(i)) for i in range(500)]
-    df = spark.createDataFrame(rows, "k int, v int, x double")
-    got = {
-        r.k: r
-        for r in salted_agg(
-            df,
-            ["k"],
-            {
-                "total": ("sum", "x"),
-                "n": ("count", "x"),
-                "lo": ("min", "x"),
-                "hi": ("max", "x"),
-                "mean": ("avg", "x"),
-                "vals": ("collect_set", "v"),
-            },
-            n_salts=8,
-        ).collect()
-    }
+    df = spark.createDataFrame(rows, "k int, v int, x double").repartition(11)
     want = {
         r.k: r
         for r in df.groupBy("k")
@@ -439,11 +423,34 @@ def test_salted_agg_matches_plain_agg(spark):
         )
         .collect()
     }
-    assert set(got) == set(want)
-    for k in want:
-        for f in ("total", "n", "lo", "hi", "vals"):
-            assert got[k][f] == want[k][f], (k, f)
-        assert math.isclose(got[k]["mean"], want[k]["mean"], rel_tol=1e-12)
+    # both salt derivations are pure execution strategy — same answer
+    for salt_by in ("partition", "row"):
+        got = {
+            r.k: r
+            for r in salted_agg(
+                df,
+                ["k"],
+                {
+                    "total": ("sum", "x"),
+                    "n": ("count", "x"),
+                    "lo": ("min", "x"),
+                    "hi": ("max", "x"),
+                    "mean": ("avg", "x"),
+                    "vals": ("collect_set", "v"),
+                },
+                n_salts=8,
+                salt_by=salt_by,
+            ).collect()
+        }
+        assert set(got) == set(want), salt_by
+        for k in want:
+            for f in ("total", "n", "lo", "hi", "vals"):
+                assert got[k][f] == want[k][f], (salt_by, k, f)
+            assert math.isclose(got[k]["mean"], want[k]["mean"], rel_tol=1e-12)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt_by"):
+        salted_agg(df, ["k"], {"n": ("count", "x")}, salt_by="bogus")
 
 
 def test_salted_agg_hll_sharding_is_lossless(spark):

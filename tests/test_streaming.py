@@ -131,6 +131,32 @@ def test_sessionize_stream_batch_parity(spark, event_files):
     assert all(r.n == 5 for r in out)
 
 
+def test_shuffle_first_mode_same_values_one_exchange(spark, event_files):
+    """The batch scale knob (r9 sf100: ~12.3 GB map-side partial spill
+    each for hourly/session over near-raw-cardinality (key, window)
+    groups): shuffle_first=True must produce the identical answer with
+    exactly ONE exchange in the plan — the manual repartition satisfies
+    the aggregate's clustered-distribution requirement, so no second
+    shuffle appears and the partials collapse post-shuffle."""
+    from sdvg_spark.streaming import sessionize_stream, windowed_agg
+
+    _, batch_df = event_files
+    for fn, kw in (
+        (windowed_agg, {"window": "1 hour"}),
+        (sessionize_stream, {"gap": "30 minutes"}),
+    ):
+        args = [batch_df, "ts", next(iter(kw.values())), {"n": F.count(F.lit(1))}]
+        plain = {tuple(r) for r in fn(*args, keys=["user_id"]).collect()}
+        fast_df = fn(*args, keys=["user_id"], shuffle_first=True)
+        fast = {tuple(r) for r in fast_df.collect()}
+        assert plain == fast, fn.__name__
+        plan = fast_df._jdf.queryExecution().executedPlan().toString()
+        # a materialized AdaptiveSparkPlan prints Final AND Initial
+        # sections — count exchanges in the final plan only
+        plan = plan.split("== Initial Plan ==")[0]
+        assert plan.count("Exchange hashpartitioning") == 1, (fn.__name__, plan)
+
+
 def test_stream_dedup(spark, tmp_path):
     from sdvg_spark.streaming import stream_dedup
 
