@@ -20,12 +20,14 @@ tiers are value-identical, pinned by tests/test_vocab_tiers.py):
   ``sum(size(tokens))`` instead of a token-stream count; the vocab
   aggregate consumes in-row run-length postings (one (token, tf) row
   per DISTINCT per-doc term — the tfidf RLE fold, ops/text.py:832-878)
-  instead of the raw token stream; and V is the persisted vocab
+  instead of the raw token stream; V is the persisted vocab
   aggregate's own row count instead of a second full-stream
-  ``countDistinct`` (at sf100 the countDistinct partials were the
-  dominant spill). The per-doc scored fold is byte-identical to the
-  small tier (same explode + broadcast-vocab join + token-order fold,
-  so the same doubles come out).
+  ``countDistinct``; and the per-doc scored fold becomes a running-sum
+  window over (id, p) — the identical left-to-right addition sequence
+  (bit-identical doubles), but ONE post-shuffle sort instead of
+  collect_list buffers, whose 128-group ObjectHashAggregate fallback
+  was the ENTIRE 20.7 GB sf100 spill (probed: the spill survived the
+  vocab-side fix byte-for-byte and died with the fold).
 * ``dsir_logweights`` scale tier: the ≤``buckets``-row LLR table is
   collected (the values are computed by the SAME Spark expressions as
   the small tier, so the doubles are bit-identical) and embedded as an
@@ -133,16 +135,18 @@ def unigram_nll_tiered(
     * the vocab tf aggregate reads RLE postings (input shrinks by the
       within-doc repetition factor and each partial-agg map key
       appears once per doc, not once per occurrence);
-    * V = the persisted vocab aggregate's row count — the full-stream
-      ``countDistinct`` partials (the dominant sf100 spill) are gone.
-      The collapsed (token, tf) table is persisted MEMORY_AND_DISK
-      (recomputable, evictable) because V and the top-N cut both read
-      it; callers running many fits per session can unpersist via the
-      returned plan's sources or accept LRU eviction.
-
-    The per-doc scored fold (explode → broadcast-vocab join →
-    token-order fold) is the small tier's, unchanged — per-doc NLL
-    floats are bit-identical across tiers.
+    * V = the persisted vocab aggregate's row count — no full-stream
+      ``countDistinct`` partials. The collapsed (token, tf) table is
+      persisted MEMORY_AND_DISK (recomputable, evictable) because V
+      and the top-N cut both read it; callers running many fits per
+      session can unpersist via the returned plan's sources or accept
+      LRU eviction;
+    * the per-doc scored fold is a running-sum window over (id, p) —
+      the same addition sequence as the small tier's collect_list fold
+      (bit-identical NLL floats, tier-test-pinned) without the fold's
+      per-doc list buffers, whose 128-group ObjectHashAggregate
+      fallback was the entire 20.7 GB sf100 spill on both sides of the
+      exchange.
     """
     from sdvg_spark.ops.corpus import unigram_nll
     from sdvg_spark.ops.text import tokens
@@ -177,13 +181,26 @@ def unigram_nll_tiered(
             F.log((F.col("__tf") + F.lit(float(alpha))) / F.lit(denom)).alias("__lnp"),
         )
     )
-    # scored tail = corpus.unigram_nll's, verbatim (the value-identity
-    # contract): one broadcast join over the positional token stream,
-    # one (doc)-keyed ordered fold
+    # scored tail, window formulation. The small tier's collect_list
+    # fold is the sf100 spill, NOT the vocab partials (probed: the
+    # 20.7 GB spill survived the vocab fix byte-for-byte):
+    # ObjectHashAggregate holds only 128 groups before its sort-based
+    # fallback, so with thousands of docs per task the per-doc (p, lnp)
+    # list buffers spill on BOTH sides of the exchange. A running-sum
+    # window performs the SAME left-to-right addition sequence (running
+    # frame ≡ the fold: 0.0 + x1 + x2 + …, bit-identical — pinned by
+    # the tier test) with one post-shuffle sort of (id, p, lnp) rows
+    # that fits task memory at any corpus scale the partitioning
+    # matches.
+    from pyspark.sql import Window
+
     ln_oov = F.log(F.lit(float(alpha)) / F.lit(denom))
     tok_rows = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p", "__tok")
     )
+    w_ord = Window.partitionBy(id_col).orderBy("__p")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(id_col)
     scored = (
         tok_rows.join(F.broadcast(vocab), "__tok", "left")
         .select(
@@ -192,19 +209,14 @@ def unigram_nll_tiered(
             F.coalesce(F.col("__lnp"), ln_oov).alias("__lnp"),
             F.col("__lnp").isNull().cast("long").alias("__oov"),
         )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("__oov").alias("n_oov"),
-            F.aggregate(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__p", "__lnp"))),
-                    lambda s: s["__lnp"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("__sum_lnp"),
+        .select(
+            id_col,
+            F.sum("__lnp").over(w_run).alias("__sum_lnp"),
+            F.sum("__oov").over(w_all).alias("n_oov"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+            F.row_number().over(w_ord).alias("__rn"),
         )
+        .where(F.col("__rn") == F.col("__n"))
         .select(
             id_col,
             F.col("__n").cast("long").alias("n_tokens"),
