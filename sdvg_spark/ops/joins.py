@@ -572,7 +572,15 @@ def _bounded_local_right(
     one column-pruned pre-flight aggregate (8 bytes per scalar,
     octet_length for strings/binary, 8·size for arrays) bounds the
     Arrow transfer BEFORE any data moves; an oversized side costs the
-    estimate job only, never a materialization. None when too big."""
+    estimate job only, never a materialization. None when too big.
+
+    The right side is computed twice (estimate, then fetch) by
+    design: persisting it for the pair of jobs would MATERIALIZE an
+    arbitrarily large right into executor memory/disk during the
+    estimate — before the caps have ruled — which is exactly the
+    failure mode the pre-flight exists to prevent. The second compute
+    of a small right is the structural price of the safety property
+    (measured ~0.3 s on events_asof's clicks aggregate at sf0.1)."""
     from pyspark.sql.types import ArrayType, BinaryType, StringType
 
     sel = right.select(*cols)
