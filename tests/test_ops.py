@@ -1089,6 +1089,14 @@ def test_profile_table_one_row_per_column(spark):
     assert rows["v"].n_null == 1
     assert rows["v"].min_value == "-0.250000000"  # printf-rendered float
     assert rows["id"].dtype == "bigint"
+    # the >=20M-row wrapper tier: approx ndv keeps schema + every
+    # non-distinct stat identical, and HLL is exact at this cardinality
+    ap = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert set(ap) == set(rows)
+    for c in rows:
+        for f in ("dtype", "n_rows", "n_null", "min_value", "max_value"):
+            assert ap[c][f] == rows[c][f], (c, f)
+        assert ap[c].n_distinct == rows[c].n_distinct, c  # tiny-input HLL exact
 
 
 def test_new_ops_empty_inputs(spark):
