@@ -381,19 +381,20 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/nulls/distinct/min/max for every column, stacked to one row
     per column; values rendered through dialect-portable formats so the
     DuckDB mirror matches byte-for-byte. Tiered on the footer row count
-    (the r9 verdict item-5 fix): exact multi-distinct up to 20M rows
-    (every oracle scale — the mirror stays value-exact), HLL
-    approx_count_distinct above it, where the exact expand-based
-    multi-distinct spilled 133 GB of memory in ONE 16 GiB JVM at the
-    sf100 probe; estimates are the documented ANALYZE contract at that
-    scale (profile_table(exact_distinct=False))."""
+    (the r9 verdict item-5 fix): exact multi-distinct up to 2M rows
+    (every oracle scale runs ≤ ~1M events — the mirror stays
+    value-exact), HLL approx_count_distinct above it, where the exact
+    expand-based multi-distinct spilled 7.4 GB at the sf10 probe and
+    133 GB in ONE 16 GiB JVM at sf100; estimates are the documented
+    ANALYZE contract at those scales
+    (profile_table(exact_distinct=False))."""
     from sdvg_spark.ops.profile import profile_table
 
     n_events = _parquet_rows(sf_dir, "events")
     # footer fallback (-1) profiles exact — the oracle-safe default
     return profile_table(
         _read(spark, sf_dir, "events"),
-        exact_distinct=n_events < 20_000_000,
+        exact_distinct=n_events < 2_000_000,
     )
 
 
