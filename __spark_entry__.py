@@ -1070,11 +1070,11 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal: per-doc mean negative
     log-likelihood + perplexity under a Lidstone-smoothed top-500
     unigram model fit on the corpus itself; token-order-deterministic
-    folds on both engines (ops/corpus.py:unigram_nll). Tiered on the
-    footer row count (ops/vocab.py): ≥2M docs swaps the model-fit side
-    to map-side N + RLE-postings vocab + persisted-aggregate V —
-    value-identical (pytest-pinned), removing the full-stream
-    countDistinct whose partials were the 20.7 GB sf100 spill."""
+    folds on both engines (ops/corpus.py:unigram_nll). Runs the
+    ops/vocab.py restructured shape (map-side N, RLE-postings vocab,
+    persisted-aggregate V, running-sum-window fold) — value-identical
+    to the corpus.py reference shape (pytest-pinned), faster at every
+    measured size, and the fix for the 20.7 GB sf100 spill."""
     from sdvg_spark.ops.vocab import unigram_nll_tiered
 
     docs = _read(spark, sf_dir, "documents")
@@ -1204,11 +1204,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (ops/corpus.py: dsir_logweights):
     hashed-unigram log-likelihood ratio of the lang='en' target slice
     vs the raw corpus — two bucket aggs + broadcast LLR table +
-    token-ordered fold. Tiered on the footer row count (ops/vocab.py):
-    ≥2M docs collects the ≤256-row LLR table into an array literal and
-    folds Σ llr[bucket(tok)] IN-ROW — value-identical (pytest-pinned),
-    turning the scored stage map-only (the per-doc collect_list buffer
-    was the operator's entire 18.6 GB sf100 spill)."""
+    token-ordered fold. Runs the ops/vocab.py restructured shape (the
+    ≤256-row LLR table collected into an array literal, Σ
+    llr[bucket(tok)] folded IN-ROW) — value-identical (pytest-pinned),
+    faster at every measured size (sf10: 83→50 s), scored stage
+    map-only (the per-doc collect_list buffer was the operator's
+    entire 18.6 GB sf100 spill)."""
     from sdvg_spark.ops.vocab import dsir_logweights_tiered
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")

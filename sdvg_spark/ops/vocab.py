@@ -13,8 +13,9 @@ driver window, and a corpus.py edit would invalidate 14 more r9
 certificates, overflowing the window) — so the tiers stage here, the
 exact pattern ops/ivf_merge.py used in r9 before its r10 fold-back.
 
-What the tiers change (small corpora keep the corpus.py shapes; both
-tiers are value-identical, pinned by tests/test_vocab_tiers.py):
+What the restructured shapes change (value-identical to the corpus.py
+reference shapes, pinned by tests/test_vocab_tiers.py; the DEFAULT at
+every corpus size since the r10 A/B — see _SCALE_MIN_DOCS):
 
 * ``unigram_nll`` scale tier: N comes from a map-side
   ``sum(size(tokens))`` instead of a token-stream count; the vocab
@@ -46,10 +47,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tier bound, same value and rationale as text._TFIDF_RLE_MIN_DOCS:
-# below this many documents the raw-stream aggregates are cheapest
-# (their partial-agg maps fit); above it they are the spill.
-_SCALE_MIN_DOCS = 2_000_000
+# Tier bound. Originally 2M docs on the tfidf precedent ("below this
+# the raw-stream aggregates are cheapest"), but the r10 A/B measured
+# the restructured shapes WINNING at every size on the fixtures —
+# 50k docs: nll 1.61→1.30 s, dsir 2.27→1.88 s; 500k: nll 15.9→10.7,
+# dsir 83.3→49.6; 5M (sf100): nll spill 20.7→7.0 GB, dsir 18.6 GB→0 —
+# so the restructured shape is now the DEFAULT at every size and the
+# corpus.py delegates remain reachable via an explicit scale_min_docs
+# (and as the value-identity reference the tier tests pin against).
+_SCALE_MIN_DOCS = 0
 
 
 def _safe_tokens(text_col: str) -> Column:
@@ -151,9 +157,9 @@ def unigram_nll_tiered(
     from sdvg_spark.ops.corpus import unigram_nll
     from sdvg_spark.ops.text import tokens
 
-    if n_docs is None:
+    if n_docs is None and scale_min_docs > 0:
         n_docs = docs.count()
-    if n_docs < scale_min_docs:
+    if scale_min_docs > 0 and n_docs < scale_min_docs:
         return unigram_nll(
             docs, id_col, text_col,
             top_n=top_n, alpha=alpha, round_digits=round_digits,
@@ -269,9 +275,9 @@ def dsir_logweights_tiered(
     """
     from sdvg_spark.ops.corpus import dsir_logweights
 
-    if n_docs is None:
+    if n_docs is None and scale_min_docs > 0:
         n_docs = docs.count()
-    if n_docs < scale_min_docs:
+    if scale_min_docs > 0 and n_docs < scale_min_docs:
         return dsir_logweights(
             docs, target, id_col, text_col,
             buckets=buckets, alpha=alpha, round_digits=round_digits,

@@ -36,12 +36,16 @@ def test_unigram_nll_tiers_value_identical(spark):
     assert small == scale and len(small) == 7
 
 
-def test_unigram_nll_tiered_delegates_below_bound(spark):
+def test_unigram_nll_tiered_delegate_path(spark):
     from sdvg_spark.ops.vocab import unigram_nll_tiered
 
     docs = _docs(spark).select("doc_id", "text")
-    out = unigram_nll_tiered(docs, "doc_id", "text", top_n=3, n_docs=7)
-    # below the 2M-doc bound: the delegate path, same schema and rows
+    # an explicit bound above n_docs routes to the corpus.py delegate
+    # (the restructured shape is the default since the r10 A/B —
+    # scale_min_docs defaults to 0)
+    out = unigram_nll_tiered(
+        docs, "doc_id", "text", top_n=3, n_docs=7, scale_min_docs=100
+    )
     assert out.count() == 7
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_tokens", "n_oov", "nll", "ppl",
