@@ -274,7 +274,10 @@ def _make_sequencer(plan: ColumnPlan, spark: SparkSession):
 
 
 def _make_sequence_kernel(plan: ColumnPlan, spark: SparkSession):
-    """pandas UDF: id -> struct(ridx, num, r01).
+    """pandas UDF: id -> struct(ridx, num, r01) — struct(num, r01) for
+    single-range columns, whose ridx is the constant 0 (the dispatch
+    field would ship 4 dead bytes per row per column through Arrow;
+    at the 20M-row bench mix that is ~320 MB of transfer for nothing).
 
     Emitting r01 here — not as a native column expression — matters:
     the SplitMix chain as a Catalyst tree doubles in size per scramble
@@ -284,6 +287,16 @@ def _make_sequence_kernel(plan: ColumnPlan, spark: SparkSession):
     fields.
     """
     compute = _make_sequencer(plan, spark)
+
+    if len(plan.ranges) == 1:
+
+        @pandas_udf("num long, r01 double")
+        def kernel(ids: pd.Series) -> pd.DataFrame:
+            idx = ids.to_numpy(dtype=np.int64).astype(np.uint64)
+            _, num, r01 = compute(idx)
+            return pd.DataFrame({"num": num.astype(np.int64), "r01": r01})
+
+        return kernel
 
     @pandas_udf("ridx int, num long, r01 double")
     def kernel(ids: pd.Series) -> pd.DataFrame:
@@ -442,7 +455,12 @@ class Engine:
                 continue
             else:
                 num = F.col(f"__seq_{plan.name}.num")
-                ridx = F.col(f"__seq_{plan.name}.ridx")
+                # single-range kernels omit the constant dispatch field
+                ridx = (
+                    F.col(f"__seq_{plan.name}.ridx")
+                    if len(plan.ranges) > 1
+                    else F.lit(0)
+                )
                 r01 = F.col(f"__seq_{plan.name}.r01")
             exprs.append(value_expr(plan, num, ridx, r01))
         if keep_id:
