@@ -10,7 +10,7 @@ these drive the same properties over sampled parameter space.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import assume, given, settings
+from hypothesis import assume, example, given, settings
 from hypothesis import strategies as st
 
 from sdvg_spark.config.model import parse_config
@@ -344,6 +344,15 @@ def test_ivf_taskmerge_pool_reduces_to_fused(n, nq, dims, top, batch, compact, s
     batch=st.integers(7, 83),
     compact=st.integers(4, 48),
     seed=st.integers(0, 2**31 - 1),
+)
+@example(
+    # the r9 falsifying example (verdict item 1): an ulp-noise winner
+    # evicted the (score DESC, id ASC) tie winner from the pool
+    # permanently before the in-kernel 12-dp quantization made ties
+    # true ties — pinned explicitly so the regression outlives the
+    # local .hypothesis database
+    n=20, nq=3, dims=4, top=3, n_planes=4, n_tables=1,
+    batch=7, compact=4, seed=7683,
 )
 @settings(max_examples=25, deadline=None)
 def test_lsh_taskmerge_pool_reduces_to_fused(
