@@ -57,6 +57,11 @@ from pyspark.sql import functions as F
 # (and as the value-identity reference the tier tests pin against).
 _SCALE_MIN_DOCS = 0
 
+# in-row nll fold: max broadcast-vocab entries (min(top_n, V)); a
+# 2M-entry str→double dict is ~200 MB driver/executor-side — past this
+# the scored stage falls back to the shuffle-based window formulation
+_INROW_MAX_VOCAB = 2_000_000
+
 
 def _safe_tokens(text_col: str) -> Column:
     from sdvg_spark.ops.text import tokens
@@ -118,6 +123,113 @@ def rle_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return posting_structs.where(F.col("token").isNotNull())
 
 
+def _nll_inrow_scored(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    ln_oov_expr: Column,
+) -> DataFrame:
+    """Map-only scored stage: per-doc (n_tokens, n_oov, Σ ln p) folded
+    IN-ROW by an Arrow-batched kernel against the broadcast top-N vocab
+    — no posexplode, no (doc)-keyed exchange, no window sort. The dsir
+    in-row fold precedent (its LLR table embeds as ≤``buckets``
+    literals); the nll vocab is a string→double lookup a codegen HOF
+    cannot express without an O(V)-per-token literal scan, so the fold
+    crosses to Python once per Arrow batch instead:
+
+    * the vocab (≤ top_n rows) and the OOV constant are evaluated by
+      the SAME Spark expressions as the join formulation and collected
+      — the kernel looks up the very doubles the broadcast join would
+      have carried (JVM ``Math.log``; a Python ``math.log`` recompute
+      could differ in the last ulp);
+    * per batch, the token lists are flattened and dictionary-encoded
+      arrow-side, the ≤ distinct-per-batch dictionary is mapped through
+      the vocab dict in Python, and scores gather back by index — the
+      per-token hot path never touches Python objects;
+    * each doc's Σ ln p is ``np.add.accumulate`` over its slice —
+      sequential left-to-right by definition, the bit-identical
+      addition sequence of the collect_list/window folds (0.0 + x1 ≡
+      x1: ln p < 0, never -0.0). n_oov/n_tokens are exact integer
+      reductions.
+
+    Returns (id, __n, n_oov, __sum_lnp) — one row per input doc; the
+    caller applies the shared nll/ppl arithmetic Spark-side so
+    round/exp stay JVM-evaluated.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = docs.sparkSession
+    vocab_pdf = vocab.toPandas()
+    # one driver-local row evaluates the OOV expression in the SAME
+    # JVM fold Catalyst would have used for the join's coalesce side
+    ln_oov = float(spark.range(1).select(ln_oov_expr.alias("v")).first()["v"])
+    tok2lnp = dict(
+        zip(vocab_pdf["__tok"].tolist(), vocab_pdf["__lnp"].tolist())
+    )
+    bc = spark.sparkContext.broadcast(tok2lnp)
+
+    staged = docs.select(
+        F.col(id_col), _safe_tokens(text_col).alias("__toks")
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, staged.schema[id_col].dataType, True),
+            StructField("__n", LongType(), False),
+            StructField("n_oov", LongType(), False),
+            StructField("__sum_lnp", DoubleType(), False),
+        ]
+    )
+
+    def fold_batches(batches):
+        t2l = bc.value
+        for b in batches:
+            la = b.column(1)
+            counts = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = la.flatten()
+            de = flat.dictionary_encode()
+            dict_toks = de.dictionary.to_pylist()
+            lnp_tbl = np.fromiter(
+                (t2l.get(t, ln_oov) for t in dict_toks),
+                dtype=np.float64,
+                count=len(dict_toks),
+            )
+            oov_tbl = np.fromiter(
+                (t not in t2l for t in dict_toks),
+                dtype=np.int64,
+                count=len(dict_toks),
+            )
+            if len(dict_toks):
+                idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                flat_lnp = lnp_tbl[idx]
+                flat_oov = oov_tbl[idx]
+            else:
+                flat_lnp = np.zeros(0, dtype=np.float64)
+                flat_oov = np.zeros(0, dtype=np.int64)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            oov_cum = np.concatenate([[0], np.cumsum(flat_oov)])
+            n_oov = oov_cum[ends] - oov_cum[starts]
+            sums = np.zeros(len(counts), dtype=np.float64)
+            for i in np.flatnonzero(counts):
+                # accumulate is sequential by definition: the exact
+                # ((x1+x2)+x3)+… fold the tier contract pins
+                sums[i] = np.add.accumulate(flat_lnp[starts[i] : ends[i]])[-1]
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    pa.array(counts, type=pa.int64()),
+                    pa.array(n_oov, type=pa.int64()),
+                    pa.array(sums, type=pa.float64()),
+                ],
+                names=[id_col, "__n", "n_oov", "__sum_lnp"],
+            )
+
+    return staged.mapInArrow(fold_batches, out_schema)
+
+
 def unigram_nll_tiered(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -128,6 +240,7 @@ def unigram_nll_tiered(
     round_digits: int = 9,
     n_docs: int | None = None,
     scale_min_docs: int = _SCALE_MIN_DOCS,
+    scored_fold: str = "inrow",
 ) -> DataFrame:
     """:func:`~sdvg_spark.ops.corpus.unigram_nll` with a scale tier.
 
@@ -147,12 +260,18 @@ def unigram_nll_tiered(
       and the top-N cut both read it; callers running many fits per
       session can unpersist via the returned plan's sources or accept
       LRU eviction;
-    * the per-doc scored fold is a running-sum window over (id, p) —
-      the same addition sequence as the small tier's collect_list fold
-      (bit-identical NLL floats, tier-test-pinned) without the fold's
-      per-doc list buffers, whose 128-group ObjectHashAggregate
-      fallback was the entire 20.7 GB sf100 spill on both sides of the
-      exchange.
+    * the per-doc scored fold (``scored_fold``, default ``"inrow"``)
+      runs MAP-ONLY: an Arrow-batched kernel folds Σ ln p in-row
+      against the broadcast ≤ top_n vocab — no posexplode, no
+      (doc)-keyed exchange, no window sort. ``"window"`` keeps the
+      r10 running-sum-window shape (one post-shuffle sort; its
+      shuffle-write external sort was the residual 7.0 GB sf100 spill
+      — SHUFFLE_r10 probe #3) as the fallback past ``_INROW_MAX_VOCAB``
+      broadcast entries. Both perform the small tier's exact
+      left-to-right addition sequence (bit-identical NLL floats,
+      tier-test-pinned); the original collect_list fold's 128-group
+      ObjectHashAggregate fallback was the 20.7 GB spill the r10 tier
+      removed.
     """
     from sdvg_spark.ops.corpus import unigram_nll
     from sdvg_spark.ops.text import tokens
@@ -187,20 +306,46 @@ def unigram_nll_tiered(
             F.log((F.col("__tf") + F.lit(float(alpha))) / F.lit(denom)).alias("__lnp"),
         )
     )
-    # scored tail, window formulation. The small tier's collect_list
-    # fold is the sf100 spill, NOT the vocab partials (probed: the
-    # 20.7 GB spill survived the vocab fix byte-for-byte):
-    # ObjectHashAggregate holds only 128 groups before its sort-based
-    # fallback, so with thousands of docs per task the per-doc (p, lnp)
-    # list buffers spill on BOTH sides of the exchange. A running-sum
-    # window performs the SAME left-to-right addition sequence (running
-    # frame ≡ the fold: 0.0 + x1 + x2 + …, bit-identical — pinned by
-    # the tier test) with one post-shuffle sort of (id, p, lnp) rows
-    # that fits task memory at any corpus scale the partitioning
-    # matches.
+    # scored tail, two formulations (value-identical — same addition
+    # sequence; pinned by tests/test_vocab_tiers.py):
+    #
+    # * "inrow" (default): the Arrow-batched in-row fold — map-only, no
+    #   posexplode, no (doc)-keyed exchange, no window sort. The sf100
+    #   probe of the window formulation isolated its residual 7.0 GB
+    #   memory spill to the shuffle-WRITE external sort of the
+    #   (id, p, lnp) window input itself (SHUFFLE_r10 probe #3) — the
+    #   positional-fold contract forces that exchange in ANY
+    #   shuffle-based shape, so the fix is to never shuffle the token
+    #   stream: the vocab is ≤ top_n rows and rides a broadcast.
+    # * "window": a running-sum window over (id, p) — one post-shuffle
+    #   sort, no collect_list buffers (whose 128-group
+    #   ObjectHashAggregate fallback was the original 20.7 GB spill).
+    #   Kept as the shuffle-based fallback and the tier tests' second
+    #   witness.
     from pyspark.sql import Window
 
     ln_oov = F.log(F.lit(float(alpha)) / F.lit(denom))
+    if scored_fold not in ("inrow", "window"):
+        raise ValueError(f"scored_fold must be 'inrow' or 'window', got {scored_fold!r}")
+    if scored_fold == "inrow" and min(top_n, v_total) > _INROW_MAX_VOCAB:
+        # the broadcast dict is bounded by min(top_n, V) entries; past
+        # the cap the lookup table stops being "small side" and the
+        # shuffle-based window formulation is the safe shape
+        scored_fold = "window"
+    if scored_fold == "inrow":
+        folded = _nll_inrow_scored(docs, id_col, text_col, vocab, ln_oov)
+        n = F.col("__n")
+        return folded.select(
+            id_col,
+            n.alias("n_tokens"),
+            F.col("n_oov").alias("n_oov"),
+            F.when(n > 0, F.round(-F.col("__sum_lnp") / n, round_digits))
+            .otherwise(F.lit(0.0))
+            .alias("nll"),
+            F.when(n > 0, F.round(F.exp(-F.col("__sum_lnp") / n), round_digits))
+            .otherwise(F.lit(1.0))
+            .alias("ppl"),
+        )
     tok_rows = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p", "__tok")
     )

@@ -123,3 +123,78 @@ def test_rle_postings_match_exploded_counts(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_unigram_nll_scored_folds_value_identical(spark):
+    """r10 late addition: the in-row Arrow fold (scored_fold='inrow',
+    the default — map-only scored stage) must be bit-identical to BOTH
+    the window formulation and the corpus.py collect_list fold,
+    including empty/null/whitespace docs, unicode tokens, and a
+    single-token vocab cut."""
+    from sdvg_spark.ops.corpus import unigram_nll
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
+
+    rows = [
+        (0, "the cat sat on the mat the cat"),
+        (1, ""),
+        (2, None),
+        (3, "   "),
+        (4, "über cafè 猫 the the über"),
+        (5, "single"),
+        (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for top_n in (1, 3, 1000):
+        kw = dict(top_n=top_n, alpha=0.5, round_digits=9)
+        inrow = sorted(
+            tuple(r)
+            for r in unigram_nll_tiered(
+                docs, "doc_id", "text", scored_fold="inrow", **kw
+            ).collect()
+        )
+        window = sorted(
+            tuple(r)
+            for r in unigram_nll_tiered(
+                docs, "doc_id", "text", scored_fold="window", **kw
+            ).collect()
+        )
+        small = sorted(
+            tuple(r) for r in unigram_nll(docs, "doc_id", "text", **kw).collect()
+        )
+        assert inrow == window == small and len(inrow) == 7, top_n
+
+
+def test_unigram_nll_inrow_scored_stage_is_map_only(spark):
+    """The residual-spill fix (SHUFFLE_r10 probe #3 localized the
+    7.0 GB to the window input's shuffle-write sort): the in-row
+    scored query plan has NO exchange and carries the Arrow kernel."""
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
+
+    docs = _docs(spark).select("doc_id", "text")
+    out = unigram_nll_tiered(
+        docs, "doc_id", "text", top_n=5, scored_fold="inrow"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_unigram_nll_inrow_vocab_cap_falls_back_to_window(spark, monkeypatch):
+    """Past _INROW_MAX_VOCAB broadcast entries the scored stage must
+    route to the shuffle-based window formulation (same values)."""
+    import sdvg_spark.ops.vocab as V
+
+    docs = _docs(spark).select("doc_id", "text")
+    monkeypatch.setattr(V, "_INROW_MAX_VOCAB", 2)
+    capped = V.unigram_nll_tiered(
+        docs, "doc_id", "text", top_n=1000, scored_fold="inrow"
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan  # fell back
+    monkeypatch.setattr(V, "_INROW_MAX_VOCAB", 2_000_000)
+    uncapped = V.unigram_nll_tiered(
+        docs, "doc_id", "text", top_n=1000, scored_fold="inrow"
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
