@@ -1072,9 +1072,11 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model fit on the corpus itself; token-order-deterministic
     folds on both engines (ops/corpus.py:unigram_nll). Runs the
     ops/vocab.py restructured shape (map-side N, RLE-postings vocab,
-    persisted-aggregate V, running-sum-window fold) — value-identical
-    to the corpus.py reference shape (pytest-pinned), faster at every
-    measured size, and the fix for the 20.7 GB sf100 spill."""
+    persisted-aggregate V, in-row Arrow fold against the broadcast
+    top-N vocab — the scored stage is MAP-ONLY) — value-identical to
+    the corpus.py reference shape (pytest-pinned), and the fix for the
+    sf100 spill: 20.7 GB (r9) → 7.0 GB (window fold) → ZERO, with
+    shuffle write 2155 → 6.6 MB (SHUFFLE_r10 late follow-up)."""
     from sdvg_spark.ops.vocab import unigram_nll_tiered
 
     docs = _read(spark, sf_dir, "documents")
