@@ -198,3 +198,43 @@ def test_unigram_nll_inrow_vocab_cap_falls_back_to_window(spark, monkeypatch):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_unigram_nll_scored_folds_identical_on_random_corpus(spark):
+    """Seeded random corpus (mixed lengths, repeats, unicode, blank and
+    null docs) — one generation, all three fold shapes bit-identical.
+    Broader than the fixed edge-case list; deterministic (seed 1234)."""
+    import random
+
+    from sdvg_spark.ops.corpus import unigram_nll
+    from sdvg_spark.ops.vocab import unigram_nll_tiered
+
+    rng = random.Random(1234)
+    alphabet = ["the", "cat", "zzz", "a", "ü", "猫", "x1", "q-q", "longtoken" * 3]
+    rows = []
+    for i in range(200):
+        mode = rng.random()
+        if mode < 0.05:
+            rows.append((i, None))
+        elif mode < 0.10:
+            rows.append((i, "   " * rng.randint(1, 3)))
+        else:
+            k = rng.randint(1, 40)
+            rows.append(
+                (i, " ".join(rng.choice(alphabet) for _ in range(k)))
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(top_n=4, alpha=0.5, round_digits=9)
+    outs = [
+        sorted(
+            tuple(r)
+            for r in unigram_nll_tiered(
+                docs, "doc_id", "text", scored_fold=fold, **kw
+            ).collect()
+        )
+        for fold in ("inrow", "window")
+    ]
+    outs.append(
+        sorted(tuple(r) for r in unigram_nll(docs, "doc_id", "text", **kw).collect())
+    )
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) == 200
