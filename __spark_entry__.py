@@ -1071,13 +1071,14 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood + perplexity under a Lidstone-smoothed top-500
     unigram model fit on the corpus itself; token-order-deterministic
     folds on both engines (ops/corpus.py:unigram_nll). Runs the
-    ops/vocab.py restructured shape (map-side N, RLE-postings vocab,
-    persisted-aggregate V, in-row Arrow fold against the broadcast
-    top-N vocab — the scored stage is MAP-ONLY) — value-identical to
-    the corpus.py reference shape (pytest-pinned), and the fix for the
-    sf100 spill: 20.7 GB (r9) → 7.0 GB (window fold) → ZERO, with
-    shuffle write 2155 → 6.6 MB (SHUFFLE_r10 late follow-up)."""
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    corpus.py scale tier (map-side N, RLE-postings vocab — the shared
+    ops/text.py:rle_postings fold — persisted-aggregate V, in-row
+    Arrow fold against the broadcast top-N vocab: the scored stage is
+    MAP-ONLY) — value-identical to the corpus.py reference shape
+    (pytest-pinned), and the fix for the sf100 spill: 20.7 GB (r9) →
+    7.0 GB (window fold) → ZERO, with shuffle write 2155 → 6.6 MB
+    (SHUFFLE_r10 late follow-up)."""
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     docs = _read(spark, sf_dir, "documents")
     n = _parquet_rows(sf_dir, "documents")
@@ -1206,13 +1207,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (ops/corpus.py: dsir_logweights):
     hashed-unigram log-likelihood ratio of the lang='en' target slice
     vs the raw corpus — two bucket aggs + broadcast LLR table +
-    token-ordered fold. Runs the ops/vocab.py restructured shape (the
-    ≤256-row LLR table collected into an array literal, Σ
-    llr[bucket(tok)] folded IN-ROW) — value-identical (pytest-pinned),
-    faster at every measured size (sf10: 83→50 s), scored stage
-    map-only (the per-doc collect_list buffer was the operator's
-    entire 18.6 GB sf100 spill)."""
-    from sdvg_spark.ops.vocab import dsir_logweights_tiered
+    token-ordered fold. Runs the corpus.py scale tier (the ≤256-row
+    LLR table collected into an array literal, Σ llr[bucket(tok)]
+    folded IN-ROW) — value-identical (pytest-pinned), faster at every
+    measured size (sf10: 83→50 s), scored stage map-only (the per-doc
+    collect_list buffer was the operator's entire 18.6 GB sf100
+    spill)."""
+    from sdvg_spark.ops.corpus import dsir_logweights_tiered
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     target = docs.where(F.col("lang") == "en")
@@ -1618,62 +1619,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over round). The full 85 stay covered by tools/check_entry.py
     # (EXACT=1) locally.
     #
-    # r10 rotations IN: all 36 r8-certified rows at the freshness edge
-    # (the 18 gen_* rows, the ann family — now running the folded-back
-    # task-merged kernels as similarity.py defaults, the r9 verdict's
-    # #1 — plus embedding_quantize, the events streaming/session/
-    # sessionize/funnel/retention rows, media_audio_features,
-    # profile_events, stream_funnel, skew_salted_agg, top_revenue,
-    # user_running_value), every r9 row over modules changed this round
-    # (joins.py gapfill sign-correct alignment -> events_asof/gapfill/
-    # interval/range; sampling.py checkpoint-to-persist -> corpus_mix,
-    # data_split×2, quality_band, source_cap, stratified_sample,
-    # token_budget_sample; the new vocab partial-RLE tier ->
-    # unigram_nll, dsir_weights), and dedup_semantic (the r9 bench
-    # regression, re-baselined with a fresh row). ann_ivf_merged is
-    # GONE: ops/ivf_merge.py folded into similarity.py and the merged
-    # kernel IS ann_ivf now.
-    # Deferred: 35 r9-certified rows over modules untouched in r10
-    # (corpus.py, text.py, dedup.py, web.py families — corpus.py's own
-    # RLE tier waits for r11 when those rows rotate back in; rotation
-    # arithmetic: 36 r8 must-ins + 14 corpus rows > 50 slots).
+    # r11 rotations IN (the freshness budget forces this — exactly the
+    # alternation SURVEY §9 planned): all 35 r9-certified corpus/text/
+    # dedup/web/pipeline rows hit age 2 > budget 1 at r11 and rotate
+    # back into the window; with them in-window, editing their modules
+    # is free — which is what the r11 fold-back used (ops/vocab.py
+    # folded into corpus.py, rle_postings deduplicated into
+    # ops/text.py). Also in-window: every r10 row over modules r11
+    # touches — unigram_nll/dsir_weights (the fold-back itself),
+    # source_cap/token_budget_sample (their module closure includes
+    # text.py), events_hourly/events_session_window/stream_funnel
+    # (streaming/ops.py session-split work) — plus the ann family
+    # (similarity.py headroom for the recall-scorecard refresh) and
+    # dedup_semantic/events_funnel filling the last two slots.
+    # Deferred: 35 r10-certified rows over modules r11 does NOT touch
+    # (the 18 gen_* rows on the frozen generation engine, the joins.py
+    # family, the five non-text sampling rows, and 8 single-module
+    # analytics/profile/skew/multimodal/vectors rows).
     deferred = [
-        # r9-certified, modules untouched in r10
-        "text_features",
-        "dedup_exact",
-        "dedup_jaccard",
-        "dedup_minhash",
-        "dedup_simhash",
-        "dedup_components",
-        "dedup_embedding",
-        "dedup_incremental",
-        "dedup_incremental_minhash",
-        "paragraph_dedup",
-        "pricing_summary",
-        "media_features",
-        "corpus_vocab",
-        "decontaminate",
-        "pack_sequences",
-        "pack_sequences_chars",
-        "pack_nostraddle",
-        "pack_order",
-        "pii_redact",
-        "curate",
-        "events_rollup",
-        "tfidf_keywords",
-        "events_percentiles",
-        "doc_chunks",
-        "duplicate_spans",
-        "remove_duplicate_spans",
-        "repetition_features",
-        "collocations",
-        "token_divergence",
-        "zipf_fit",
-        "bm25_retrieval",
-        "url_canonicalize",
-        "url_dedup",
-        "language_confidence",
-        "html_extract",
+        # r10-certified, modules untouched in r11
+        "gen_integer_ordered",
+        "gen_integer_random",
+        "gen_integer_distinct",
+        "gen_float32",
+        "gen_float_null",
+        "gen_datetime_ordered",
+        "gen_datetime_random",
+        "gen_enum",
+        "gen_first_name",
+        "gen_last_name",
+        "gen_phone",
+        "gen_ranges",
+        "gen_foreign_key",
+        "gen_slice_resume",
+        "gen_uuid",
+        "gen_string_simple",
+        "gen_template",
+        "gen_text",
+        "events_asof",
+        "events_gapfill",
+        "events_interval_join",
+        "events_range_join",
+        "corpus_mix",
+        "data_split",
+        "data_split_by_source",
+        "quality_band",
+        "stratified_sample",
+        "profile_events",
+        "skew_salted_agg",
+        "media_audio_features",
+        "embedding_quantize",
+        "top_revenue",
+        "user_running_value",
+        "events_sessionize",
+        "events_retention",
     ]
     head = {k: v for k, v in out.items() if k not in deferred}
     return {**head, **{k: out[k] for k in deferred}}

@@ -829,12 +829,37 @@ def tfidf_topk(
         )
         tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
         return _tfidf_rank(tf, id_col, n_docs, top_n, round_digits, order_by)
-    # run-length-encode the sorted token array: one struct(token, tf)
-    # per DISTINCT per-doc term, all map-side. Each HOF input is staged
-    # behind a projection first — lambdas see no subexpression
-    # elimination, so an inlined `srt` would re-sort per element.
+    tf = rle_postings(df, id_col, text_col)
+    return _tfidf_rank(tf, id_col, n_docs, top_n, round_digits, order_by)
+
+
+def rle_postings(df, id_col: str, text_col: str):
+    """(id, token, tf): per-document term counts computed INSIDE each
+    row — run-length-encode the sorted token array, one struct(token,
+    tf) per DISTINCT per-doc term, in pure codegen HOFs, all map-side.
+    The raw token stream never leaves its row, so a downstream
+    (doc, term) or vocab aggregate sees one row per distinct per-doc
+    term instead of one per token occurrence, and there is no
+    (doc, term) partial-agg hash map to spill (at the r8 sf100 probe
+    that map was tfidf's entire 6.6 GB spill: the synthetic fixture's
+    (doc, term) key space is near-raw-cardinality, so partial
+    aggregation bought nothing and fell back to sort-spill).
+
+    Shared by the tfidf scale tier and the unigram_nll tier
+    (:func:`sdvg_spark.ops.corpus.unigram_nll_tiered`) — one
+    construction, one set of tests (tests/test_vocab_tiers.py pins it
+    against exploded groupBy counts). Null text behaves like an empty
+    doc (no postings).
+
+    Each HOF input is staged behind a projection first — lambdas see
+    no subexpression elimination, so an inlined `srt` would re-sort
+    per element.
+    """
     srt = df.select(
-        F.col(id_col), F.array_sort(tokens(F.col(text_col))).alias("__srt")
+        F.col(id_col),
+        F.array_sort(
+            F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+        ).alias("__srt"),
     )
     s = F.col("__srt")
 
@@ -875,8 +900,7 @@ def tfidf_topk(
             )
         ),
     )
-    tf = posting_structs.where(F.col("token").isNotNull())
-    return _tfidf_rank(tf, id_col, n_docs, top_n, round_digits, order_by)
+    return posting_structs.where(F.col("token").isNotNull())
 
 
 # tier bound: below this many documents the explode + (doc, term) hash

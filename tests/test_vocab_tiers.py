@@ -1,5 +1,5 @@
-"""Value identity of the ops/vocab.py scale tiers with the corpus.py
-reference shapes (the r9 verdict item-4 contract: 'tiers pinned
+"""Value identity of the corpus.py scale tiers (folded back from the
+r10 staging module ops/vocab.py) with the corpus.py reference shapes (the r9 verdict item-4 contract: 'tiers pinned
 value-identical'), plus the plan properties that ARE the fix."""
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ def _docs(spark):
 
 def test_unigram_nll_tiers_value_identical(spark):
     from sdvg_spark.ops.corpus import unigram_nll
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     docs = _docs(spark).select("doc_id", "text")
     kw = dict(top_n=5, alpha=0.5, round_digits=9)
@@ -37,7 +37,7 @@ def test_unigram_nll_tiers_value_identical(spark):
 
 
 def test_unigram_nll_tiered_delegate_path(spark):
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     docs = _docs(spark).select("doc_id", "text")
     # an explicit bound above n_docs routes to the corpus.py delegate
@@ -55,7 +55,7 @@ def test_unigram_nll_tiered_delegate_path(spark):
 def test_unigram_nll_scale_tier_has_no_distinct_aggregate(spark):
     """The sf100 spill driver was the full-stream countDistinct; the
     scale tier must compute V without ANY distinct aggregate."""
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     docs = _docs(spark).select("doc_id", "text")
     plan = unigram_nll_tiered(
@@ -66,7 +66,7 @@ def test_unigram_nll_scale_tier_has_no_distinct_aggregate(spark):
 
 def test_dsir_tiers_value_identical(spark):
     from sdvg_spark.ops.corpus import dsir_logweights
-    from sdvg_spark.ops.vocab import dsir_logweights_tiered
+    from sdvg_spark.ops.corpus import dsir_logweights_tiered
 
     d = _docs(spark)
     docs = d.select("doc_id", "text")
@@ -87,7 +87,7 @@ def test_dsir_scale_tier_scored_stage_is_map_only(spark):
     is ONE pass — no exchange anywhere in its plan (the small tier
     shuffles every (doc, token) row into a collect_list buffer, the
     entire 18.6 GB sf100 spill)."""
-    from sdvg_spark.ops.vocab import dsir_logweights_tiered
+    from sdvg_spark.ops.corpus import dsir_logweights_tiered
 
     d = _docs(spark)
     out = dsir_logweights_tiered(
@@ -105,7 +105,7 @@ def test_dsir_scale_tier_scored_stage_is_map_only(spark):
 
 
 def test_rle_postings_match_exploded_counts(spark):
-    from sdvg_spark.ops.vocab import rle_postings
+    from sdvg_spark.ops.text import rle_postings
     from sdvg_spark.ops.text import tokens
 
     docs = _docs(spark).select("doc_id", "text")
@@ -132,7 +132,7 @@ def test_unigram_nll_scored_folds_value_identical(spark):
     including empty/null/whitespace docs, unicode tokens, and a
     single-token vocab cut."""
     from sdvg_spark.ops.corpus import unigram_nll
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     rows = [
         (0, "the cat sat on the mat the cat"),
@@ -168,7 +168,7 @@ def test_unigram_nll_inrow_scored_stage_is_map_only(spark):
     """The residual-spill fix (SHUFFLE_r10 probe #3 localized the
     7.0 GB to the window input's shuffle-write sort): the in-row
     scored query plan has NO exchange and carries the Arrow kernel."""
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     docs = _docs(spark).select("doc_id", "text")
     out = unigram_nll_tiered(
@@ -182,7 +182,7 @@ def test_unigram_nll_inrow_scored_stage_is_map_only(spark):
 def test_unigram_nll_inrow_vocab_cap_falls_back_to_window(spark, monkeypatch):
     """Past _INROW_MAX_VOCAB broadcast entries the scored stage must
     route to the shuffle-based window formulation (same values)."""
-    import sdvg_spark.ops.vocab as V
+    import sdvg_spark.ops.corpus as V
 
     docs = _docs(spark).select("doc_id", "text")
     monkeypatch.setattr(V, "_INROW_MAX_VOCAB", 2)
@@ -207,7 +207,7 @@ def test_unigram_nll_scored_folds_identical_on_random_corpus(spark):
     import random
 
     from sdvg_spark.ops.corpus import unigram_nll
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
 
     rng = random.Random(1234)
     alphabet = ["the", "cat", "zzz", "a", "ü", "猫", "x1", "q-q", "longtoken" * 3]

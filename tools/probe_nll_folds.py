@@ -31,7 +31,7 @@ def main() -> None:
     pin = int(sys.argv[2])
     folds = (sys.argv[3] if len(sys.argv) > 3 else "inrow,window").split(",")
 
-    from sdvg_spark.ops.vocab import unigram_nll_tiered
+    from sdvg_spark.ops.corpus import unigram_nll_tiered
     from sdvg_spark.session import get_spark
 
     spark = get_spark(app_name="probe-nll-folds")
@@ -58,13 +58,20 @@ def main() -> None:
         for j in jobs:
             if j.get("jobGroup") == tag:
                 stage_ids.update(j.get("stageIds", []))
-        stages = _api(base, f"applications/{app_id}/stages?status=complete")
+        # ALL statuses — a failed/skipped/finalizing stage silently
+        # dropped from the sum would under-report spill; the status
+        # breakdown line makes partial attribution visible
+        stages = _api(base, f"applications/{app_id}/stages")
         mine = [s for s in stages if s["stageId"] in stage_ids]
+        by_status: dict[str, int] = {}
+        for s in mine:
+            by_status[s.get("status", "?")] = by_status.get(s.get("status", "?"), 0) + 1
         print(
             f"| nll/{fold} | {wall:.1f} s | "
             f"write {sum(s.get('shuffleWriteBytes', 0) for s in mine) / 1e6:.1f} MB | "
             f"memspill {sum(s.get('memoryBytesSpilled', 0) for s in mine) / 1e6:.1f} MB | "
-            f"diskspill {sum(s.get('diskBytesSpilled', 0) for s in mine) / 1e6:.1f} MB |",
+            f"diskspill {sum(s.get('diskBytesSpilled', 0) for s in mine) / 1e6:.1f} MB | "
+            f"stages {sorted(by_status.items())} |",
             flush=True,
         )
     spark.stop()
