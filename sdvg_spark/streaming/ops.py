@@ -108,6 +108,138 @@ def sessionize_stream(
     )
 
 
+def sessionize_batch_twolevel(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    *,
+    keys: list[str],
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Batch-mode two-level sessionization: local ``session_window``
+    sessions within ``(keys, coarse time bucket)``, then a per-key
+    interval-chain merge of the (far fewer) local sessions.
+
+    Candidate scale path for :func:`sessionize_stream`'s batch knob
+    when (key, session) cardinality is near the row count: level 1
+    repartitions on ``(keys, bucket)`` — MORE partitioning keys than
+    the plain shuffle_first, so the session-merge operator's per-task
+    group state is bounded by the bucket width — and the level-2 merge
+    runs over local-session rows only (≈ #sessions, not #events).
+
+    Correctness: events cannot leave their bucket (the bucket is a
+    function of ``ts``), ``session_window`` merges chains within a
+    bucket, and local sessions of one key occupy disjoint event-time
+    ranges — so sorting them by start time and merging adjacent ones
+    whose gap is ≤ ``gap_seconds`` (lag, not cummax: ends are
+    monotone) reproduces the single-level chain exactly. Aggregates
+    must therefore be decomposable: ``partial_aggs`` runs over events,
+    ``merge_aggs`` over the partial columns (sum/count/min/max —
+    the same contract as any partial+final aggregate).
+
+    Tie semantics match ``session_window`` (measured, and the DuckDB
+    oracle's ``date_diff > gap`` rule): an event exactly ``gap_seconds``
+    after its predecessor MERGES into the session — windows are closed
+    ``[ts, ts+gap]`` for merge purposes — so a new session starts only
+    on a strictly-greater gap.
+    """
+    bucket_seconds = bucket_seconds or max(gap_seconds * 8, 3600)
+    ts = F.col(ts_col)
+    pre = df.withColumn(
+        "__bucket", F.floor(ts.cast("double") / F.lit(float(bucket_seconds)))
+    ).repartition(*[F.col(k) for k in keys], F.col("__bucket"))
+    loc = pre.groupBy(
+        F.session_window(ts, f"{int(gap_seconds)} seconds"),
+        *[F.col(k) for k in keys],
+        F.col("__bucket"),
+    ).agg(
+        F.min(ts).alias("__min_ts"),
+        F.max(ts).alias("__max_ts"),
+        *[c.alias(n) for n, c in partial_aggs.items()],
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy("__min_ts")
+    prev_end = F.lag(F.col("__max_ts").cast("double")).over(w)
+    loc = loc.withColumn(
+        "__new",
+        F.when(
+            prev_end.isNull()
+            | (F.col("__min_ts").cast("double") - prev_end > float(gap_seconds)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = loc.groupBy(*[F.col(k) for k in keys], F.col("__sid")).agg(
+        F.min("__min_ts").alias("session_start"),
+        (
+            F.max("__max_ts") + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+        ).alias("session_end"),
+        *[c.alias(n) for n, c in merge_aggs.items()],
+    )
+    return out.select(
+        "session_start",
+        "session_end",
+        *[F.col(k) for k in keys],
+        *[F.col(n) for n in merge_aggs],
+    )
+
+
+def sessionize_batch_windowform(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    aggs: dict[str, Column],
+    *,
+    keys: list[str],
+) -> DataFrame:
+    """Batch-mode sessionization via the lag/cumsum window formulation,
+    emitting ``session_window``-shaped output (start, end = last event
+    + gap). Candidate scale path: ONE exchange on ``keys`` feeds the
+    window sort, the session-id cumsum, and the final sort-aggregate in
+    a single post-shuffle stage — no session-merge operator machinery.
+    Same tie rule as ``session_window`` (an event exactly
+    ``gap_seconds`` later merges; new session only on a strictly
+    greater gap).
+    """
+    from pyspark.sql.window import Window
+
+    ts = F.col(ts_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(ts.cast("double")).over(w)
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev.isNull() | (ts.cast("double") - prev > float(gap_seconds)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = flagged.groupBy(*[F.col(k) for k in keys], F.col("__sid")).agg(
+        F.min(ts).alias("session_start"),
+        (F.max(ts) + F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")).alias(
+            "session_end"
+        ),
+        *[c.alias(n) for n, c in aggs.items()],
+    )
+    return out.select(
+        "session_start",
+        "session_end",
+        *[F.col(k) for k in keys],
+        *[F.col(n) for n in aggs],
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     cols: list[str],

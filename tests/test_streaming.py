@@ -157,6 +157,72 @@ def test_shuffle_first_mode_same_values_one_exchange(spark, event_files):
         assert plan.count("Exchange hashpartitioning") == 1, (fn.__name__, plan)
 
 
+def test_sessionize_batch_variants_parity(spark):
+    """The two batch scale candidates (two-level bucket split, lag/
+    cumsum window form) must reproduce native ``session_window``
+    exactly — including events spaced EXACTLY one gap apart (the tie
+    boundary) and chains crossing coarse-bucket boundaries."""
+    import random
+
+    from sdvg_spark.streaming import (
+        sessionize_batch_twolevel,
+        sessionize_batch_windowform,
+        sessionize_stream,
+    )
+
+    rnd = random.Random(7)
+    rows, eid, base = [], 0, 1_700_000_000
+    for uid in range(1, 21):
+        t = base + rnd.randrange(0, 86_400)
+        for _ in range(rnd.randrange(1, 60)):
+            r = rnd.random()
+            if r < 0.55:
+                t += rnd.randrange(1, 1800)
+            elif r < 0.70:
+                t += 1800  # exact-gap tie
+            else:
+                t += rnd.randrange(1801, 30_000)
+            rows.append((uid, eid, t, rnd.randrange(1, 100)))
+            eid += 1
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, tsec long, value long"
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("tsec").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    aggs = {"n": F.count(F.lit(1)), "v": F.sum("value")}
+
+    def key(rs):
+        return {(r.user_id, r.session_start, r.session_end, r.n, r.v) for r in rs}
+
+    ref = key(
+        sessionize_stream(df, "ts", "30 minutes", aggs, keys=["user_id"]).collect()
+    )
+    two = key(
+        sessionize_batch_twolevel(
+            df,
+            "ts",
+            1800,
+            aggs,
+            {"n": F.sum("n"), "v": F.sum("v")},
+            keys=["user_id"],
+            bucket_seconds=7200,
+        ).collect()
+    )
+    wf = key(
+        sessionize_batch_windowform(
+            df, "ts", 1800, aggs, keys=["user_id"]
+        ).collect()
+    )
+    assert two == ref
+    assert wf == ref
+
+
 def test_stream_dedup(spark, tmp_path):
     from sdvg_spark.streaming import stream_dedup
 
