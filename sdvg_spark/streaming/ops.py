@@ -147,8 +147,12 @@ def sessionize_batch_twolevel(
     """
     bucket_seconds = bucket_seconds or max(gap_seconds * 8, 3600)
     ts = F.col(ts_col)
+    # unix_micros over a cast to TIMESTAMP handles TIMESTAMP_NTZ inputs
+    # too (the session timezone is pinned to UTC, joins.py idiom); a
+    # plain cast-to-double is rejected for NTZ columns.
+    ts_us = F.unix_micros(ts.cast("timestamp"))
     pre = df.withColumn(
-        "__bucket", F.floor(ts.cast("double") / F.lit(float(bucket_seconds)))
+        "__bucket", F.floor(ts_us / F.lit(int(bucket_seconds) * 1_000_000))
     ).repartition(*[F.col(k) for k in keys], F.col("__bucket"))
     loc = pre.groupBy(
         F.session_window(ts, f"{int(gap_seconds)} seconds"),
@@ -162,12 +166,15 @@ def sessionize_batch_twolevel(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys).orderBy("__min_ts")
-    prev_end = F.lag(F.col("__max_ts").cast("double")).over(w)
+    prev_end = F.lag(F.unix_micros(F.col("__max_ts").cast("timestamp"))).over(w)
     loc = loc.withColumn(
         "__new",
         F.when(
             prev_end.isNull()
-            | (F.col("__min_ts").cast("double") - prev_end > float(gap_seconds)),
+            | (
+                F.unix_micros(F.col("__min_ts").cast("timestamp")) - prev_end
+                > gap_seconds * 1_000_000
+            ),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
@@ -211,12 +218,13 @@ def sessionize_batch_windowform(
     from pyspark.sql.window import Window
 
     ts = F.col(ts_col)
+    ts_us = F.unix_micros(ts.cast("timestamp"))
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    prev = F.lag(ts.cast("double")).over(w)
+    prev = F.lag(ts_us).over(w)
     flagged = df.withColumn(
         "__new",
         F.when(
-            prev.isNull() | (ts.cast("double") - prev > float(gap_seconds)),
+            prev.isNull() | (ts_us - prev > gap_seconds * 1_000_000),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
