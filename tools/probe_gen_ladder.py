@@ -29,14 +29,31 @@ def main() -> None:
         2_500_000_000,
     ]
 
+    from pyspark.sql import SparkSession
+
     from sdvg_spark.config.model import parse_config
     from sdvg_spark.engine import Engine
-    from sdvg_spark.session import get_spark
+    from sdvg_spark.session import configure_session
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(master=f"local[{cpus}]", app_name="probe-gen-ladder")
+    # Speculative execution is this probe's straggler/wedged-worker
+    # mitigation (first 2B attempt: one Python worker deadlocked in
+    # the socket pair after ~1.7B rows, parking the whole job on task
+    # 499/500 — the exact failure speculation exists for; generation
+    # tasks are pure functions of the row index, so a speculative
+    # duplicate is always safe). Must be set at context creation.
+    spark = configure_session(
+        SparkSession.builder.appName("probe-gen-ladder")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "5s")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
+        .getOrCreate()
+    )
 
-    print("| rows × cols | wall (median of 3) | values/s |", flush=True)
+    print("| rows × cols | wall (min of 2) | values/s |", flush=True)
     print("|---|---|---|", flush=True)
     for rows in rows_list:
         cfg = dict(GEN_BENCH_CFG)
@@ -50,11 +67,11 @@ def main() -> None:
         df = Engine(parse_config(cfg)).model_df(spark, "bench", num_partitions=parts)
         df.write.format("noop").mode("overwrite").save()  # warm/codegen
         runs = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        wall = statistics.median(runs)
+        wall = min(runs)
         print(
             f"| {rows/1e6:.0f}M × 8 | {wall:.1f} s (runs: "
             f"{', '.join(f'{r:.1f}' for r in runs)}) | "
