@@ -1087,6 +1087,21 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-class transition quality signal: per-doc mean NLL +
+    perplexity of token TRANSITIONS under an add-α bigram model fit on
+    the corpus (ops/corpus.py:bigram_nll) — the smallest LM that sees
+    word order, next to unigram_nll's frequency-only axis. Born on the
+    scale tier: two token-keyed count aggregates, broadcast ln-p
+    dicts, and a MAP-ONLY in-row Arrow fold for the scored stage (the
+    shape the r10 unigram spill fix converged to); transition-order
+    sequential folds on both engines."""
+    from sdvg_spark.ops.corpus import bigram_nll
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_nll(docs, "doc_id", "text", top_n=2000, ctx_top_n=2000)
+
+
 def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup REWRITE: every flagged span keeps its
     first (doc, start) occurrence and is masked everywhere else; docs
@@ -1586,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "duplicate_spans": q_duplicate_spans,
             "remove_duplicate_spans": q_remove_duplicate_spans,
             "unigram_nll": q_unigram_nll,
+            "bigram_nll": q_bigram_nll,
             "repetition_features": q_repetition_features,
             "events_funnel": q_events_funnel,
             "events_retention": q_events_retention,
@@ -1637,7 +1653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, the five non-text sampling rows, and 8 single-module
     # analytics/profile/skew/multimodal/vectors rows).
     deferred = [
-        # r10-certified, modules untouched in r11
+        # r10-certified, modules untouched in r11. ann_ivf_index joined
+        # the list mid-r11 to make head room for the NEW bigram_nll row
+        # (new rows must be in-window; the r11 recall-scorecard refresh
+        # measured the merged kernels without touching similarity.py,
+        # so the ann family's r10 certificates stay valid).
+        "ann_ivf_index",
         "gen_integer_ordered",
         "gen_integer_random",
         "gen_integer_distinct",
@@ -2015,6 +2036,10 @@ FROM grid ASOF LEFT JOIN obs
     from sdvg_spark.ops.corpus import unigram_nll_oracle_sql
 
     out["unigram_nll"] = unigram_nll_oracle_sql(top_n=500)
+
+    from sdvg_spark.ops.corpus import bigram_nll_oracle_sql
+
+    out["bigram_nll"] = bigram_nll_oracle_sql(top_n=2000, ctx_top_n=2000)
 
     out["repetition_features"] = T.repetition_features_oracle_sql()
 

@@ -872,6 +872,246 @@ SELECT d.id AS {id_col},
 FROM d LEFT JOIN agg a ON a.id = d.id"""
 
 
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 2000,
+    ctx_top_n: int = 2000,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """KenLM-class transition quality signal: per-document mean
+    negative log-likelihood (and perplexity) of its TOKEN TRANSITIONS
+    under an add-α bigram model fit on the corpus itself — the
+    next-order LM-filter axis after :func:`unigram_nll` (CCNet scores
+    with a 5-gram KenLM; the bigram is the smallest model that sees
+    word ORDER, so shuffled/boilerplate text scores high here while
+    passing a unigram filter).
+
+    Model, for transition (w, x): p(x|w) = (c(w,x) + α) / (ĉ(w) +
+    α·(V+1)) where c(w,x) comes from the top-``top_n`` bigram table
+    (count desc, gram asc — the corpus_vocab cut), ĉ(w) =
+    max(context count from the top-``ctx_top_n`` context table else 0,
+    c(w,x)) — the max keeps p < 1 when a retained bigram's context
+    fell outside the context cut (true ĉ(w) ≥ c(w,x) always, so this
+    is the tighter valid bound and equals the true count whenever the
+    context is in-table — and both engines compute the identical
+    expression) — and V = distinct transition contexts in the corpus.
+    Transitions outside the bigram cut share the OOV mass
+    α/(ĉ(w) + α·(V+1)) with ĉ from the context table alone (0 if
+    absent). Docs with < 2 tokens have no transitions: nll 0, ppl 1.
+
+    Determinism: both cuts are (count desc, key asc); each doc's
+    Σ ln p folds in TRANSITION ORDER with the exact sequential
+    left-to-right addition sequence; ln p doubles are evaluated ONCE
+    by Spark JVM expressions and carried into the kernel (the
+    :func:`_nll_inrow_scored` contract); outputs round to
+    ``round_digits``.
+
+    Plan shape — born on the scale tier (the shape the r10 unigram
+    spill fix converged to, adopted here from day one): TWO
+    corpus-transition aggregates build the bigram/context tables
+    (token-keyed shuffles, the tfidf/vocab class), their ≤ top_n ln p
+    rows collect into broadcast dicts, and the scored stage is a
+    MAP-ONLY Arrow fold over each doc's own token list — no
+    posexplode, no doc-keyed exchange, no window sort, nothing to
+    spill at any corpus size. Reference for the operator class:
+    CCNet (Wenzek et al. 2020) LM perplexity filtering.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if top_n < 1 or ctx_top_n < 1:
+        raise ValueError("top_n and ctx_top_n must be >= 1")
+    spark = docs.sparkSession
+    toks = _safe_tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tr = docs.select(F.explode(grams).alias("__g")).select(
+        "__g", F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("__ctx")
+    )
+    stats = tr.select(F.countDistinct("__ctx").alias("v")).first()
+    v_total = int(stats["v"] or 0)
+    denom_pad = F.lit(float(alpha)) * F.lit(float(v_total + 1))
+    a = F.lit(float(alpha))
+    ctxc = (
+        tr.groupBy("__ctx")
+        .agg(F.count(F.lit(1)).alias("__cc"))
+        .orderBy(F.desc("__cc"), F.asc("__ctx"))
+        .limit(ctx_top_n)
+    )
+    big = (
+        tr.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+        .orderBy(F.desc("__cb"), F.asc("__g"))
+        .limit(top_n)
+        .withColumn("__ctx", F.split_part(F.col("__g"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ctxc), "__ctx", "left")
+        .select(
+            "__g",
+            F.log(
+                (F.col("__cb") + a)
+                / (
+                    F.greatest(F.coalesce(F.col("__cc"), F.lit(0)), F.col("__cb"))
+                    + denom_pad
+                )
+            ).alias("__lnp"),
+        )
+    )
+    ctx_oov = ctxc.select(
+        "__ctx", F.log(a / (F.col("__cc") + denom_pad)).alias("__lnp")
+    )
+    big_pdf = big.toPandas()
+    ctx_pdf = ctx_oov.toPandas()
+    ln_oov_g = float(
+        spark.range(1).select(F.log(a / denom_pad).alias("x")).first()["x"]
+    )
+    bigd = dict(zip(big_pdf["__g"].tolist(), big_pdf["__lnp"].tolist()))
+    ctxd = dict(zip(ctx_pdf["__ctx"].tolist(), ctx_pdf["__lnp"].tolist()))
+    # broadcast lifetime: same note as _nll_inrow_scored's tok2lnp
+    bc = spark.sparkContext.broadcast((bigd, ctxd))
+
+    staged = docs.select(F.col(id_col), toks.alias("__toks"))
+    out_schema = StructType(
+        [
+            StructField(id_col, staged.schema[id_col].dataType, True),
+            StructField("n_trans", LongType(), False),
+            StructField("n_oov", LongType(), False),
+            StructField("__sum_lnp", DoubleType(), False),
+        ]
+    )
+
+    def fold_batches(batches):
+        bd, cd = bc.value
+        for b in batches:
+            la = b.column(1)
+            counts = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = la.flatten()
+            de = flat.dictionary_encode()
+            dict_toks = de.dictionary.to_pylist()
+            total = len(de)
+            tcounts = np.maximum(counts - 1, 0)
+            ends = np.cumsum(counts)
+            if total and len(dict_toks):
+                idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                # transition start positions: every flat index except
+                # each nonempty doc's LAST element
+                mask = np.ones(total, dtype=bool)
+                mask[ends[counts > 0] - 1] = False
+                tpos = np.flatnonzero(mask)
+                d_card = np.int64(len(dict_toks))
+                pk = idx[tpos] * d_card + idx[tpos + 1]
+                upairs, inv = np.unique(pk, return_inverse=True)
+                u_lnp = np.empty(len(upairs), dtype=np.float64)
+                u_oov = np.empty(len(upairs), dtype=np.int64)
+                for j, key in enumerate(upairs):
+                    t1 = dict_toks[int(key // d_card)]
+                    g = t1 + " " + dict_toks[int(key % d_card)]
+                    lp = bd.get(g)
+                    if lp is None:
+                        u_oov[j] = 1
+                        u_lnp[j] = cd.get(t1, ln_oov_g)
+                    else:
+                        u_oov[j] = 0
+                        u_lnp[j] = lp
+                flat_lnp = u_lnp[inv]
+                flat_oov = u_oov[inv]
+            else:
+                flat_lnp = np.zeros(0, dtype=np.float64)
+                flat_oov = np.zeros(0, dtype=np.int64)
+            tends = np.cumsum(tcounts)
+            tstarts = tends - tcounts
+            oov_cum = np.concatenate([[0], np.cumsum(flat_oov)])
+            n_oov = oov_cum[tends] - oov_cum[tstarts]
+            sums = _sequential_segment_sums(flat_lnp, tstarts, tcounts)
+            yield pa.record_batch(
+                [
+                    b.column(0),
+                    pa.array(tcounts, type=pa.int64()),
+                    pa.array(n_oov, type=pa.int64()),
+                    pa.array(sums, type=pa.float64()),
+                ],
+                names=[id_col, "n_trans", "n_oov", "__sum_lnp"],
+            )
+
+    folded = staged.mapInArrow(fold_batches, out_schema)
+    return folded.select(
+        id_col,
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.when(
+            F.col("n_trans") > 0,
+            F.round(-F.col("__sum_lnp") / F.col("n_trans"), round_digits),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("nll"),
+        F.when(
+            F.col("n_trans") > 0,
+            F.round(F.exp(-F.col("__sum_lnp") / F.col("n_trans")), round_digits),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("ppl"),
+    )
+
+
+def bigram_nll_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2000,
+    ctx_top_n: int = 2000,
+    alpha: float = 0.5,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`bigram_nll` — same cuts, same ĉ(w)
+    max-bound, same smoothing arithmetic, same transition-order fold."""
+    toks = sql_tokens(text_col)
+    a = repr(float(alpha))
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+tr AS (
+  SELECT id, p, toks[p] AS ctx, toks[p] || ' ' || toks[p + 1] AS g
+  FROM d, unnest(range(1, len(toks))) AS u(p)),
+st AS (SELECT count(DISTINCT ctx) AS v FROM tr),
+ctxc AS (
+  SELECT ctx, count(*) AS cc FROM tr GROUP BY ctx
+  ORDER BY count(*) DESC, ctx LIMIT {int(ctx_top_n)}),
+big AS (
+  SELECT g, count(*) AS cb FROM tr GROUP BY g
+  ORDER BY count(*) DESC, g LIMIT {int(top_n)}),
+bigl AS (
+  SELECT b.g,
+    ln((b.cb + {a}) / (greatest(coalesce(c.cc, 0), b.cb) + {a} * (st.v + 1))) AS lnp
+  FROM big b LEFT JOIN ctxc c ON c.ctx = split_part(b.g, ' ', 1), st),
+sc AS (
+  SELECT tr.id, tr.p,
+    coalesce(b.lnp,
+      ln({a} / (coalesce(c.cc, 0) + {a} * (SELECT v + 1 FROM st)))) AS lnp,
+    (b.g IS NULL)::INT AS oov
+  FROM tr LEFT JOIN bigl b USING (g) LEFT JOIN ctxc c USING (ctx)),
+agg AS (
+  SELECT id, count(*) AS n_trans, sum(oov) AS n_oov,
+    list_sum(list_transform(list_sort(list({{'p': p, 'l': lnp}})), r -> r.l)) AS s
+  FROM sc GROUP BY id)
+SELECT d.id AS {id_col},
+  coalesce(a.n_trans, 0)::BIGINT AS n_trans,
+  coalesce(a.n_oov, 0)::BIGINT AS n_oov,
+  coalesce(round(-a.s / a.n_trans, {round_digits}), 0.0) AS nll,
+  coalesce(round(exp(-a.s / a.n_trans), {round_digits}), 1.0) AS ppl
+FROM d LEFT JOIN agg a ON a.id = d.id"""
+
+
 def collocations(
     docs: DataFrame,
     id_col: str = "doc_id",

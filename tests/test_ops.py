@@ -1396,6 +1396,46 @@ def test_unigram_nll_scores_common_text_lower(spark):
     assert out[0].n_tokens == 6 and out[100].n_tokens == 4
 
 
+def test_bigram_nll_semantics_and_oracle(spark):
+    """Word-ORDER sensitivity (the reason the operator exists: a
+    shuffled doc must score worse than the fluent doc its unigram
+    profile matches), edge docs (null / empty / 1-token → no
+    transitions, nll 0, ppl 1), and value-exactness against the DuckDB
+    mirror on a corpus with OOV transitions and tie-able counts."""
+    import duckdb
+
+    from sdvg_spark.ops.corpus import bigram_nll, bigram_nll_oracle_sql
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows += [
+        (100, "mat the on sat cat the"),  # same unigrams, broken order
+        (101, None),
+        (102, "   "),
+        (103, "solo"),
+        (104, "zx qv wv ut"),  # all-OOV transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_nll(df, "doc_id", "text", top_n=6).collect()}
+    assert got[0].n_oov == 0 and got[0].n_trans == 5
+    assert got[100].nll > got[0].nll  # order broken -> worse transitions
+    for d in (101, 102, 103):
+        r = got[d]
+        assert (r.n_trans, r.n_oov, r.nll, r.ppl) == (0, 0, 0.0, 1.0)
+    assert got[104].n_oov == 3
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        df.toPandas(),
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(bigram_nll_oracle_sql(top_n=6)).fetchall()
+    }
+    for d, r in got.items():
+        assert (r.n_trans, r.n_oov, r.nll, r.ppl) == want[d][1:5], (d, r, want[d])
+
+
 def test_repetition_features_known_counts(spark):
     """Hand-computed Gopher fractions on a fixed token stream, plus the
     lexicographic tie rule and the [0,1] cap on degenerate repetition."""
