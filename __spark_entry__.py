@@ -104,6 +104,66 @@ def _gen_query(model: str, column: str) -> Callable[[SparkSession, str], DataFra
 # pipeline ops + analytics over the testdata tables
 
 
+def _parquet_col_bytes(sf_dir: str, name: str, col: str) -> int:
+    """Uncompressed byte size of one column from parquet FOOTER
+    metadata (no Spark job, no scan) — an upper bound on the column's
+    character count, used to pick size-tiered strategies driver-side.
+    Returns -1 when footers are unreachable (caller falls back to a
+    measuring job)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        def one(p: str) -> int:
+            md = pq.ParquetFile(p).metadata
+            total = 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema.split(".")[0] == col:
+                        total += c.total_uncompressed_size
+            return total
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += one(os.path.join(root, f))
+            return total
+        return one(path)
+    except Exception:
+        return -1
+
+
+# -- prepared expression fragments ------------------------------------------
+# Column objects are immutable unresolved expression handles; the text
+# feature suites below build trees of thousands of py4j calls (measured
+# 1.9 s of pure plan-construction per q_text_features call at r11 —
+# as large as the query's entire compute). Build each suite once per
+# JVM gateway and reuse it, prepared-statement style: no data or
+# results are cached, only the expression tree. Keyed on the gateway id
+# so a restarted JVM rebuilds instead of resurrecting dead handles.
+_EXPR_MEMO: dict = {}
+_EXPR_MEMO_GW: list = [None]
+
+
+def _memo_exprs(key: str, build: Callable[[], list]) -> list:
+    from pyspark import SparkContext
+
+    gw = id(SparkContext._gateway) if SparkContext._gateway is not None else 0
+    if _EXPR_MEMO_GW[0] != gw:
+        _EXPR_MEMO.clear()
+        _EXPR_MEMO_GW[0] = gw
+    got = _EXPR_MEMO.get(key)
+    if got is None:
+        got = _EXPR_MEMO[key] = build()
+    return got
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -147,27 +207,42 @@ def _parquet_rows(sf_dir: str, name: str) -> int:
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.dedup import widen
 
-    docs = _read(spark, sf_dir, "documents")
-    # Stage tokenization once: `__toks` is non-cheap and referenced by
-    # every feature, so CollapseProject keeps the projection boundary —
-    # each row tokenizes exactly once (81s -> ~2s at sf0.1).
-    staged = docs.select(
-        "doc_id", F.col("text").alias("__t"), T.tokens(F.col("text")).alias("__toks")
-    )
-    t, toks = F.col("__t"), F.col("__toks")
-    qf = T.quality_features(t, toks)
-    return staged.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        T.regex_token_count(t).alias("n_bpe_tokens"),
-        T.detect_language(t, toks).alias("lang_pred"),
-        F.round(T.quality_score(t, toks), 9).alias("quality"),
-        qf["dup_token_ratio"].alias("dup_token_ratio"),
-        qf["dup_line_ratio"].alias("dup_line_ratio"),
-        F.round(T.token_entropy(t, toks), 9).alias("token_entropy"),
-        T.fingerprint(t, toks).alias("fingerprint"),
-    )
+    # widen(): the fixture parquet is one row group, so the scan is a
+    # single task and this per-row-heavy map stage would serialize on
+    # one core (guide §2.5: unsplittable input → repartition after the
+    # read; a no-op at real scale where scans are already wide).
+    docs = widen(_read(spark, sf_dir, "documents"))
+
+    def build() -> list:
+        # Stage tokenization once: `__toks` is non-cheap and referenced
+        # by every feature, so CollapseProject keeps the projection
+        # boundary — each row tokenizes exactly once (81s -> ~2s at
+        # sf0.1).
+        t, toks = F.col("__t"), F.col("__toks")
+        qf = T.quality_features(t, toks)
+        return [
+            [
+                F.col("doc_id"),
+                F.col("text").alias("__t"),
+                T.tokens(F.col("text")).alias("__toks"),
+            ],
+            [
+                F.col("doc_id"),
+                F.size(toks).alias("n_tokens"),
+                T.regex_token_count(t).alias("n_bpe_tokens"),
+                T.detect_language(t, toks).alias("lang_pred"),
+                F.round(T.quality_score(t, toks), 9).alias("quality"),
+                qf["dup_token_ratio"].alias("dup_token_ratio"),
+                qf["dup_line_ratio"].alias("dup_line_ratio"),
+                F.round(T.token_entropy(t, toks), 9).alias("token_entropy"),
+                T.fingerprint(t, toks).alias("fingerprint"),
+            ],
+        ]
+
+    stage_cols, out_cols = _memo_exprs("text_features", build)
+    return docs.select(*stage_cols).select(*out_cols)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +273,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-verified, so the output IS the exact Jaccard ground truth
     # and the dedup_jaccard SQL doubles as a value-exact oracle
     # (verified identical in both tiers at sf0.01 AND sf0.1).
-    p = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, bands=21)
+    est = _parquet_col_bytes(sf_dir, "documents", "text")
+    p = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.4, bands=21,
+        est_chars=None if est < 0 else est,
+    )
     return p.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
 
 
@@ -222,7 +301,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import connected_components, minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4, bands=21)
+    est = _parquet_col_bytes(sf_dir, "documents", "text")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.4, bands=21,
+        est_chars=None if est < 0 else est,
+    )
     return connected_components(docs.select("doc_id"), pairs)
 
 
@@ -408,6 +491,7 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.pipeline import CurationConfig, curate
 
     docs = _read(spark, sf_dir, "documents")
+    est = _parquet_col_bytes(sf_dir, "documents", "text")
     cfg = CurationConfig(
         lang="en",
         min_quality=0.6,
@@ -417,6 +501,9 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_seed=7,
         pack_budget=2048,
         pack_buckets=64,
+        # footer-byte bound on the PASSED set's characters (subset of
+        # the corpus) — skips the minhash sizing scan
+        minhash_est_chars=None if est < 0 else est,
     )
     return curate(docs, cfg)
 
@@ -427,18 +514,28 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     to prove the REDACTED STREAM identical byte-for-byte (the patterns
     are restricted to the Java/RE2-common regex subset)."""
     from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.dedup import widen
 
-    docs = _read(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", T.redact_pii(F.col("text")).alias("__r"), F.col("text").alias("__t")
-    )
-    c = T.pii_counts(F.col("__t"))
-    return staged.select(
-        "doc_id",
-        *[v.alias(k) for k, v in c.items()],
-        F.length("__r").alias("redacted_len"),
-        T.fingerprint(F.col("__r")).alias("redacted_fp"),
-    )
+    docs = widen(_read(spark, sf_dir, "documents"))
+
+    def build() -> list:
+        c = T.pii_counts(F.col("__t"))
+        return [
+            [
+                F.col("doc_id"),
+                T.redact_pii(F.col("text")).alias("__r"),
+                F.col("text").alias("__t"),
+            ],
+            [
+                F.col("doc_id"),
+                *[v.alias(k) for k, v in c.items()],
+                F.length("__r").alias("redacted_len"),
+                T.fingerprint(F.col("__r")).alias("redacted_fp"),
+            ],
+        ]
+
+    stage_cols, out_cols = _memo_exprs("pii_redact", build)
+    return docs.select(*stage_cols).select(*out_cols)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,8 +1055,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     # corpus-derived cell count (expected cell ≈ 256 rows at every sf;
     # 16 cells at sf0.01) — fixed cells would revert to all-pairs as
-    # the corpus grows; the oracle mirrors the count via subquery LIMIT
-    return semantic_dedup(emb, "vec_id", "embedding", threshold=0.4)
+    # the corpus grows; the oracle mirrors the count via subquery LIMIT.
+    # Row count from parquet footer metadata — no sizing count job.
+    n = _parquet_rows(sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_rows=None if n < 0 else n,
+    )
 
 
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,14 +1221,19 @@ def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only sorted-run folds, zero shuffle
     (ops/text.py:repetition_features)."""
     from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.dedup import widen
 
-    docs = _read(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
-    rf = T.repetition_features(F.col("__toks"), F.col("__toks"))
-    return staged.select(
-        "doc_id",
-        *[F.round(c, 9).alias(k) for k, c in rf.items()],
-    )
+    docs = widen(_read(spark, sf_dir, "documents"))
+
+    def build() -> list:
+        rf = T.repetition_features(F.col("__toks"), F.col("__toks"))
+        return [
+            [F.col("doc_id"), T.tokens(F.col("text")).alias("__toks")],
+            [F.col("doc_id"), *[F.round(c, 9).alias(k) for k, c in rf.items()]],
+        ]
+
+    stage_cols, out_cols = _memo_exprs("repetition_features", build)
+    return docs.select(*stage_cols).select(*out_cols)
 
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,20 +1478,31 @@ def q_language_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the bare label. Tokens and the one-pass hit fold are STAGED
     behind projections (HOF folds see no subexpression elimination)."""
     from sdvg_spark.ops import text as T
+    from sdvg_spark.ops.dedup import widen
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = docs.withColumn("__toks", T.tokens(F.col("text"))).withColumn(
-        "__hits", T.lang_hits(F.col("__toks"))
-    )
-    sc = T.language_scores(
-        F.col("text"), toks=F.col("__toks"), hits=F.col("__hits")
-    )
-    return staged.select(
-        "doc_id",
-        sc["lang_pred"].alias("lang_pred"),
-        sc["lang_score"].alias("lang_score"),
-        sc["lang_margin"].alias("lang_margin"),
-    )
+    docs = widen(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def build() -> list:
+        sc = T.language_scores(
+            F.col("text"), toks=F.col("__toks"), hits=F.col("__hits")
+        )
+        return [
+            [
+                F.col("doc_id"),
+                F.col("text"),
+                T.tokens(F.col("text")).alias("__toks"),
+            ],
+            [F.col("doc_id"), F.col("text"), F.col("__toks"), T.lang_hits(F.col("__toks")).alias("__hits")],
+            [
+                F.col("doc_id"),
+                sc["lang_pred"].alias("lang_pred"),
+                sc["lang_score"].alias("lang_score"),
+                sc["lang_margin"].alias("lang_margin"),
+            ],
+        ]
+
+    s1, s2, out_cols = _memo_exprs("language_confidence", build)
+    return docs.select(*s1).select(*s2).select(*out_cols)
 
 
 # Paragraph-structured fixture for paragraph_dedup: documents carry no

@@ -208,6 +208,7 @@ def pack_sequences(
     *,
     budget: int = 2048,
     n_buckets: int = 128,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: documents are laid out in
     ``id_col`` order as one global token stream and cut every
@@ -216,6 +217,12 @@ def pack_sequences(
     standard LLM dataloader packing step; the assignment is a pure
     function of the global prefix sum, so it is deterministic and
     independent of partitioning.
+
+    ``carry``: extra columns of ``docs`` passed through to the output
+    unchanged — callers that would otherwise JOIN the packing back onto
+    per-doc columns (curate's fingerprint/split) ride them through the
+    one range shuffle instead (a few bytes per row vs. a full extra
+    equi-join of the doc set).
 
     Distributed prefix-sum shape (NO single-partition global window —
     the naive ``Window.orderBy(id)`` cumsum serializes the corpus
@@ -234,12 +241,20 @@ def pack_sequences(
     remaining pack space straddle the cut, exactly like the dataloader
     they feed. Empty docs (0 tokens) sit at their boundary offset.
     """
-    d = docs.select(F.col(id_col).alias("__id"), F.col(n_tokens_col).alias("__n"))
+    carry = carry or []
+    d = docs.select(
+        F.col(id_col).alias("__id"), F.col(n_tokens_col).alias("__n"), *carry
+    )
     bounds = d.select(F.min("__id").alias("lo"), F.max("__id").alias("hi")).first()
     if bounds["lo"] is None:
         spark = docs.sparkSession
+        carry_schema = "".join(
+            f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+        )
         return spark.createDataFrame(
-            [], f"{id_col} long, n_tokens long, pack_id long, pack_offset long"
+            [],
+            f"{id_col} long, n_tokens long, pack_id long, pack_offset long"
+            + carry_schema,
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
@@ -271,6 +286,7 @@ def pack_sequences(
             F.col("__n").cast("long").alias("n_tokens"),
             F.expr(f"__start DIV {int(budget)}L").alias("pack_id"),
             F.pmod(F.col("__start"), F.lit(int(budget))).cast("long").alias("pack_offset"),
+            *carry,
         )
     )
     return packed
@@ -543,7 +559,11 @@ def duplicate_spans(
     # referenced once per WINDOW below, and higher-order lambdas defeat
     # subexpression elimination — inlining retokenizes the document per
     # window (measured 6.4x slower at sf0.1, the q_text_features lesson)
-    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    from sdvg_spark.ops.dedup import widen
+
+    # widen(): tokenize + per-window md5 is the heavy map stage; a
+    # single-row-group input would run it on one core (no-op at scale)
+    staged = widen(docs).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     n = F.size(toks)
     grams = F.when(
@@ -574,9 +594,34 @@ def duplicate_spans(
         .cast("long")
         .alias("span_fp"),
     )
+    # ONE shared exchange: repartition the occurrence table by
+    # fingerprint and let both the census aggregate and the join read
+    # it. The census's required distribution is satisfied, the join's
+    # streamed side is satisfied, and the two branches canonicalize to
+    # the same exchange subtree, so ReuseExchange runs the
+    # tokenize+window+md5 scan ONCE (it previously ran twice — the two
+    # branches' exchanges differed because the census's partial
+    # distinct carried different columns). Dropping the map-side
+    # partial distinct also removes the census's partial-map memory —
+    # the r8-adjudicated sf100 spill lived exactly there — while
+    # shuffle bytes stay ~occurrence-sized (the fingerprint space is
+    # near-raw, so partial dedup bought almost nothing).
+    occ = occ.repartition("span_fp")
     census = (
         occ.groupBy("span_fp")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
+        # `+ 0 * min(span_start)` adds exactly 0 (span_start ≥ 1, never
+        # null) — it exists so the census branch consumes the SAME
+        # columns as the join branch: otherwise column pruning rewrites
+        # its exchange to a narrower projection, the two subtrees no
+        # longer canonicalize equal, and ReuseExchange cannot fire
+        # (verified in-plan: two full Scan+tokenize+md5 chains). The
+        # optimizer cannot fold `0 * min(...)` away (null semantics),
+        # which is the point.
+        .agg(
+            (
+                F.countDistinct(id_col) + F.lit(0) * F.min("span_start")
+            ).alias("n_docs")
+        )
         .where(F.col("n_docs") >= F.lit(int(min_docs)))
     )
     return occ.join(census.hint("shuffle_hash"), "span_fp").select(

@@ -634,6 +634,7 @@ def minhash_lsh_pairs(
     est_margin: float = 0.1,
     mode: str = "auto",
     broadcast_max_bytes: int = 200_000_000,
+    est_chars: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact-verified Jaccard ≥
     threshold) via MinHash-LSH.
@@ -690,8 +691,13 @@ def minhash_lsh_pairs(
         sh = char_shingles(F.col("__in"), shingle_k, lowercase=False)
     shingled = staged.select("__id", sh.alias("__sh"))
     if mode == "auto":
-        est = df.select(F.sum(F.length(F.col(text_col))).alias("c")).first()
-        est_bytes = 8 * int(est["c"] or 0)
+        if est_chars is None:
+            est = df.select(F.sum(F.length(F.col(text_col))).alias("c")).first()
+            est_chars = int(est["c"] or 0)
+        # est_chars: caller-supplied character bound (e.g. the text
+        # column's uncompressed parquet-footer bytes — an upper bound on
+        # characters, driver-side metadata only) skips the sizing scan.
+        est_bytes = 8 * est_chars
         mode = "broadcast" if est_bytes <= broadcast_max_bytes else "join"
     if mode == "broadcast":
         return _minhash_pairs_broadcast(
@@ -808,7 +814,71 @@ def _minhash_pairs_broadcast(
         "__id",
         F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__hs"),
     )
-    pdf = hashed.toPandas()  # Arrow-batched: arrays land as numpy, not boxed rows
+    # Signatures and band hashes are computed on the EXECUTORS (one
+    # mapInArrow pass over the widened shingle table): the 128-hash
+    # minimum.reduceat sweep was the single largest cost of this tier
+    # when it ran on the driver — a serial pass over every shingle hash
+    # of the corpus × n_hashes. The kernel is the exact same integer
+    # arithmetic ((a·x+b) mod 2^31−1 minima, SplitMix64 band chains), so
+    # signature values are bit-identical; the driver keeps only the
+    # bucket grouping, the estimate filter and the exact verification.
+    a_arr, b_arr = _hash_params(n_hashes, seed)
+
+    def sig_kernel(batches):
+        import pyarrow as pa
+
+        from sdvg_spark.core.rng import splitmix64_np
+
+        for b in batches:
+            ids_a = b.column(0)
+            hs = b.column(1)
+            n = len(ids_a)
+            if n == 0:
+                continue
+            counts = hs.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = (
+                hs.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            x = np.mod(flat, MERSENNE31)
+            sig = np.empty((n, n_hashes), dtype=np.int64)
+            for i in range(n_hashes):
+                sig[:, i] = np.minimum.reduceat(
+                    (a_arr[i] * x + b_arr[i]) % MERSENNE31, starts
+                )
+            usig = sig.view(np.uint64)
+            bh = np.empty((n, bands), dtype=np.uint64)
+            for bi in range(bands):
+                acc = np.full(n, 0x9E3779B97F4A7C15 ^ bi, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    acc = splitmix64_np(acc ^ usig[:, bi * rows_per_band + r])
+                bh[:, bi] = acc
+            sig_off = pa.array(
+                np.arange(0, (n + 1) * n_hashes, n_hashes, dtype=np.int32)
+            )
+            bh_off = pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids_a,
+                    hs,
+                    pa.ListArray.from_arrays(
+                        sig_off, pa.array(sig.ravel(), type=pa.int64())
+                    ),
+                    pa.ListArray.from_arrays(
+                        bh_off, pa.array(bh.ravel().view(np.int64), type=pa.int64())
+                    ),
+                ],
+                names=["__id", "__hs", "__sig", "__bh"],
+            )
+
+    sig_df = hashed.mapInArrow(
+        sig_kernel,
+        "__id long, __hs array<long>, __sig array<long>, __bh array<long>",
+    )
+    pdf = sig_df.toPandas()  # Arrow-batched: arrays land as numpy, not boxed rows
     ids = pdf["__id"].to_numpy(dtype=np.int64)
     order = np.argsort(ids)
     ids = ids[order]
@@ -828,25 +898,8 @@ def _minhash_pairs_broadcast(
     np.cumsum(lens, out=sh_off[1:])
     sh_flat = np.concatenate(sets) if n_docs else np.empty(0, dtype=np.int64)
     sh_flat = sh_flat.astype(np.int64, copy=False)
-
-    # signatures: same universal family as minhash_signature_agg, so the
-    # two tiers agree bit-for-bit on signature values
-    a_arr, b_arr = _hash_params(n_hashes, seed)
-    x = np.mod(sh_flat, MERSENNE31)  # pmod: numpy % matches for negatives
-    starts = sh_off[:-1]
-    sig_mat = np.empty((n_docs, n_hashes), dtype=np.int64)
-    for i in range(n_hashes):
-        sig_mat[:, i] = np.minimum.reduceat((a_arr[i] * x + b_arr[i]) % MERSENNE31, starts)
-
-    # band hashes: chain SplitMix64 over each band's signature slice
-    # (any deterministic hash works — bands only bucket)
-    usig = sig_mat.view(np.uint64)
-    bhash = np.empty((n_docs, bands), dtype=np.uint64)
-    for b in range(bands):
-        acc = np.full(n_docs, 0x9E3779B97F4A7C15 ^ b, dtype=np.uint64)
-        for r in range(rows_per_band):
-            acc = splitmix64_np(acc ^ usig[:, b * rows_per_band + r])
-        bhash[:, b] = acc
+    sig_mat = np.stack(pdf["__sig"].to_numpy()[order]).astype(np.int64, copy=False)
+    bhash = np.stack(pdf["__bh"].to_numpy()[order]).astype(np.int64).view(np.uint64)
 
     # bucket grouping: one sort of the (band, bhash) keys; same-bucket
     # runs become candidate groups
@@ -1254,6 +1307,81 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", "hamming")
 
 
+def _local_edge_pdf(edges: DataFrame, src_col: str, dst_col: str, cap: int | None):
+    """Driver-resident edge list, or None.
+
+    Two ways in: (a) the edge plan optimizes to a ``LocalRelation`` —
+    the pairs were computed driver-side already (e.g. the minhash
+    broadcast tier), so reading them back is a LocalTableScan, not a
+    cluster pass; (b) the caller allows a bounded collect probe
+    (``cap`` rows) — used when the caller knows re-evaluating the edge
+    plan is affordable or has persisted it."""
+    try:
+        plan = edges._jdf.queryExecution().optimizedPlan()
+        is_local = plan.getClass().getSimpleName() == "LocalRelation"
+    except Exception:  # pragma: no cover - connect-style sessions
+        is_local = False
+    if is_local:
+        return edges.select(src_col, dst_col).toPandas()
+    if cap is not None:
+        # One-shot limit evaluation: the default incremental CollectLimit
+        # (1 partition, then 4x, ...) escalates through several JOBS when
+        # the edge list is smaller than the cap — which is the expected
+        # case. Evaluating every partition at once costs one job; each
+        # task still early-exits at cap+1 rows, so per-task work stays
+        # bounded.
+        spark = edges.sparkSession
+        key = "spark.sql.limit.initialNumPartitions"
+        try:
+            prev = spark.conf.get(key, None)
+        except Exception:  # pragma: no cover
+            prev = None
+        try:
+            spark.conf.set(key, "10000000")
+            pdf = edges.select(src_col, dst_col).limit(cap + 1).toPandas()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        if len(pdf) <= cap:
+            return pdf
+    return None
+
+
+def _unionfind_min_labels(src, dst):
+    """(ids, rep) arrays: min-id component labels over the edge list.
+
+    Union-find with path compression, union by MIN root index; ids are
+    processed through a sorted dense mapping, so the min root index IS
+    the min id — identical labels to the distributed hash-to-min
+    fixpoint, by construction."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([src, dst]))
+    a = np.searchsorted(ids, src)
+    b = np.searchsorted(ids, dst)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(a.tolist(), b.tolist()):
+        ra, rb = find(i), find(j)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter(
+        (find(i) for i in range(len(ids))), dtype=np.int64, count=len(ids)
+    )
+    return ids, ids[roots]
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -1263,6 +1391,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """(id, rep): connected components of the near-duplicate pair graph
     — every node labeled with the smallest id reachable from it. This is
@@ -1307,6 +1436,42 @@ def connected_components(
     corpus) is the textbook distributed CC cost (hash-to-min with path
     compression on the long-chain tail).
     """
+    # -- driver tier ---------------------------------------------------------
+    # When the edge list is already driver-resident (LocalRelation — the
+    # minhash broadcast tier computes pairs on the driver) or the caller
+    # allows a bounded probe, a union-find here replaces the whole
+    # iterative loop: each distributed round costs 2+ actions of
+    # shuffles/checkpoints, which dominates small-corpus wall time (the
+    # same build-side-fits reasoning as a broadcast join). Labels are
+    # identical by construction (min-id components either way).
+    loc = _local_edge_pdf(edges, src_col, dst_col, local_max_edges)
+    if loc is not None:
+        import numpy as np
+        import pandas as pd
+
+        spark = nodes.sparkSession
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["tier"] = "local"
+        if len(loc) == 0:
+            return nodes.select(id_col).withColumn("rep", F.col(id_col))
+        ids, rep = _unionfind_min_labels(
+            loc[src_col].to_numpy(dtype=np.int64),
+            loc[dst_col].to_numpy(dtype=np.int64),
+        )
+        idt = nodes.schema[id_col].dataType.simpleString()
+        sub = spark.createDataFrame(
+            pd.DataFrame({id_col: ids, "__rep": rep}),
+            f"{id_col} {idt}, __rep {idt}",
+        )
+        return (
+            nodes.select(id_col)
+            .join(F.broadcast(sub), id_col, "left")
+            .select(
+                id_col, F.coalesce(F.col("__rep"), F.col(id_col)).alias("rep")
+            )
+        )
+
     und = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
@@ -1810,6 +1975,7 @@ def semantic_dedup(
     min_cells: int = 16,
     threshold: float = 0.4,
     centroid_max_bytes: int = 64_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     deduplicate WITHIN clusters only — the all-pairs cosine work drops
@@ -1862,7 +2028,11 @@ def semantic_dedup(
     from sdvg_spark.ops.similarity import _centroid_assign_kernel
 
     if n_cells is None:
-        n_cells = max(min_cells, df.count() // target_cell_rows)
+        # n_rows: caller-supplied corpus size (e.g. parquet footer
+        # metadata — no Spark job); falls back to one count action.
+        n_cells = max(
+            min_cells, (df.count() if n_rows is None else n_rows) // target_cell_rows
+        )
     loc = bounded_local_vectors(
         df.orderBy(F.col(id_col)).limit(n_cells), id_col, vec_col, centroid_max_bytes
     )
@@ -1921,7 +2091,17 @@ def semantic_dedup(
     # returned plan needs only slim + labels, so a long-lived session
     # keeps output-scale blocks, not vector-width ones.
     slim = assign.select("c_id", "cell").localCheckpoint(eager=True)
-    labels = connected_components(slim.select(F.col("c_id")), pairs, id_col="c_id")
+    # local_max_edges: duplicate pairs are a small fraction of any real
+    # corpus, so CC's bounded probe usually lands the whole edge list on
+    # the driver and replaces the iterative loop (tens of shuffle
+    # actions) with one union-find. Above the cap the probe's partial
+    # evaluation is wasted and the loop re-evaluates the cell kernels
+    # once more — the giant-duplicate-graph regime where the loop cost
+    # dominates anyway.
+    labels = connected_components(
+        slim.select(F.col("c_id")), pairs, id_col="c_id",
+        local_max_edges=2_000_000,
+    )
     assign.unpersist()
     return (
         slim.join(labels, "c_id")

@@ -39,6 +39,9 @@ class CurationConfig:
     split_seed: int = 0
     pack_budget: int | None = 2048     # None disables packing
     pack_buckets: int = 128
+    # character-count bound for the minhash tier decision (e.g. from
+    # parquet footer metadata); None = measure with one scan job
+    minhash_est_chars: int | None = None
 
 
 def curate(
@@ -66,18 +69,36 @@ def curate(
     no cleanup is needed there.
     """
     cfg = cfg or CurationConfig()
-    staged = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        T.tokens(F.col(text_col)).alias("toks"),
+    from sdvg_spark.ops.dedup import widen
+
+    # widen(): the feature pass below is the pipeline's single most
+    # expensive map; a narrow (single-row-group) input would serialize
+    # it on one core. No-op at real scale (guide §2.5).
+    docs = widen(docs)
+
+    def build_feat_exprs() -> list:
+        return [
+            [
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("t"),
+                T.tokens(F.col(text_col)).alias("toks"),
+            ],
+            [
+                F.col("id"),
+                F.col("t"),
+                T.detect_language(F.col("t"), F.col("toks")).alias("lang_pred"),
+                F.round(T.quality_score(F.col("t"), F.col("toks")), 9).alias(
+                    "quality"
+                ),
+                F.size("toks").cast("long").alias("n_tokens"),
+            ],
+        ]
+
+    stage_cols, feat_cols = T._cached_lit(
+        f"curate:feats:{id_col}:{text_col}", build_feat_exprs
     )
-    feats = staged.select(
-        "id",
-        "t",
-        T.detect_language(F.col("t"), F.col("toks")).alias("lang_pred"),
-        F.round(T.quality_score(F.col("t"), F.col("toks")), 9).alias("quality"),
-        F.size("toks").cast("long").alias("n_tokens"),
-    )
+    staged = docs.select(*stage_cols)
+    feats = staged.select(*feat_cols)
     lang_ok = F.lit(True) if cfg.lang is None else F.col("lang_pred") == cfg.lang
     qual_ok = F.col("quality") >= cfg.min_quality
     # persisted: the feature projection (tokenize + language + quality
@@ -101,6 +122,7 @@ def curate(
             "t",
             threshold=cfg.dedup_threshold,
             bands=cfg.minhash_bands,
+            est_chars=cfg.minhash_est_chars,
         )
         comp = connected_components(
             passed.select("id"), pairs, id_col="id"
@@ -119,32 +141,39 @@ def curate(
     # persisted: fingerprinting, the split draw, and sequence packing
     # each re-read the kept set (packing runs multiple jobs of its own)
     kept = disposition.where("keep").select("id", "t", "n_tokens").persist()
+    # extras are built as COLUMNS on the kept set, not as joins: the
+    # fingerprint is a map expression, the split label is a pure
+    # function of the id (hash_split is a withColumn), and the packing
+    # coordinates carry the two small columns through their one range
+    # shuffle (pack_sequences(carry=...)) — the previous shape
+    # re-joined the kept set twice for values that were already
+    # row-local (two whole equi-join exchanges for ~16 bytes/row).
     extras = kept.select(
         "id",
+        "n_tokens",
         T.fingerprint(
             T.redact_pii(F.col("t")) if cfg.redact else F.col("t")
         ).alias("redacted_fp"),
     )
+    carry = ["redacted_fp"]
     if cfg.split:
         from sdvg_spark.ops.sampling import hash_split
 
-        extras = extras.join(
-            hash_split(
-                kept.select("id"), "id", cfg.split, seed=cfg.split_seed
-            ),
-            "id",
-        )
+        extras = hash_split(extras, "id", cfg.split, seed=cfg.split_seed)
+        carry.append("split")
     if cfg.pack_budget:
         from sdvg_spark.ops.corpus import pack_sequences
 
-        packed = pack_sequences(
-            kept.select("id", "n_tokens"),
+        extras = pack_sequences(
+            extras,
             "id",
             "n_tokens",
             budget=cfg.pack_budget,
             n_buckets=cfg.pack_buckets,
-        ).select("id", "pack_id", "pack_offset")
-        extras = extras.join(packed, "id")
+            carry=carry,
+        ).select("id", *carry, "pack_id", "pack_offset")
+    else:
+        extras = extras.select("id", *carry)
 
     out = disposition.select(
         F.col("id").alias(id_col),

@@ -27,6 +27,30 @@ LANGS = sorted(STOPWORDS)  # deterministic order: de, en, es, fr, ru
 # BPE-ish tokenizer: word pieces or single non-space symbols.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# -- literal-fragment cache --------------------------------------------------
+# Column objects are immutable unresolved expression handles, so
+# literal-only fragments (stopword maps, zero vectors) can be built once
+# per JVM gateway and reused across every plan. Building them is pure
+# py4j round-trip cost — the lang_hits map alone is ~500 calls, which
+# dominated plan-CONSTRUCTION time for every text query (measured
+# 1.46 s per detect_language() call at r11). Keyed on the gateway id so
+# a restarted JVM rebuilds instead of resurrecting dead object handles.
+_LIT_CACHE: dict = {}
+_LIT_CACHE_GW: list = [None]
+
+
+def _cached_lit(key: str, build):
+    from pyspark import SparkContext
+
+    gw = id(SparkContext._gateway) if SparkContext._gateway is not None else 0
+    if _LIT_CACHE_GW[0] != gw:  # new JVM gateway: drop stale handles
+        _LIT_CACHE.clear()
+        _LIT_CACHE_GW[0] = gw
+    got = _LIT_CACHE.get(key)
+    if got is None:
+        got = _LIT_CACHE[key] = build()
+    return got
+
 
 def tokens(text: Column) -> Column:
     """Lowercased whitespace tokens (empty array for blank text)."""
@@ -52,8 +76,11 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     NULL-on-miss under ANSI too) instead of an O(|stopwords|) array
     scan per token; counts are identical integers either way.
     """
-    m = F.create_map(
-        *[x for w in sorted(STOPWORDS[lang]) for x in (F.lit(w), F.lit(1))]
+    m = _cached_lit(
+        f"stopmap:{lang}",
+        lambda: F.create_map(
+            *[x for w in sorted(STOPWORDS[lang]) for x in (F.lit(w), F.lit(1))]
+        ),
     )
     return F.aggregate(
         toks, F.lit(0), lambda a, t: a + F.coalesce(F.try_element_at(m, t), F.lit(0))
@@ -104,18 +131,21 @@ def lang_hits(toks: Column) -> Column:
     language features can STAGE this fold behind one projection and
     reuse the materialized column (HOF folds see no subexpression
     elimination — each expression copy re-runs the whole pass)."""
-    entries: dict[str, list[int]] = {}
-    for li, lang in enumerate(LANGS):
-        for w in STOPWORDS[lang]:
-            entries.setdefault(w, [0] * len(LANGS))[li] = 1
-    m = F.create_map(
-        *[
-            x
-            for w in sorted(entries)
-            for x in (F.lit(w), F.array(*[F.lit(v) for v in entries[w]]))
-        ]
-    )
-    zero = F.array(*[F.lit(0) for _ in LANGS])
+    def build_map():
+        entries: dict[str, list[int]] = {}
+        for li, lang in enumerate(LANGS):
+            for w in STOPWORDS[lang]:
+                entries.setdefault(w, [0] * len(LANGS))[li] = 1
+        return F.create_map(
+            *[
+                x
+                for w in sorted(entries)
+                for x in (F.lit(w), F.array(*[F.lit(v) for v in entries[w]]))
+            ]
+        )
+
+    m = _cached_lit("langhits:map", build_map)
+    zero = _cached_lit("langhits:zero", lambda: F.array(*[F.lit(0) for _ in LANGS]))
     return F.aggregate(
         toks,
         zero,
