@@ -139,6 +139,44 @@ def _parquet_col_bytes(sf_dir: str, name: str, col: str) -> int:
         return -1
 
 
+def _parquet_col_minmax(sf_dir: str, name: str, col: str):
+    """(min, max) of one column from parquet FOOTER statistics — no
+    Spark job. None when stats are missing/unreachable."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+
+        def one(p: str) -> None:
+            nonlocal lo, hi
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        st = c.statistics
+                        if st.has_min_max:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        one(os.path.join(root, f))
+        else:
+            one(path)
+        if lo is None:
+            return None
+        return (lo, hi)
+    except Exception:
+        return None
+
+
 # -- prepared expression fragments ------------------------------------------
 # Column objects are immutable unresolved expression handles; the text
 # feature suites below build trees of thousands of py4j calls (measured
@@ -164,8 +202,19 @@ def _memo_exprs(key: str, build: Callable[[], list]) -> list:
     return got
 
 
+_READ_MEMO: dict = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
+    # Memoize the DataFrame HANDLE per (session, path): re-reading the
+    # same parquet path re-runs schema inference as a 1-task Spark job
+    # every time (~0.1 s × every query × every rep). Only the
+    # unresolved plan is reused — no data or results are cached.
+    key = (id(spark._jsparkSession), sf_dir, name)
+    got = _READ_MEMO.get(key)
+    if got is not None:
+        return got
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # nanosAsLong surfaces TIMESTAMP(NANOS) parquet columns as long
     # nanos; normalize to µs timestamps (matches the oracle's ::TIMESTAMP
@@ -173,6 +222,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float `/ 1000` loses 1us at ~1.7e15 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if len(_READ_MEMO) > 64:  # bound across many sessions/dirs
+        _READ_MEMO.clear()
+    _READ_MEMO[key] = df
     return df
 
 
@@ -504,6 +556,9 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # footer-byte bound on the PASSED set's characters (subset of
         # the corpus) — skips the minhash sizing scan
         minhash_est_chars=None if est < 0 else est,
+        # footer id bounds cover the kept subset — skips the pack
+        # bounds job (any covering bounds give identical coordinates)
+        pack_id_bounds=_parquet_col_minmax(sf_dir, "documents", "doc_id"),
     )
     return curate(docs, cfg)
 
@@ -551,7 +606,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_buckets=64)
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", budget=2048, n_buckets=64,
+        id_bounds=_parquet_col_minmax(sf_dir, "documents", "doc_id"),
+    )
 
 
 def q_pack_sequences_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,7 +625,10 @@ def q_pack_sequences_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_tokens")
     )
-    return pack_sequences(docs, "doc_id", "n_tokens", budget=8192, n_buckets=64)
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", budget=8192, n_buckets=64,
+        id_bounds=_parquet_col_minmax(sf_dir, "documents", "doc_id"),
+    )
 
 
 # pack_order interleave: char-budget and blend weights for the driver
@@ -602,7 +663,8 @@ def q_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.col("n_chars").cast("long").alias("n_tokens"))
     packed = pack_sequences(
-        docs, "doc_id", "n_tokens", budget=_PACK_ORDER_BUDGET, n_buckets=64
+        docs, "doc_id", "n_tokens", budget=_PACK_ORDER_BUDGET, n_buckets=64,
+        id_bounds=_parquet_col_minmax(sf_dir, "documents", "doc_id"),
     )
     leads = (
         packed.groupBy("pack_id")
@@ -612,9 +674,17 @@ def q_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pack_id", F.col("__l.doc_id").alias("lead_doc"), "n_docs")
     )
+    from pyspark import StorageLevel
+
+    # persisted: training_order consumes the pack table twice (per-source
+    # counts + the keyed stream); without the persist each consumer
+    # re-runs the whole pack window + lead join chain (12 scans in the
+    # r11 before-plan). Pack-scale rows only; evictable, recomputable.
     packs = leads.join(
         d.select(F.col("doc_id").alias("lead_doc"), "source"), "lead_doc"
-    ).select("pack_id", "lead_doc", "source", "n_docs")
+    ).select("pack_id", "lead_doc", "source", "n_docs").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return training_order(
         packs,
         "pack_id",

@@ -209,6 +209,7 @@ def pack_sequences(
     budget: int = 2048,
     n_buckets: int = 128,
     carry: list[str] | None = None,
+    id_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: documents are laid out in
     ``id_col`` order as one global token stream and cut every
@@ -245,18 +246,28 @@ def pack_sequences(
     d = docs.select(
         F.col(id_col).alias("__id"), F.col(n_tokens_col).alias("__n"), *carry
     )
-    bounds = d.select(F.min("__id").alias("lo"), F.max("__id").alias("hi")).first()
-    if bounds["lo"] is None:
-        spark = docs.sparkSession
-        carry_schema = "".join(
-            f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
-        )
-        return spark.createDataFrame(
-            [],
-            f"{id_col} long, n_tokens long, pack_id long, pack_offset long"
-            + carry_schema,
-        )
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    if id_bounds is not None:
+        # caller-supplied COVERING id bounds (e.g. parquet footer
+        # min/max stats — no Spark job). The bucketing is internal:
+        # any covering bounds yield the identical global prefix sum,
+        # only the bucket balance changes, so a superset (e.g. the
+        # parent table's bounds for a filtered subset) is fine.
+        lo, hi = int(id_bounds[0]), int(id_bounds[1])
+    else:
+        bounds = d.select(
+            F.min("__id").alias("lo"), F.max("__id").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            spark = docs.sparkSession
+            carry_schema = "".join(
+                f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+            )
+            return spark.createDataFrame(
+                [],
+                f"{id_col} long, n_tokens long, pack_id long, pack_offset long"
+                + carry_schema,
+            )
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
     # integer DIV, not `/`+cast: `/` is double division, which silently
     # loses exactness past 2^53 — real 64-bit doc ids (and the global
@@ -982,23 +993,37 @@ def bigram_nll(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tr = docs.select(F.explode(grams).alias("__g")).select(
-        "__g", F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("__ctx")
-    )
-    stats = tr.select(F.countDistinct("__ctx").alias("v")).first()
-    v_total = int(stats["v"] or 0)
-    denom_pad = F.lit(float(alpha)) * F.lit(float(v_total + 1))
-    a = F.lit(float(alpha))
-    ctxc = (
-        tr.groupBy("__ctx")
-        .agg(F.count(F.lit(1)).alias("__cc"))
-        .orderBy(F.desc("__cc"), F.asc("__ctx"))
-        .limit(ctx_top_n)
-    )
-    big = (
+    from pyspark import StorageLevel
+
+    from sdvg_spark.ops.dedup import widen
+
+    # ONE pass over the transition stream: the full (bigram, count)
+    # table is aggregated once and persisted (the tokfreq pattern —
+    # collapsed, vocab²-bounded, evictable); the context counts are
+    # DERIVED from it (ctx count ≡ Σ bigram counts sharing the context
+    # — exact integer identity), and V is the derived table's row
+    # count. The previous shape re-ran the corpus gram explode four
+    # times (V countDistinct, ctx aggregate, bigram aggregate, and the
+    # ctx aggregate again inside the OOV collect).
+    tr = widen(docs, min_bytes=4 << 20).select(F.explode(grams).alias("__g"))
+    bigfull = (
         tr.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__cb"))
-        .orderBy(F.desc("__cb"), F.asc("__g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx_full = (
+        bigfull.select(
+            F.split_part(F.col("__g"), F.lit(" "), F.lit(1)).alias("__ctx"), "__cb"
+        )
+        .groupBy("__ctx")
+        .agg(F.sum("__cb").alias("__cc"))
+    )
+    v_total = int(ctx_full.count())  # materializes bigfull; V = distinct contexts
+    denom_pad = F.lit(float(alpha)) * F.lit(float(v_total + 1))
+    a = F.lit(float(alpha))
+    ctxc = ctx_full.orderBy(F.desc("__cc"), F.asc("__ctx")).limit(ctx_top_n)
+    big = (
+        bigfull.orderBy(F.desc("__cb"), F.asc("__g"))
         .limit(top_n)
         .withColumn("__ctx", F.split_part(F.col("__g"), F.lit(" "), F.lit(1)))
         .join(F.broadcast(ctxc), "__ctx", "left")
@@ -1026,7 +1051,7 @@ def bigram_nll(
     # broadcast lifetime: same note as _nll_inrow_scored's tok2lnp
     bc = spark.sparkContext.broadcast((bigd, ctxd))
 
-    staged = docs.select(F.col(id_col), toks.alias("__toks"))
+    staged = widen(docs, min_bytes=4 << 20).select(F.col(id_col), toks.alias("__toks"))
     out_schema = StructType(
         [
             StructField(id_col, staged.schema[id_col].dataType, True),
@@ -1199,19 +1224,26 @@ def collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark import StorageLevel
+
+    from sdvg_spark.ops.dedup import widen
+
     t = tokens(F.col(text_col))
-    staged = docs.select(t.alias("__t"))
-    tot = staged.select(
-        F.coalesce(F.sum(F.size("__t")), F.lit(0)).alias("n_uni"),
-        F.coalesce(
-            F.sum(F.greatest(F.size("__t") - F.lit(1), F.lit(0))), F.lit(0)
-        ).alias("n_bi"),
-    ).first()
-    n_uni, n_bi = int(tot["n_uni"]), int(tot["n_bi"])
+    staged = widen(docs, min_bytes=4 << 20).select(t.alias("__t"))
+    # The collapsed unigram and (unfiltered) bigram count tables are
+    # persisted (the tokfreq pattern: vocab-bounded, evictable,
+    # recomputable) and everything else derives from them: the corpus
+    # totals are exact integer sums of the cached counts (Σ unigram
+    # counts ≡ token count; Σ pair counts ≡ pair count), and the two
+    # unigram join sides read one cache. The previous shape tokenized
+    # the corpus SIX times (totals scan, two join sides, pair scan,
+    # plus re-evaluations); now twice — the two distinct aggregations,
+    # which is the floor without a combined doc-level pass.
     uni = (
         staged.select(F.explode("__t").alias("__w"))
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = F.when(
         F.size("__t") >= 2,
@@ -1223,13 +1255,20 @@ def collocations(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = (
+    bifull = (
         staged.select(F.explode(pairs).alias("__p"))
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .where(F.col("pair_count") >= min_count)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_uni = int(
+        uni.select(F.coalesce(F.sum("__c"), F.lit(0))).first()[0]
+    )
+    n_bi = int(
+        bifull.select(F.coalesce(F.sum("pair_count"), F.lit(0))).first()[0]
+    )
+    bi = bifull.where(F.col("pair_count") >= min_count)
     u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("w1_count"))
     u2 = uni.select(F.col("__w").alias("w2"), F.col("__c").alias("w2_count"))
     joined = bi.join(u1, "w1").join(u2, "w2")
@@ -1330,13 +1369,27 @@ def token_divergence(
     a = float(alpha)
 
     def counts(d: DataFrame, out: str) -> DataFrame:
+        from sdvg_spark.ops.dedup import widen
+
         return (
-            d.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+            widen(d, min_bytes=4 << 20)
+            .select(F.explode(tokens(F.col(text_col))).alias("__w"))
             .groupBy("__w")
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    ca, cb = counts(docs_a, "__ca"), counts(docs_b, "__cb")
+    from pyspark import StorageLevel
+
+    # persist each side's collapsed count table (tokfreq pattern): the
+    # N totals are exact integer sums of the cached counts (Σ counts ≡
+    # token-stream length), so the two dedicated corpus tokenize scans
+    # disappear, and the vocab/fold consumers read the caches — 6
+    # tokenize passes (2 count aggs + 2 totals + 2 re-evaluations in
+    # the final action) become the 2-agg floor.
+    ca = counts(docs_a, "__ca").persist(StorageLevel.MEMORY_AND_DISK)
+    cb = counts(docs_b, "__cb").persist(StorageLevel.MEMORY_AND_DISK)
+    na = int(ca.select(F.coalesce(F.sum("__ca"), F.lit(0))).first()[0])
+    nb = int(cb.select(F.coalesce(F.sum("__cb"), F.lit(0))).first()[0])
     merged = ca.join(cb, "__w", "full_outer").select(
         "__w",
         F.coalesce("__ca", F.lit(0)).alias("__ca"),
@@ -1350,16 +1403,6 @@ def token_divergence(
         F.coalesce(F.sum("__ca"), F.lit(0)).alias("sva"),
         F.coalesce(F.sum("__cb"), F.lit(0)).alias("svb"),
     ).first()
-    na = int(
-        docs_a.select(
-            F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
-        ).first()[0]
-    )
-    nb = int(
-        docs_b.select(
-            F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
-        ).first()[0]
-    )
     v, sva, svb = int(sc["v"]), int(sc["sva"]), int(sc["svb"])
     den_a = float(na) + a * (v + 1)
     den_b = float(nb) + a * (v + 1)
@@ -1849,7 +1892,9 @@ def _nll_inrow_scored(
     # dropping the returned DataFrame releases it.
     bc = spark.sparkContext.broadcast(tok2lnp)
 
-    staged = docs.select(
+    from sdvg_spark.ops.dedup import widen
+
+    staged = widen(docs, min_bytes=4 << 20).select(
         F.col(id_col), _safe_tokens(text_col).alias("__toks")
     )
     out_schema = StructType(
@@ -2011,16 +2056,22 @@ def unigram_nll_tiered(
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     from pyspark import StorageLevel
 
-    n_total = int(
-        docs.select(F.sum(F.size(_safe_tokens(text_col)))).first()[0] or 0
-    )
     tokfreq = (
         rle_postings(docs, id_col, text_col)
         .groupBy("token")
         .agg(F.sum("tf").alias("__tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    v_total = tokfreq.count()  # materializes the cache AND is V
+    # ONE aggregate over the collapsed (token, tf) table yields both V
+    # (row count) and N (Σ tf ≡ Σ size(tokens) — rle tf's sum to the
+    # token-stream length exactly) while materializing the cache. The
+    # previous shape paid a SECOND full corpus tokenize pass just for
+    # N, plus a separate count job for V.
+    vn = tokfreq.agg(
+        F.count(F.lit(1)).alias("__v"), F.sum("__tf").alias("__n")
+    ).first()
+    v_total = int(vn["__v"] or 0)
+    n_total = int(vn["__n"] or 0)
     denom = float(n_total) + alpha * (v_total + 1)
     vocab = (
         tokfreq.orderBy(F.desc("__tf"), F.asc("token"))
@@ -2146,7 +2197,9 @@ def dsir_logweights_tiered(
         return h % F.lit(int(buckets))
 
     def bucket_counts(df_: DataFrame) -> DataFrame:
-        staged = df_.select(_safe_tokens(text_col).alias("__toks"))
+        from sdvg_spark.ops.dedup import widen
+
+        staged = widen(df_, min_bytes=4 << 20).select(_safe_tokens(text_col).alias("__toks"))
         return (
             staged.select(F.explode("__toks").alias("__tok"))
             .select(bucket(F.col("__tok")).alias("__b"))
@@ -2154,12 +2207,20 @@ def dsir_logweights_tiered(
             .agg(F.count(F.lit(1)).alias("__c"))
         )
 
-    tgt = bucket_counts(target)
-    raw = bucket_counts(docs)
-    n_t = int(tgt.select(F.sum("__c")).first()[0] or 0)
-    n_r = int(raw.select(F.sum("__c")).first()[0] or 0)
+    # each bucket table (≤ buckets rows by construction) is evaluated
+    # ONCE and collected; N totals are exact integer sums of the
+    # collected counts, and the LLR join below reads the collected rows
+    # back as local relations — the previous shape ran every bucket
+    # aggregate TWICE (once for its N, once inside the llr join)
+    spark = docs.sparkSession
+    tgt_pdf = bucket_counts(target).toPandas()
+    raw_pdf = bucket_counts(docs).toPandas()
+    n_t = int(tgt_pdf["__c"].sum()) if len(tgt_pdf) else 0
+    n_r = int(raw_pdf["__c"].sum()) if len(raw_pdf) else 0
     if n_t == 0 or n_r == 0:
         raise ValueError("target and raw corpora must both contain tokens")
+    tgt = spark.createDataFrame(tgt_pdf, "__b long, __c long")
+    raw = spark.createDataFrame(raw_pdf, "__b long, __c long")
     a = float(alpha)
     denom_t, denom_r = float(n_t) + a * buckets, float(n_r) + a * buckets
     # identical expression to the small tier's llr_tbl — materialized
@@ -2189,7 +2250,9 @@ def dsir_logweights_tiered(
     for b_i, v in zip(llr_pdf["__b"], llr_pdf["__llr"]):
         llr[int(b_i)] = float(v)
     arr = F.array(*[F.lit(v) for v in llr])
-    staged = docs.select(
+    from sdvg_spark.ops.dedup import widen
+
+    staged = widen(docs, min_bytes=4 << 20).select(
         F.col(id_col), _safe_tokens(text_col).alias("__toks")
     )
     lnsum = F.aggregate(

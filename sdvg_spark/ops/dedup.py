@@ -61,8 +61,16 @@ def _bytes_conf(spark, key: str, default: int) -> int:
         return default
 
 
-def widen(df: DataFrame) -> DataFrame:
+def widen(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Repartition up to cluster parallelism when the input is narrow.
+
+    ``min_bytes``: skip the repartition when the plan-statistics size
+    estimate is below this — for map stages whose per-byte cost is
+    moderate, the extra exchange + 32-task stage overhead (~0.2 s
+    local) exceeds the parallelization gain on tiny inputs, while a
+    single-row-group input of a few MB still serializes seconds of
+    work on one core and should widen. Callers with very expensive
+    per-row expressions (full text-feature suites) keep the default 0.
 
     A small parquet input arrives as 1-2 partitions, which would run a
     whole shingle/signature/feature pipeline on one core; at real scale
@@ -91,9 +99,18 @@ def widen(df: DataFrame) -> DataFrame:
         parts = df._jdf.rdd().getNumPartitions()
     except Exception:  # pragma: no cover - connect-style sessions
         parts = df.rdd.getNumPartitions()
-    if parts < target:
-        return df.repartition(target)
-    return df
+    if parts >= target:
+        return df
+    if min_bytes > 0:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - stats unavailable
+            est = min_bytes  # unknown size: keep the widen
+        if est < min_bytes:
+            return df
+    return df.repartition(target)
 
 
 def char_shingles(text: Column, k: int = 5, lowercase: bool = True) -> Column:
@@ -1075,6 +1092,8 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
+
+    df = widen(df)  # per-token Python md5 is heavy; never run it on one core
 
     def kernel(batches):
         import hashlib

@@ -42,6 +42,10 @@ class CurationConfig:
     # character-count bound for the minhash tier decision (e.g. from
     # parquet footer metadata); None = measure with one scan job
     minhash_est_chars: int | None = None
+    # covering (min, max) id bounds for the packing bucketer (e.g.
+    # parquet footer stats); None = measure with one bounds job. Any
+    # covering superset yields identical pack coordinates.
+    pack_id_bounds: tuple[int, int] | None = None
 
 
 def curate(
@@ -171,6 +175,7 @@ def curate(
             budget=cfg.pack_budget,
             n_buckets=cfg.pack_buckets,
             carry=carry,
+            id_bounds=cfg.pack_id_bounds,
         ).select("id", *carry, "pack_id", "pack_offset")
     else:
         extras = extras.select("id", *carry)

@@ -329,7 +329,7 @@ def brute_force_topk(
         cn[cn == 0] = 1.0
         return (C / cn[:, None]) @ b_q.T  # (m, n_queries)
 
-    c = widen(corpus).select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
+    c = widen(corpus, min_bytes=4 << 20).select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__cv"))
     part = c.mapInPandas(
         _partition_topk_kernel(bc, "__cv", int(k), cosine_scores, out_col="cosine"),
         "q_id long, c_id long, cosine double",
@@ -438,7 +438,7 @@ def lsh_topk(
         (q_ids, Qn, w_flat, n_tables, n_planes, tables)
     )
     part = (
-        widen(corpus)
+        widen(corpus, min_bytes=4 << 20)
         .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
         .mapInPandas(
             _lsh_taskmerge_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
@@ -1018,7 +1018,7 @@ def ivf_topk(
     bc = spark.sparkContext.broadcast((q_ids, Qn, cent, probing))
 
     part = (
-        widen(corpus)
+        widen(corpus, min_bytes=4 << 20)
         .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
         .mapInPandas(
             _ivf_taskmerge_kernel(bc, int(k)), "q_id long, c_id long, cosine double"
@@ -1457,7 +1457,7 @@ def quantized_rescore_topk(
     short_n = int(k * shortlist)
 
     part = (
-        widen(corpus)
+        widen(corpus, min_bytes=4 << 20)
         .select(F.col(corpus_id).alias("c_id"), F.col(corpus_vec).alias("__v"))
         .mapInPandas(
             _quantized_fused_kernel(bc, short_n),

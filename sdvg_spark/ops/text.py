@@ -885,7 +885,11 @@ def rle_postings(df, id_col: str, text_col: str):
     no subexpression elimination, so an inlined `srt` would re-sort
     per element.
     """
-    srt = df.select(
+    from sdvg_spark.ops.dedup import widen
+
+    # widen(): the in-row sort+RLE is the heavy map stage; a narrow
+    # (single-row-group) input would run it on one core (no-op at scale)
+    srt = widen(df, min_bytes=4 << 20).select(
         F.col(id_col),
         F.array_sort(
             F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
