@@ -1841,12 +1841,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, the five non-text sampling rows, and 8 single-module
     # analytics/profile/skew/multimodal/vectors rows).
     deferred = [
-        # r10-certified, modules untouched in r11. ann_ivf_index joined
-        # the list mid-r11 to make head room for the NEW bigram_nll row
-        # (new rows must be in-window; the r11 recall-scorecard refresh
-        # measured the merged kernels without touching similarity.py,
-        # so the ann family's r10 certificates stay valid).
-        "ann_ivf_index",
+        # r10-certified, modules untouched in r11. events_funnel fills
+        # the head-room slot for the NEW bigram_nll row (new rows must
+        # be in-window): ann_ivf_index originally held it, but the r11
+        # perf pass then EDITED similarity.py (min_bytes widen gating),
+        # voiding that certificate — the whole ann family, index row
+        # included, therefore sits in-window for fresh r11 rows, and
+        # events_funnel (funnel op untouched since its r10 row, ledger
+        # hash-clean) rotates out instead.
+        "events_funnel",
         "gen_integer_ordered",
         "gen_integer_random",
         "gen_integer_distinct",

@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly one JSON line:
+Prints a diagnostics JSON line ({"bench_diagnostics": ...} — per-query
+raw runs and minima) followed by the final contract JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+   "queries": {name: sec, ...}, "sf": <sf>, "extra": {...scalars...}}
+The contract line is LAST and kept compact so a consumer that retains
+only a bounded tail of stdout can still parse it.
 
 Two benchmark families:
 * generation throughput — the engine's reason to exist: a mixed-type
@@ -205,8 +208,27 @@ def main() -> None:
         extra["gen2m_per_calib"] = round(
             times["generate_mixed_2m"] / extra["calibration_sec"], 3
         )
+    for line in emit_lines(times, sf, extra):
+        print(line)
+    spark.stop()
+
+
+def emit_lines(times: dict, sf: float, extra: dict) -> list[str]:
+    """The two stdout JSON lines: diagnostics first, contract line LAST.
+
+    The driver keeps only the tail of stdout and parses the LAST JSON
+    line. From r05 on, per-query `runs` grew the single line past that
+    tail window and the driver recorded parsed=null every round (see
+    BENCH_r05..r10.json vs r01..r04). Measurement fix (documented in
+    OPTIMIZATION_r11.md): the bulky diagnostics go on their OWN earlier
+    line; the final contract line keeps the same schema — metric /
+    value / unit / queries / sf / extra — with extra reduced to its
+    scalar fields so the line stays well under the tail window.
+    """
     total = round(sum(times.values()), 3)
-    print(
+    extra_scalar = {k: v for k, v in extra.items() if not isinstance(v, dict)}
+    return [
+        json.dumps({"bench_diagnostics": extra}),
         json.dumps(
             {
                 "metric": "wall-clock of headline queries (generation 2M rows feistel + pipeline ops + analytics)",
@@ -214,11 +236,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "extra": extra,
+                "extra": extra_scalar,
             }
-        )
-    )
-    spark.stop()
+        ),
+    ]
 
 
 if __name__ == "__main__":
