@@ -1268,7 +1268,50 @@ def ivf_write_index(
     )
     if quantize:
         assigned = quantize_embeddings(assigned, "c_id", "vec", keep=["cell"])
+    # Cluster rows by cell before the partitioned write: without it
+    # every map task writes a file into EVERY cell directory it touches
+    # (tasks × cells files — at the sf100 probe layout that is 1062
+    # partitions × cells of ~30 KB fragments). One exchange of the
+    # index payload buys ≤ salt_mod files per cell, each sized near the
+    # target; salt_mod derives from the CORPUS byte estimate so write
+    # parallelism is bytes-proportional, not a constant. Row order
+    # inside index files is irrelevant to search results: per-row
+    # scores are independent dot products and the top-k tie rule keeps
+    # every k-th-score tie before the (score DESC, id ASC) cut.
+    salt_mod = _index_file_salt(corpus, len(centroids), quantize)
+    assigned = assigned.repartition(
+        len(centroids) * salt_mod,
+        F.col("cell"),
+        F.pmod(F.col("c_id"), F.lit(salt_mod)),
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+_INDEX_TARGET_FILE_BYTES = 256 << 20
+
+
+def _index_file_salt(corpus: DataFrame, n_cells: int, quantize: bool) -> int:
+    """Files-per-cell for the clustered index write: enough salt groups
+    that each file lands near ``_INDEX_TARGET_FILE_BYTES`` of source
+    payload (int8 indexes count ~1/4 — code + scale vs float64 vec).
+    Falls back to source-partition count per cell when plan statistics
+    are the unknown-size sentinel, keeping write parallelism of the
+    same order as the read parallelism."""
+    try:
+        est = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - stats unavailable
+        est = -1
+    if quantize and est > 0:
+        est = est // 4
+    if 0 < est < (1 << 60):
+        return max(1, -(-est // (n_cells * _INDEX_TARGET_FILE_BYTES)))
+    try:  # pragma: no cover - unknown-stats fallback
+        src = corpus._jdf.rdd().getNumPartitions()
+    except Exception:  # pragma: no cover - connect-style sessions
+        src = corpus.rdd.getNumPartitions()
+    return max(1, -(-src // max(n_cells, 1)))  # pragma: no cover
 
 
 def ivf_index_topk(

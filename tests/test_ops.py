@@ -521,6 +521,40 @@ def test_ivf_index_roundtrip_recall(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
 
 
+def test_ivf_index_write_is_cell_clustered(spark, tmp_path):
+    """The index write clusters rows by cell: a wide input must NOT
+    fan out into one file per (task, cell) — at tiny scale each cell
+    directory holds exactly one file — and the search answer is
+    invariant to the source partition layout."""
+    import glob
+
+    from sdvg_spark.ops.similarity import (
+        ivf_index_topk,
+        ivf_train_centroids,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = ivf_train_centroids(emb, n_cells=8, n_iters=0)
+    wide, narrow = str(tmp_path / "wide"), str(tmp_path / "narrow")
+    ivf_write_index(emb.repartition(8), wide, cent)
+    ivf_write_index(emb.coalesce(1), narrow, cent)
+    for path in (wide, narrow):
+        cells = glob.glob(path + "/cell=*")
+        assert cells, path
+        for cell_dir in cells:
+            files = glob.glob(cell_dir + "/*.parquet")
+            assert len(files) == 1, (cell_dir, files)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = {(r.q_id, r.rank, r.c_id)
+         for r in ivf_index_topk(q, wide, cent, k=5, n_probe=4).collect()}
+    b = {(r.q_id, r.rank, r.c_id)
+         for r in ivf_index_topk(q, narrow, cent, k=5, n_probe=4).collect()}
+    assert a == b
+
+
 def test_hash_split_shares_and_partition_independence(spark):
     from sdvg_spark.ops.sampling import hash_split
 
