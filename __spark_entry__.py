@@ -1812,7 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }
     )
     # The driver's correctness gate evaluates the FIRST 50 entries of
-    # this dict; 85 exist, so 35 sit past the cap every round. Rotation
+    # this dict; 86 exist (bigram_nll joined in r11), so 36 sit past
+    # the cap every round. Rotation
     # is governed by the ledger invariant (tools/rotation_ledger.py +
     # tests/test_rotation.py): a query may sit past the cap ONLY if it
     # has a green driver row, neither its op modules nor its q_* wrapper
@@ -1835,11 +1836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text.py), events_hourly/events_session_window/stream_funnel
     # (streaming/ops.py session-split work) — plus the ann family
     # (similarity.py headroom for the recall-scorecard refresh) and
-    # dedup_semantic/events_funnel filling the last two slots.
-    # Deferred: 35 r10-certified rows over modules r11 does NOT touch
+    # dedup_semantic filling the last slot.
+    # Deferred: 36 r10-certified rows over modules r11 does NOT touch
     # (the 18 gen_* rows on the frozen generation engine, the joins.py
-    # family, the five non-text sampling rows, and 8 single-module
-    # analytics/profile/skew/multimodal/vectors rows).
+    # family, the five non-text sampling rows, events_funnel, and 8
+    # single-module analytics/profile/skew/multimodal/vectors rows).
     deferred = [
         # r10-certified, modules untouched in r11. events_funnel fills
         # the head-room slot for the NEW bigram_nll row (new rows must
