@@ -1098,6 +1098,25 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def kernel(batches):
         import hashlib
 
+        # md5 per token OCCURRENCE is the kernel's dominant cost, but
+        # Heaps' law makes most occurrences repeats — memoize per
+        # distinct token (task-lifetime dict, ~1 µs md5+encode vs
+        # ~50 ns hit). Values are identical by md5 determinism. The
+        # cap bounds task memory at scale (~1M entries ≈ tens of MB;
+        # a clear only re-pays md5, never changes values).
+        tok_cache: dict = {}
+        _md5 = hashlib.md5
+        _from_bytes = int.from_bytes
+
+        def _htok(t, _c=tok_cache):
+            v = _c.get(t)
+            if v is None:
+                if len(_c) > 1_000_000:
+                    _c.clear()
+                v = _from_bytes(_md5(t.encode("utf-8")).digest()[:8], "big")
+                _c[t] = v
+            return v
+
         for pdf in batches:
             texts = pdf[text_col]
             n = len(texts)
@@ -1110,10 +1129,7 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if len(nonempty):
                 flat = [tok for i in nonempty for tok in tok_lists[i]]
                 h = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                        for t in flat
-                    ),
+                    (_htok(t) for t in flat),
                     count=len(flat),
                     dtype=np.uint64,
                 )

@@ -98,6 +98,36 @@ def test_ngram_jaccard_exact(spark):
     assert (100, 101) in pairs
 
 
+def test_simhash_kernel_values_match_md5_reference(spark):
+    """Pin simhash_df's Arrow kernel to an independent pure-Python md5
+    reference — heavy token repetition across rows exercises the
+    kernel's per-distinct-token md5 memo (values must be identical
+    with or without cache hits; ties at counter 0 give bit 0)."""
+    import hashlib
+
+    from sdvg_spark.ops.dedup import simhash_df
+
+    def ref(text):
+        c = [0] * 64
+        for t in str(text).lower().split():
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for k in range(64):
+                c[k] += 1 if (h >> k) & 1 else -1
+        v = sum(1 << k for k in range(64) if c[k] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    vocab = ["the", "quick", "Fox", "naïve", "x" * 40, "0"]
+    rows = [(i, " ".join(vocab[j % len(vocab)] for j in range(i, i + 7))) for i in range(40)]
+    rows += [(100, ""), (101, "   "), (102, None), (103, "solo"), (104, "the the THE")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["__id"]: r["__sim"] for r in simhash_df(df, "doc_id", "text").collect()}
+    assert 102 not in got  # null text dropped, matching the expression path
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        assert got[doc_id] == ref(text), doc_id
+
+
 def test_simhash_near_dups(spark):
     from sdvg_spark.ops.dedup import simhash_pairs
 
