@@ -139,6 +139,50 @@ def _parquet_col_bytes(sf_dir: str, name: str, col: str) -> int:
         return -1
 
 
+def _parquet_list_dims(sf_dir: str, name: str, col: str) -> int | None:
+    """Element width of a list column from parquet FOOTER metadata (no
+    Spark job, no scan): leaf value count / row count, when that
+    divides exactly and the column has no nulls. The engine's
+    embedding tables are fixed-width by construction, so the division
+    is exact there; anything ragged (or unreachable footers) returns
+    None and callers fall back to the in-op width probe."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        rows = 0
+        vals = 0
+        nulls = 0
+
+        def one(p: str) -> None:
+            nonlocal rows, vals, nulls
+            md = pq.ParquetFile(p).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema.split(".")[0] == col:
+                        vals += c.num_values
+                        if c.statistics is not None and c.statistics.null_count:
+                            nulls += c.statistics.null_count
+
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        one(os.path.join(root, f))
+        else:
+            one(path)
+        if rows <= 0 or nulls or vals % rows:
+            return None
+        return vals // rows
+    except Exception:
+        return None
+
+
 def _parquet_col_minmax(sf_dir: str, name: str, col: str):
     """(min, max) of one column from parquet FOOTER statistics — no
     Spark job. None when stats are missing/unreachable."""
@@ -203,6 +247,7 @@ def _memo_exprs(key: str, build: Callable[[], list]) -> list:
 
 
 _READ_MEMO: dict = {}
+_READ_MEMO_GW: list = [None]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -211,6 +256,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same parquet path re-runs schema inference as a 1-task Spark job
     # every time (~0.1 s × every query × every rep). Only the
     # unresolved plan is reused — no data or results are cached.
+    # Cleared whenever the py4j gateway changes (same guard as
+    # _memo_exprs): a restarted JVM must never serve a DataFrame bound
+    # to the dead session, and id() keys are only compared within one
+    # gateway's lifetime (the memoized DataFrame keeps its session —
+    # and therefore the keyed _jsparkSession wrapper — alive, so the
+    # id cannot be recycled while its entry exists).
+    from pyspark import SparkContext
+
+    gw = id(SparkContext._gateway) if SparkContext._gateway is not None else 0
+    if _READ_MEMO_GW[0] != gw:
+        _READ_MEMO.clear()
+        _READ_MEMO_GW[0] = gw
     key = (id(spark._jsparkSession), sf_dir, name)
     got = _READ_MEMO.get(key)
     if got is not None:
@@ -365,9 +422,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdvg_spark.ops.dedup import embedding_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, exact=True).select(
-        "id_a", "id_b"
-    )
+    return embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, exact=True,
+        dims=_parquet_list_dims(sf_dir, "embeddings", "embedding"),
+    ).select("id_a", "id_b")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +436,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    return brute_force_topk(emb, q, k=10).select("q_id", "c_id", "rank")
+    # dims from footer metadata (no Spark job): the query collect
+    # becomes one limit-guarded job instead of estimate + collect
+    return brute_force_topk(
+        emb, q, k=10, dims=_parquet_list_dims(sf_dir, "embeddings", "embedding")
+    ).select("q_id", "c_id", "rank")
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +452,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
     return lsh_topk(
-        emb, q, k=10, n_planes=6, n_tables=16, multiprobe=1
+        emb, q, k=10, n_planes=6, n_tables=16, multiprobe=1,
+        dims=_parquet_list_dims(sf_dir, "embeddings", "embedding"),
     ).select("q_id", "c_id", "rank")
 
 
@@ -402,7 +465,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    return ivf_topk(emb, q, k=10, n_cells=16, n_probe=12).select("q_id", "c_id", "rank")
+    return ivf_topk(
+        emb, q, k=10, n_cells=16, n_probe=12,
+        dims=_parquet_list_dims(sf_dir, "embeddings", "embedding"),
+    ).select("q_id", "c_id", "rank")
 
 
 def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,13 +490,27 @@ def q_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    cent = ivf_train_centroids(emb, n_cells=16, n_iters=0)
+    # footer metadata stands in for every sizing action (guide §1/§6):
+    # dims + row count make centroid training collect-only (no width
+    # probe, no count, single-job sample fetch), and the known index
+    # schema skips the read-back's schema-inference job — build went
+    # from 10 Spark jobs to the write + two collects.
+    dims = _parquet_list_dims(sf_dir, "embeddings", "embedding")
+    n_rows = _parquet_rows(sf_dir, "embeddings")
+    cent = ivf_train_centroids(
+        emb, n_cells=16, n_iters=0, dims=dims,
+        n_rows=n_rows if n_rows > 0 else None,
+    )
     path = tempfile.mkdtemp(prefix="sdvg_ivf_idx_") + "/index"
     ivf_write_index(emb, path, cent)
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_index_topk(q, path, cent, k=10, n_probe=12).select("q_id", "c_id", "rank")
+    vec_type = dict(emb.dtypes)["embedding"]
+    return ivf_index_topk(
+        q, path, cent, k=10, n_probe=12,
+        index_schema=f"c_id long, vec {vec_type}, cell int",
+    ).select("q_id", "c_id", "rank")
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,9 +953,10 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return quantized_rescore_topk(emb, q, k=10, shortlist=4).select(
-        "q_id", "c_id", "rank"
-    )
+    return quantized_rescore_topk(
+        emb, q, k=10, shortlist=4,
+        dims=_parquet_list_dims(sf_dir, "embeddings", "embedding"),
+    ).select("q_id", "c_id", "rank")
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,6 +1212,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.4,
         n_rows=None if n < 0 else n,
+        # vector width from footer metadata: the centroid collect is a
+        # single limit-guarded job, not estimate + collect
+        dims=_parquet_list_dims(sf_dir, "embeddings", "embedding"),
     )
 
 

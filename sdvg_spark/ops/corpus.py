@@ -1041,13 +1041,37 @@ def bigram_nll(
     ctx_oov = ctxc.select(
         "__ctx", F.log(a / (F.col("__cc") + denom_pad)).alias("__lnp")
     )
-    big_pdf = big.toPandas()
-    ctx_pdf = ctx_oov.toPandas()
-    ln_oov_g = float(
-        spark.range(1).select(F.log(a / denom_pad).alias("x")).first()["x"]
+    # ONE collect for the bigram table, the context-OOV table AND the
+    # global OOV constant (union with a side tag; the constant rides as
+    # a Catalyst-constant-folded literal — the same JVM Math.log double
+    # the dedicated range(1) job produced): 3 driver actions → 1, and
+    # the two table subtrees evaluate concurrently off the shared
+    # bigfull cache.
+    side_pdf = (
+        big.select(F.lit(0).alias("__side"), F.col("__g").alias("__k"), "__lnp")
+        .unionByName(
+            ctx_oov.select(
+                F.lit(1).alias("__side"), F.col("__ctx").alias("__k"), "__lnp"
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(2).alias("__side"),
+                F.lit("").alias("__k"),
+                F.log(a / denom_pad).alias("__lnp"),
+            )
+        )
+        .toPandas()
     )
-    bigd = dict(zip(big_pdf["__g"].tolist(), big_pdf["__lnp"].tolist()))
-    ctxd = dict(zip(ctx_pdf["__ctx"].tolist(), ctx_pdf["__lnp"].tolist()))
+    sides = side_pdf["__side"].to_numpy()
+    big_pdf = side_pdf[sides == 0]
+    ctx_pdf = side_pdf[sides == 1]
+    ln_oov_g = float(side_pdf[sides == 2]["__lnp"].iloc[0])
+    bigd = dict(zip(big_pdf["__k"].tolist(), big_pdf["__lnp"].tolist()))
+    ctxd = dict(zip(ctx_pdf["__k"].tolist(), ctx_pdf["__lnp"].tolist()))
+    # everything downstream reads the collected dicts, never bigfull —
+    # release the cache so long-lived sessions don't accumulate blocks
+    bigfull.unpersist()
     # broadcast lifetime: same note as _nll_inrow_scored's tok2lnp
     bc = spark.sparkContext.broadcast((bigd, ctxd))
 
@@ -1238,7 +1262,10 @@ def collocations(
     # unigram join sides read one cache. The previous shape tokenized
     # the corpus SIX times (totals scan, two join sides, pair scan,
     # plus re-evaluations); now twice — the two distinct aggregations,
-    # which is the floor without a combined doc-level pass.
+    # which is the floor without a combined doc-level pass. Storage
+    # contract (the semantic_dedup convention): the returned plan joins
+    # both caches, so they live until the caller drops the plan;
+    # sessions running many fits own cleanup.
     uni = (
         staged.select(F.explode("__t").alias("__w"))
         .groupBy("__w")
@@ -1262,12 +1289,22 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_uni = int(
-        uni.select(F.coalesce(F.sum("__c"), F.lit(0))).first()[0]
+    # ONE action for both totals (token_divergence's union-fusion
+    # pattern): the unigram and bigram cache materializations run as
+    # independent stages of a single job — concurrent, not serial —
+    # and the totals are the same exact integer sums.
+    tot = (
+        uni.select(F.lit(0).alias("__side"), F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+        .unionByName(
+            bifull.select(
+                F.lit(1).alias("__side"),
+                F.coalesce(F.sum("pair_count"), F.lit(0)).alias("__n"),
+            )
+        )
+        .collect()
     )
-    n_bi = int(
-        bifull.select(F.coalesce(F.sum("pair_count"), F.lit(0))).first()[0]
-    )
+    by_side = {int(r["__side"]): int(r["__n"]) for r in tot}
+    n_uni, n_bi = by_side[0], by_side[1]
     bi = bifull.where(F.col("pair_count") >= min_count)
     u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("w1_count"))
     u2 = uni.select(F.col("__w").alias("w2"), F.col("__c").alias("w2_count"))
@@ -1385,11 +1422,26 @@ def token_divergence(
     # token-stream length), so the two dedicated corpus tokenize scans
     # disappear, and the vocab/fold consumers read the caches — 6
     # tokenize passes (2 count aggs + 2 totals + 2 re-evaluations in
-    # the final action) become the 2-agg floor.
+    # the final action) become the 2-agg floor. Storage contract (the
+    # semantic_dedup convention): the RETURNED plan reads these caches,
+    # so they live until the caller drops the plan (ContextCleaner
+    # reaps them); sessions running many fits own cleanup.
     ca = counts(docs_a, "__ca").persist(StorageLevel.MEMORY_AND_DISK)
     cb = counts(docs_b, "__cb").persist(StorageLevel.MEMORY_AND_DISK)
-    na = int(ca.select(F.coalesce(F.sum("__ca"), F.lit(0))).first()[0])
-    nb = int(cb.select(F.coalesce(F.sum("__cb"), F.lit(0))).first()[0])
+    # ONE action for both totals: the union evaluates the two cached
+    # count tables as independent stages of a single job, so the two
+    # corpus tokenize passes run CONCURRENTLY (guide §2.6) instead of
+    # as two serial jobs — and the totals are the same exact integer
+    # sums either way.
+    tot = (
+        ca.select(F.lit(0).alias("__side"), F.coalesce(F.sum("__ca"), F.lit(0)).alias("__n"))
+        .unionByName(
+            cb.select(F.lit(1).alias("__side"), F.coalesce(F.sum("__cb"), F.lit(0)).alias("__n"))
+        )
+        .collect()
+    )
+    by_side = {int(r["__side"]): int(r["__n"]) for r in tot}
+    na, nb = by_side[0], by_side[1]
     merged = ca.join(cb, "__w", "full_outer").select(
         "__w",
         F.coalesce("__ca", F.lit(0)).alias("__ca"),
@@ -1693,8 +1745,17 @@ def dsir_logweights(
 
     tgt = bucket_counts(target)
     raw = bucket_counts(docs)
-    n_t = int(tgt.select(F.sum("__c")).first()[0] or 0)
-    n_r = int(raw.select(F.sum("__c")).first()[0] or 0)
+    # ONE action for both totals (side-tagged union of the two sum
+    # aggregates): same exact integer sums, concurrent evaluation
+    tot = (
+        tgt.select(F.lit(0).alias("__side"), F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+        .unionByName(
+            raw.select(F.lit(1).alias("__side"), F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
+        )
+        .collect()
+    )
+    by_side = {int(r["__side"]): int(r["__n"]) for r in tot}
+    n_t, n_r = by_side[0], by_side[1]
     if n_t == 0 or n_r == 0:
         raise ValueError("target and raw corpora must both contain tokens")
     a = float(alpha)
@@ -1876,10 +1937,16 @@ def _nll_inrow_scored(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     spark = docs.sparkSession
-    vocab_pdf = vocab.toPandas()
-    # one driver-local row evaluates the OOV expression in the SAME
-    # JVM fold Catalyst would have used for the join's coalesce side
-    ln_oov = float(spark.range(1).select(ln_oov_expr.alias("v")).first()["v"])
+    # the OOV constant rides the vocab collect as a literal column —
+    # Catalyst constant-folds it with JVM Math.log (the same double the
+    # dedicated range(1) job produced), so ONE job fetches vocab + OOV.
+    # Empty vocab (no rows to carry the literal) falls back to the
+    # driver-local single-row evaluation.
+    vocab_pdf = vocab.select("__tok", "__lnp", ln_oov_expr.alias("__lnoov")).toPandas()
+    if len(vocab_pdf):
+        ln_oov = float(vocab_pdf["__lnoov"].iloc[0])
+    else:
+        ln_oov = float(spark.range(1).select(ln_oov_expr.alias("v")).first()["v"])
     tok2lnp = dict(
         zip(vocab_pdf["__tok"].tolist(), vocab_pdf["__lnp"].tolist())
     )
@@ -2094,6 +2161,11 @@ def unigram_nll_tiered(
         hint_broadcast = False
     if scored_fold == "inrow":
         folded = _nll_inrow_scored(docs, id_col, text_col, vocab, ln_oov)
+        # the in-row fold COLLECTED the vocab (broadcast dict); the
+        # returned plan never reads tokfreq — release the cache so
+        # repeated fits in a long-lived session don't accumulate blocks
+        # (the window fallback below keeps it: its plan joins `vocab`)
+        tokfreq.unpersist()
         n = F.col("__n")
         return folded.select(
             id_col,
@@ -2213,8 +2285,18 @@ def dsir_logweights_tiered(
     # back as local relations — the previous shape ran every bucket
     # aggregate TWICE (once for its N, once inside the llr join)
     spark = docs.sparkSession
-    tgt_pdf = bucket_counts(target).toPandas()
-    raw_pdf = bucket_counts(docs).toPandas()
+    # ONE collect for both ≤buckets-row tables (side-tagged union): the
+    # two corpus tokenize passes evaluate as independent stages of a
+    # single job — concurrent, not serial — with identical rows.
+    both_pdf = (
+        bucket_counts(target).select(F.lit(0).alias("__side"), "__b", "__c")
+        .unionByName(
+            bucket_counts(docs).select(F.lit(1).alias("__side"), "__b", "__c")
+        )
+        .toPandas()
+    )
+    tgt_pdf = both_pdf[both_pdf["__side"] == 0][["__b", "__c"]]
+    raw_pdf = both_pdf[both_pdf["__side"] == 1][["__b", "__c"]]
     n_t = int(tgt_pdf["__c"].sum()) if len(tgt_pdf) else 0
     n_r = int(raw_pdf["__c"].sum()) if len(raw_pdf) else 0
     if n_t == 0 or n_r == 0:

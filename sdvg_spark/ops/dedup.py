@@ -1359,12 +1359,20 @@ def _local_edge_pdf(edges: DataFrame, src_col: str, dst_col: str, cap: int | Non
     if is_local:
         return edges.select(src_col, dst_col).toPandas()
     if cap is not None:
-        # One-shot limit evaluation: the default incremental CollectLimit
-        # (1 partition, then 4x, ...) escalates through several JOBS when
-        # the edge list is smaller than the cap — which is the expected
-        # case. Evaluating every partition at once costs one job; each
-        # task still early-exits at cap+1 rows, so per-task work stays
-        # bounded.
+        # Bounded one-shot-ish limit evaluation. initialNumPartitions =
+        # 2× parallelism covers every partition in ONE job at bench-like
+        # partition counts (the expected small-edge-list case) while the
+        # DEFAULT 4× escalation takes over at cluster partition counts —
+        # the previous 10M override evaluated ALL partitions in one
+        # executeTake batch, and since every task may return up to cap+1
+        # rows, a duplicate-heavy over-cap corpus could ship
+        # partitions × cap rows (tens of GB) to the driver before the
+        # probe rejected. Batched escalation stops fetching as soon as
+        # cap+1 rows arrive, so driver exposure per batch is
+        # batch_partitions × cap worst-case, and anything that still
+        # trips spark.driver.maxResultSize lands in the except below —
+        # probe abandoned, the distributed loop (which never collects
+        # edges) takes over.
         spark = edges.sparkSession
         key = "spark.sql.limit.initialNumPartitions"
         try:
@@ -1372,8 +1380,14 @@ def _local_edge_pdf(edges: DataFrame, src_col: str, dst_col: str, cap: int | Non
         except Exception:  # pragma: no cover
             prev = None
         try:
-            spark.conf.set(key, "10000000")
+            spark.conf.set(
+                key, str(2 * spark.sparkContext.defaultParallelism)
+            )
             pdf = edges.select(src_col, dst_col).limit(cap + 1).toPandas()
+        except Exception:
+            # oversized task-result fetch (maxResultSize) or any other
+            # probe failure: fall back to the distributed fixpoint
+            return None
         finally:
             if prev is None:
                 spark.conf.unset(key)
@@ -1478,8 +1492,19 @@ def connected_components(
     # iterative loop: each distributed round costs 2+ actions of
     # shuffles/checkpoints, which dominates small-corpus wall time (the
     # same build-side-fits reasoning as a broadcast join). Labels are
-    # identical by construction (min-id components either way).
-    loc = _local_edge_pdf(edges, src_col, dst_col, local_max_edges)
+    # identical by construction (min-id components either way). The tier
+    # is INT-ID ONLY (the union-find casts to int64); string or other
+    # id types keep the distributed fixpoint, which is type-agnostic.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_is_int = isinstance(
+        nodes.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    loc = (
+        _local_edge_pdf(edges, src_col, dst_col, local_max_edges)
+        if id_is_int
+        else None
+    )
     if loc is not None:
         import numpy as np
         import pandas as pd
@@ -1536,14 +1561,31 @@ def connected_components(
             prop.unpersist()  # `new` is materialized and lineage-free
         else:
             new = prop.localCheckpoint(eager=True)
-        total = new.agg(F.sum("rep").alias("t")).first()["t"]
+        if id_is_int:
+            # numeric ids: Σ labels strictly decreases until fixpoint
+            # (min-propagation is monotone) — one cheap agg action
+            total = new.agg(F.sum("rep").alias("t")).first()["t"]
+            converged = total == prev_sum
+            prev_sum = total
+        else:
+            # non-numeric ids: sum() of string labels is NULL, which
+            # made the old check read "converged" after round 1 (wrong
+            # labels on any chain needing more rounds). Exact change
+            # test between the two checkpointed label tables instead —
+            # same O(edge-node) cost class as the sum action.
+            converged = prev_lab is not None and (
+                new.join(
+                    prev_lab.select(F.col("v"), F.col("rep").alias("__prev")), "v"
+                )
+                .where(F.col("rep") != F.col("__prev"))
+                .isEmpty()
+            )
         if prev_lab is not None:
             prev_lab.unpersist()
         prev_lab = new
         lab = new
-        if total == prev_sum:
+        if converged:
             break
-        prev_sum = total
     und.unpersist()
     # introspection for scale reports: rounds actually run, returned via
     # the caller-owned `stats` dict (a function attribute here would be
@@ -1740,7 +1782,11 @@ def embedding_dup_pairs(
         import pandas as pd
 
         spark = df.sparkSession
-        loc = bounded_local_vectors(df, id_col, vec_col, exact_max_bytes)
+        # dims (footer metadata/catalog stats) → single limit-guarded
+        # collect; the estimate job only runs when the width is unknown
+        loc = bounded_local_vectors(
+            df, id_col, vec_col, exact_max_bytes, known_dims=dims
+        )
         if loc is not None and len(loc[0]) > exact_max_rows:
             loc = None  # work cap: n² pair work past this is not a plan
         if loc is None:
@@ -2011,6 +2057,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     centroid_max_bytes: int = 64_000_000,
     n_rows: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     deduplicate WITHIN clusters only — the all-pairs cosine work drops
@@ -2068,8 +2115,14 @@ def semantic_dedup(
         n_cells = max(
             min_cells, (df.count() if n_rows is None else n_rows) // target_cell_rows
         )
+    # dims (footer metadata/catalog stats) → the centroid collect is a
+    # single limit-guarded job instead of estimate job + collect job
     loc = bounded_local_vectors(
-        df.orderBy(F.col(id_col)).limit(n_cells), id_col, vec_col, centroid_max_bytes
+        df.orderBy(F.col(id_col)).limit(n_cells),
+        id_col,
+        vec_col,
+        centroid_max_bytes,
+        known_dims=dims,
     )
     if loc is None:
         raise ValueError("n_cells × dims exceeds centroid_max_bytes")

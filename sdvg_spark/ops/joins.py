@@ -580,10 +580,30 @@ def _bounded_local_right(
     estimate — before the caps have ruled — which is exactly the
     failure mode the pre-flight exists to prevent. The second compute
     of a small right is the structural price of the safety property
-    (measured ~0.3 s on events_asof's clicks aggregate at sf0.1)."""
+    (measured ~0.3 s on events_asof's clicks aggregate at sf0.1).
+
+    FIXED-WIDTH fast path: when every projected column is a scalar of
+    known width (no string/binary/array), the byte cap is exactly a
+    row cap (``max_bytes // per_row``), so ONE ``limit``-guarded
+    collect replaces the estimate job + fetch job pair — same caps,
+    same decision, half the jobs and one evaluation of the right side
+    (events_asof's clicks aggregate: 5 build jobs → 2). Variable-width
+    columns keep the two-pass estimate."""
     from pyspark.sql.types import ArrayType, BinaryType, StringType
 
     sel = right.select(*cols)
+    var_width = [
+        fld
+        for fld in sel.schema.fields
+        if isinstance(fld.dataType, (StringType, BinaryType, ArrayType))
+    ]
+    if not var_width:
+        per_row_const = 8 + 8 * len(sel.schema.fields)
+        cap = min(int(max_rows), int(max_bytes) // per_row_const)
+        pdf = sel.limit(cap + 1).toPandas()
+        if len(pdf) > cap:
+            return None
+        return pdf
     per_row = F.lit(8).cast("long")
     for fld in sel.schema.fields:
         if isinstance(fld.dataType, (StringType, BinaryType)):

@@ -281,6 +281,7 @@ def brute_force_topk(
     query_vec: str = "q_vec",
     k: int = 10,
     max_query_bytes: int = 256_000_000,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
@@ -292,7 +293,10 @@ def brute_force_topk(
 
     The query matrix rides through :func:`bounded_local_vectors`
     (pre-flight byte estimate, ``max_query_bytes``) — a query set too
-    big to broadcast raises instead of OOMing the driver.
+    big to broadcast raises instead of OOMing the driver. ``dims``
+    (the vector width, e.g. from parquet footer metadata or catalog
+    stats) turns the byte cap into a row cap so the collect is a
+    single limit-guarded job instead of estimate job + collect job.
 
     Ties broken by corpus id ascending (deterministic).
     """
@@ -306,6 +310,7 @@ def brute_force_topk(
         "q_id",
         "__qv",
         max_query_bytes,
+        known_dims=dims,
     )
     if loc is None:
         raise ValueError(
@@ -390,11 +395,15 @@ def lsh_topk(
     from sdvg_spark.ops.dedup import bounded_local_vectors, widen
 
     spark = corpus.sparkSession
+    # dims (when the caller knows it — footer metadata/catalog stats)
+    # turns the byte cap into a row cap: single-job collect, no
+    # estimate action (same contract as ivf_topk's query collect)
     qloc = bounded_local_vectors(
         queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("__qv")),
         "q_id",
         "__qv",
         256_000_000,
+        known_dims=dims,
     )
     if qloc is None:
         raise ValueError("query set exceeds max_query_bytes")
@@ -1177,6 +1186,7 @@ def ivf_train_centroids(
     n_iters: int = 8,
     dims: int | None = None,
     sample_max_bytes: int = 64_000_000,
+    n_rows: int | None = None,
 ):
     """Spherical k-means centroids, Lloyd-trained on a deterministic
     sample (``frf(id) < fraction`` with the fraction sized so the sample
@@ -1193,10 +1203,12 @@ def ivf_train_centroids(
 
     Training is driver-local numpy over a byte-capped sample — the same
     strategy FAISS-style ANN libraries use (train on sample, apply to
-    corpus). The corpus itself is never collected. One count() job sizes
-    the stride; index building is an offline operation, so an extra
-    metadata-cheap job is acceptable there (unlike in ``queries()``
-    paths, which must not trigger extra actions).
+    corpus). The corpus itself is never collected. ``n_rows`` / ``dims``
+    (corpus row count and vector width, e.g. from parquet footer
+    metadata or catalog stats) skip the sizing ``count()`` and the
+    width-probe job; with both in hand the sample collect itself is a
+    single limit-guarded job (``known_dims`` row cap) instead of
+    estimate job + collect job.
 
     Returns a unit-normalized (n_cells, dims) float64 matrix.
     """
@@ -1208,13 +1220,17 @@ def ivf_train_centroids(
         dims = _infer_dims(corpus, corpus_vec)
     from sdvg_spark.core.rng import frf_col
 
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else int(n_rows)
     frac = min(1.0, sample_max_bytes / max(1, n * (8 * dims + 8)))
     sample = corpus if frac >= 1.0 else corpus.where(frf_col(F.col(corpus_id)) < frac)
-    loc = bounded_local_vectors(sample, corpus_id, corpus_vec, sample_max_bytes)
+    loc = bounded_local_vectors(
+        sample, corpus_id, corpus_vec, sample_max_bytes, known_dims=dims
+    )
     if loc is None:  # byte estimate was off (wider rows than assumed): halve
         sample = corpus.where(frf_col(F.col(corpus_id)) < frac / 2)
-        loc = bounded_local_vectors(sample, corpus_id, corpus_vec, sample_max_bytes)
+        loc = bounded_local_vectors(
+            sample, corpus_id, corpus_vec, sample_max_bytes, known_dims=dims
+        )
         if loc is None:
             raise ValueError("sample exceeds sample_max_bytes even at half fraction")
     ids, M = loc
@@ -1323,8 +1339,15 @@ def ivf_index_topk(
     query_vec: str = "q_vec",
     k: int = 10,
     n_probe: int = 12,
+    index_schema: str | None = None,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
+
+    ``index_schema`` (a DDL string, e.g. ``"c_id long, vec
+    array<float>, cell int"`` — what :func:`ivf_write_index` produced)
+    skips the reader's schema-inference job; the caller that just
+    wrote the index knows it. Omitted, the schema is inferred from
+    footers as usual.
 
     The probed cell set (≤ n_cells values by construction — it is a
     subset of the centroid count, not data-sized) is derived driver-side
@@ -1375,7 +1398,8 @@ def ivf_index_topk(
     # joined: the exchange moves O(partitions × queries × k) rows.
     probing = [np.flatnonzero((order == c).any(axis=1)) for c in range(len(cent))]
     bcq = spark.sparkContext.broadcast((q_ids, Qn, probing))
-    index = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    reader = spark.read if index_schema is None else spark.read.schema(index_schema)
+    index = reader.parquet(path).where(F.col("cell").isin(cells))
     quantized = "qvec" in index.columns
     vec_cols = ["qvec", "scale"] if quantized else ["vec"]
     sel = index.select("c_id", "cell", *vec_cols)
@@ -1434,8 +1458,13 @@ def quantized_rescore_topk(
     k: int = 10,
     shortlist: int = 4,
     max_query_bytes: int = 256_000_000,
+    dims: int | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: int8-quantized shortlist, exact rescore.
+
+    ``dims`` (vector width from footer metadata/catalog stats) makes
+    the query collect a single limit-guarded job — see
+    :func:`brute_force_topk`.
 
     Stage 1 scores the WHOLE corpus against the queries on quantized
     codes — an int8 matmul per Arrow batch, reading 1/4 of the float
@@ -1475,6 +1504,7 @@ def quantized_rescore_topk(
         "q_id",
         "__qv",
         max_query_bytes,
+        known_dims=dims,
     )
     if loc is None:
         raise ValueError("query set exceeds max_query_bytes")

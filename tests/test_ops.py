@@ -433,6 +433,82 @@ def test_connected_components_chain_clique_singleton(spark):
     assert rep == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
 
 
+def test_cc_probe_over_cap_falls_back_to_distributed_loop(spark):
+    """r12 hardening: an edge list OVER local_max_edges must abandon
+    the bounded probe (None — bounded driver fetch, no crash) and run
+    the distributed fixpoint, with identical min-id labels."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.ops.dedup import _local_edge_pdf, connected_components
+
+    n = 500
+    # a 500-edge chain spread over several shuffle partitions — NOT a
+    # LocalRelation, so only the bounded probe could collect it
+    edges = (
+        spark.range(n)
+        .repartition(8)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    assert _local_edge_pdf(edges, "id_a", "id_b", cap=100) is None
+    nodes = spark.range(n + 1).select(F.col("id").alias("doc_id"))
+    stats: dict = {}
+    rep = {
+        r.doc_id: r.rep
+        for r in connected_components(
+            nodes, edges, local_max_edges=100, stats=stats, max_iter=100
+        ).collect()
+    }
+    assert stats["tier"] != "local" if "tier" in stats else True
+    assert stats["rounds"] > 0  # the loop ran
+    assert rep == {i: 0 for i in range(n + 1)}
+
+
+def test_cc_local_tier_requires_int_ids(spark):
+    """r12 (ADVICE): string ids must skip the numpy union-find tier
+    (which casts to int64) and still resolve through the distributed
+    loop — previously this path crashed on the cast."""
+    from sdvg_spark.ops.dedup import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "doc_id string")
+    edges = spark.createDataFrame([("b", "a"), ("b", "c")], "id_a string, id_b string")
+    stats: dict = {}
+    rep = {
+        r.doc_id: r.rep
+        for r in connected_components(
+            nodes, edges, local_max_edges=1000, stats=stats
+        ).collect()
+    }
+    assert stats.get("tier") != "local"
+    assert rep == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_bounded_local_right_fixed_width_fast_path(spark):
+    """The fixed-width single-job collect must return the same rows and
+    make the same accept/reject decisions as the two-pass estimate."""
+    from pyspark.sql import functions as F
+
+    from sdvg_spark.ops.joins import _bounded_local_right
+
+    df = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 10).alias("ts"),
+        (F.col("id") % 7).alias("click_id"),
+    )
+    cols = ["user_id", "ts", "click_id"]
+    pdf = _bounded_local_right(df, cols, max_rows=1000)
+    assert pdf is not None and len(pdf) == 100
+    assert sorted(pdf["user_id"]) == list(range(100))
+    # row cap rejects
+    assert _bounded_local_right(df, cols, max_rows=99) is None
+    # byte cap rejects: 100 rows x (8 + 3*8) = 3200 bytes
+    assert _bounded_local_right(df, cols, max_rows=1000, max_bytes=3199) is None
+    assert _bounded_local_right(df, cols, max_rows=1000, max_bytes=3200) is not None
+    # a string column keeps the two-pass estimate and the same decision
+    s = df.withColumn("s", F.lit("xyz"))
+    pdf2 = _bounded_local_right(s, cols + ["s"], max_rows=1000)
+    assert pdf2 is not None and len(pdf2) == 100
+
+
 def test_salted_agg_matches_plain_agg(spark):
     """Every decomposable aggregate through the salt shards must equal
     the single-stage groupBy result, independent of n_salts."""
