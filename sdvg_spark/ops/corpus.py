@@ -1301,9 +1301,11 @@ def collocations(
                 F.coalesce(F.sum("pair_count"), F.lit(0)).alias("__n"),
             )
         )
-        .collect()
+        # exactly 2 rows by construction (union of two global
+        # aggregates) — statically bounded driver fetch, Arrow-batched
+        .toPandas()
     )
-    by_side = {int(r["__side"]): int(r["__n"]) for r in tot}
+    by_side = dict(zip(tot["__side"].astype(int).tolist(), tot["__n"].astype(int).tolist()))
     n_uni, n_bi = by_side[0], by_side[1]
     bi = bifull.where(F.col("pair_count") >= min_count)
     u1 = uni.select(F.col("__w").alias("w1"), F.col("__c").alias("w1_count"))
@@ -1438,9 +1440,11 @@ def token_divergence(
         .unionByName(
             cb.select(F.lit(1).alias("__side"), F.coalesce(F.sum("__cb"), F.lit(0)).alias("__n"))
         )
-        .collect()
+        # exactly 2 rows by construction (union of two global
+        # aggregates) — statically bounded driver fetch, Arrow-batched
+        .toPandas()
     )
-    by_side = {int(r["__side"]): int(r["__n"]) for r in tot}
+    by_side = dict(zip(tot["__side"].astype(int).tolist(), tot["__n"].astype(int).tolist()))
     na, nb = by_side[0], by_side[1]
     merged = ca.join(cb, "__w", "full_outer").select(
         "__w",
@@ -1752,9 +1756,11 @@ def dsir_logweights(
         .unionByName(
             raw.select(F.lit(1).alias("__side"), F.coalesce(F.sum("__c"), F.lit(0)).alias("__n"))
         )
-        .collect()
+        # exactly 2 rows by construction (union of two global
+        # aggregates) — statically bounded driver fetch, Arrow-batched
+        .toPandas()
     )
-    by_side = {int(r["__side"]): int(r["__n"]) for r in tot}
+    by_side = dict(zip(tot["__side"].astype(int).tolist(), tot["__n"].astype(int).tolist()))
     n_t, n_r = by_side[0], by_side[1]
     if n_t == 0 or n_r == 0:
         raise ValueError("target and raw corpora must both contain tokens")
@@ -2181,9 +2187,19 @@ def unigram_nll_tiered(
     tok_rows = docs.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p", "__tok")
     )
+    # ONE window spec (partitionBy id, orderBy pos): the running-frame
+    # sums, row_number and lead(pos) all share it, so Spark plans a
+    # single WindowExec with streaming (bounded-buffer) frames. The
+    # previous shape added a second, ORDERLESS spec (sum/count over the
+    # whole partition) whose unbounded frame buffers every row of a doc
+    # in an ExternalAppendOnlyUnsafeRowArray before emitting — the
+    # spill-prone half of the r10 7.0 GB sf100 shuffle+window residue.
+    # Value parity: at the last row (lead(pos) IS NULL — posexplode
+    # positions are distinct within a doc) the running Σ__lnp has added
+    # the identical left-to-right sequence, the running Σ__oov is an
+    # order-free integer sum, and row_number equals the partition count.
     w_ord = Window.partitionBy(id_col).orderBy("__p")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy(id_col)
     scored = (
         tok_rows.join(
             F.broadcast(vocab) if hint_broadcast else vocab, "__tok", "left"
@@ -2197,11 +2213,11 @@ def unigram_nll_tiered(
         .select(
             id_col,
             F.sum("__lnp").over(w_run).alias("__sum_lnp"),
-            F.sum("__oov").over(w_all).alias("n_oov"),
-            F.count(F.lit(1)).over(w_all).alias("__n"),
-            F.row_number().over(w_ord).alias("__rn"),
+            F.sum("__oov").over(w_run).alias("n_oov"),
+            F.row_number().over(w_ord).alias("__n"),
+            F.lead("__p", 1).over(w_ord).alias("__nxt"),
         )
-        .where(F.col("__rn") == F.col("__n"))
+        .where(F.col("__nxt").isNull())
         .select(
             id_col,
             F.col("__n").cast("long").alias("n_tokens"),

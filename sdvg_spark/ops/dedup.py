@@ -95,10 +95,31 @@ def widen(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     except Exception:  # pragma: no cover - non-numeric (auto) setting
         conf_parts = 0
     target = max(spark.sparkContext.defaultParallelism, conf_parts)
+    parts = -1
     try:
-        parts = df._jdf.rdd().getNumPartitions()
+        ep = df._jdf.queryExecution().executedPlan()
+        if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            # AQE plan (it contains an exchange): asking its RDD for a
+            # partition count FINALIZES the plan — materializing every
+            # upstream shuffle as a real Spark job whose output is NOT
+            # reused by the later action (separate query executions
+            # don't share exchanges). Measured on simhash: the probe
+            # re-ran the full scan + shuffle write per invocation. The
+            # pre-execution initialPlan's outputPartitioning answers
+            # the only question widen has (did an upstream exchange
+            # already provide >= target-way parallelism?) without
+            # running anything. UnknownPartitioning reports 0 and
+            # falls through to the RDD probe below.
+            parts = int(ep.initialPlan().outputPartitioning().numPartitions())
+            if parts >= target:
+                return df
     except Exception:  # pragma: no cover - connect-style sessions
-        parts = df.rdd.getNumPartitions()
+        parts = -1
+    if parts < target:
+        try:
+            parts = df._jdf.rdd().getNumPartitions()
+        except Exception:  # pragma: no cover - connect-style sessions
+            parts = df.rdd.getNumPartitions()
     if parts >= target:
         return df
     if min_bytes > 0:
@@ -1093,7 +1114,10 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    df = widen(df)  # per-token Python md5 is heavy; never run it on one core
+    # (the single widen lives in the return chain below — per-token
+    # Python md5 is heavy; never run it on one core. A second widen
+    # call here used to re-probe the already-exchanged plan, which
+    # finalized AQE and re-ran the scan+shuffle as a wasted job.)
 
     def kernel(batches):
         import hashlib
