@@ -1926,14 +1926,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, the five non-text sampling rows, events_funnel, and 8
     # single-module analytics/profile/skew/multimodal/vectors rows).
     deferred = [
-        # r10-certified, modules untouched in r11. events_funnel fills
-        # the head-room slot for the NEW bigram_nll row (new rows must
-        # be in-window): ann_ivf_index originally held it, but the r11
-        # perf pass then EDITED similarity.py (min_bytes widen gating),
-        # voiding that certificate — the whole ann family, index row
-        # included, therefore sits in-window for fresh r11 rows, and
-        # events_funnel (funnel op untouched since its r10 row, ledger
-        # hash-clean) rotates out instead.
+        # r12 rotation: the r12 job-floor pass edited ops/joins.py
+        # (_bounded_local_right fixed-width fast path), voiding the
+        # events_asof/gapfill/interval_join/range_join r10 certificates
+        # — those four rotate INTO the window for fresh rows. Deferred
+        # in their place: pricing_summary, media_features,
+        # url_canonicalize, html_extract — all r11-green and their
+        # module closures (media.py / web.py / wrapper-only SQL) are
+        # untouched by r12's corpus/dedup/joins/similarity edits.
+        # The rest are r10/r11-certified rows over modules untouched
+        # in r11+r12 (18 gen_* rows on the frozen generation engine,
+        # non-text sampling rows, events_funnel, single-module
+        # analytics/profile/skew/multimodal/vectors rows).
         "events_funnel",
         "gen_integer_ordered",
         "gen_integer_random",
@@ -1953,10 +1957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_string_simple",
         "gen_template",
         "gen_text",
-        "events_asof",
-        "events_gapfill",
-        "events_interval_join",
-        "events_range_join",
+        "pricing_summary",
+        "media_features",
+        "url_canonicalize",
+        "html_extract",
         "corpus_mix",
         "data_split",
         "data_split_by_source",
