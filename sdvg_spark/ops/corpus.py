@@ -2098,11 +2098,14 @@ def unigram_nll_tiered(
     * the per-doc scored fold (``scored_fold``, default ``"inrow"``)
       runs MAP-ONLY: an Arrow-batched kernel folds Σ ln p in-row
       against the broadcast ≤ top_n vocab — no posexplode, no
-      (doc)-keyed exchange, no window sort. ``"window"`` keeps the
-      r10 running-sum-window shape (one post-shuffle sort; its
-      shuffle-write external sort was the residual 7.0 GB sf100 spill
-      — SHUFFLE_r10 probe #3) as the fallback past ``_INROW_MAX_VOCAB``
-      broadcast entries; on that fallback the vocab join also drops
+      (doc)-keyed exchange, no window sort. ``"window"`` is the
+      shuffle-based fallback past ``_INROW_MAX_VOCAB`` broadcast
+      entries: since r12 a SINGLE (id, pos) window spec with
+      streaming frames (running sums + row_number + lead-is-null) —
+      the prior second, orderless spec's unbounded frame buffered
+      every row of a doc before emitting, the spill-prone half of the
+      7.0 GB sf100 residue (SHUFFLE_r10 probe #3). On the fallback
+      the vocab join also drops
       its broadcast HINT (the Python dict was never the only hazard —
       a >2M-row JVM broadcast is one too, so past the cap the planner
       decides from its own size estimate). Both folds perform the
